@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Scale stance: these configs are what we'd ship to a 1000-executor cluster,
+modulo the master URL. AQE handles runtime coalescing/skew; shuffle
+partitions default to cores locally but should be ~2-3x total cores on a
+real cluster (or left to AQE's coalescing from a high initial value).
+
+Reference parity notes (SURVEY.md section 1): session timezone pinned to UTC so
+timestamp semantics match the reference's timestamptz handling
+(/root/reference/redpanda/producer.py:34-35) and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The driver-generated events.parquet stores TIMESTAMP(NANOS) which Spark
+# cannot read natively; read as long and convert in tables.py (DuckDB
+# truncates ns -> us, so we integer-divide to match).
+_NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def get_spark(app_name: str = "redpanda_iceberg_duckdb_spark", *, cpus: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    cpus defaults to $SPARK_GRAFT_CPUS or all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(_NANOS_AS_LONG, "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable parity configs to an externally provided session
+    (the driver passes its own SparkSession to ``entry``/``queries`` callables).
+
+    Static configs (driver memory, master) can't change here; the ones that
+    matter for oracle parity (timezone) and plan quality (AQE) can.
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(_NANOS_AS_LONG, "true")
+    except Exception:  # pragma: no cover - config may be locked down
+        pass
+    return spark
