@@ -1,0 +1,162 @@
+"""Window / analytic operators over the ``events`` stream table: running
+aggregates, per-key ranking, lag/lead deltas, and gap-based sessionization.
+
+Determinism note: window frames are totally ordered by (ts, event_id) — the
+tiebreaker makes every frame, and therefore every cumulative double sum,
+identical between Spark and DuckDB (sequential fold in frame order).
+
+Scale notes: all of these partition by user_id — one shuffle on the partition
+key, then per-partition sort. No driver-side state. Skewed users would be the
+risk at 100 TB; for bounded-key analytics prefer pre-aggregated rollups, or
+AQE skew handling on the sort-exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+_ORDER = lambda: (F.col("ts"), F.col("event_id"))  # noqa: E731
+
+
+@register(
+    "window_running_total",
+    oracle="""
+SELECT event_id, user_id,
+       cast(sum(cast(value AS decimal(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS double) AS running_value,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running_n
+FROM events""",
+    bench=True,
+    tags=("window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/count per user in event-time order."""
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy(*_ORDER())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # Decimal accumulation: DuckDB may evaluate window sums via a segment
+    # tree (different addition order than Spark's running fold); exact
+    # decimal makes the order irrelevant.
+    return e.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "window_topk_per_user",
+    oracle="""
+SELECT user_id, event_id, value, rn
+FROM (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3""",
+    tags=("window",),
+)
+def window_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user — the canonical top-k-per-group:
+    row_number + filter, which Spark executes with a partial sort, never a
+    global one."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (e.select("user_id", "event_id", "value",
+                     F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@register(
+    "window_event_gaps",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_gaps,
+       cast(sum(gap_us) AS bigint) AS total_gap_us,
+       cast(max(gap_us) AS bigint) AS max_gap_us
+FROM (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id""",
+    tags=("window",),
+)
+def window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user via lag(); exact integer
+    microsecond arithmetic on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_ORDER())
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (gaps.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.sum("gap_us").alias("total_gap_us"),
+                 F.max("gap_us").alias("max_gap_us"))
+            .orderBy("user_id"))
+
+
+@register(
+    "sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sessions AS (
+  SELECT user_id, event_id, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM flagged)
+SELECT user_id, cast(session_id AS bigint) AS session_id,
+       count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id""",
+    bench=True,
+    tags=("window", "session"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> new-session flag
+    -> running sum as session id -> per-session aggregate. This is the batch
+    twin of streaming session_window (streaming/windowed.py)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_ORDER())
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(gap > 1_800_000_000, 1)
+         .when(F.lag("ts").over(w).isNull(), 1)
+         .otherwise(0).alias("is_new"),
+    )
+    cum = (W.partitionBy("user_id").orderBy(*_ORDER())
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sessions = flagged.select(
+        "user_id", "event_id", "value",
+        F.sum("is_new").over(cum).alias("session_id"),
+    )
+    return (sessions.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("session_value"))
+            .orderBy("user_id", "session_id")
+            .select("user_id", F.col("session_id").cast("long").alias("session_id"),
+                    "n_events", "session_value"))
