@@ -86,8 +86,13 @@ def cosine_dot_decimal(a: str, b: str) -> Column:
     agree regardless of fold/aggregation order. JVM-side (zip_with+aggregate
     inside codegen) — the fast non-oracle path can use a plain double fold.
     """
+    # Products are O(1) for unit-ish embeddings: decimal(20,12) holds them
+    # with 8 integer digits to spare; the accumulator cast keeps Spark's
+    # decimal-widening rules from changing the fold type (scale never drops,
+    # so the arithmetic stays exact).
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> "
-        f"cast(cast(x as double) * cast(y as double) as decimal(30,12))), "
-        f"cast(0 as decimal(38,12)), (acc, v) -> acc + v)"
+        f"cast(cast(x as double) * cast(y as double) as decimal(20,12))), "
+        f"cast(0 as decimal(25,12)), "
+        f"(acc, v) -> cast(acc + v as decimal(25,12)))"
     )

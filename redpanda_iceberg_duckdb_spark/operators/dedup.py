@@ -1,0 +1,299 @@
+"""Deduplication operators over ``documents`` (and embeddings): exact
+content-hash dedup, n-gram Jaccard near-dup, MinHash-LSH, SimHash, and
+embedding-cosine near-dup. Core training-data-pipeline operators beyond the
+reference's surface (SURVEY.md section 7 / M6).
+
+Scale design (100 TB stance):
+- No global dictionaries or driver-side state: shingles/tokens are hashed with
+  a cross-engine-deterministic md5-derived u64 (functions/hashing.py), so the
+  pipeline is embarrassingly parallel until the candidate-pair join.
+- MinHash signatures are one groupBy over exploded shingles (single shuffle);
+  banding multiplies rows by #bands (4), and the LSH bucket join only pairs
+  docs sharing a band — the quadratic blowup of naive all-pairs never occurs.
+- The n-gram Jaccard all-pairs operator IS quadratic in docs sharing a
+  trigram; it exists as the exactness baseline. At scale, use minhash_lsh
+  (same threshold) and let the verify step bound false positives.
+- Hot shingles (stopword trigrams) skew the tg join; session enables AQE skew
+  splitting. A production hardening would drop top-frequency shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import (
+    MERSENNE_P, MINHASH_A, MINHASH_B, MINHASH_K,
+    md5_mod_spark, md5_mod_duck,
+)
+from ..registry import register
+from ..tables import load_table
+
+# ---------------------------------------------------------------- trigrams
+
+# Word-trigram shingles, deduplicated per doc.
+_TG_ARRAY_SPARK = (
+    "case when size(split(text, ' ')) >= 3 then "
+    "transform(sequence(1, size(split(text, ' ')) - 2), i -> "
+    "concat_ws(' ', element_at(split(text, ' '), i), "
+    "element_at(split(text, ' '), i + 1), "
+    "element_at(split(text, ' '), i + 2))) "
+    "else array() end"
+)
+
+_TG_CTE_DUCK = """
+w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+t AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS tg
+      FROM w, unnest(range(greatest(len(ws) - 2, 0))) r(i))
+"""
+
+
+def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.expr(_TG_ARRAY_SPARK)).alias("tg")
+    ).distinct()
+
+
+def _jaccard_verified(tg: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs (d1 < d2): |A∩B| / |A∪B|."""
+    sz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tg.select(F.col("doc_id").alias("d1"), "tg")
+    b = tg.select(F.col("doc_id").alias("d2"), "tg")
+    shared = (
+        a.join(b, "tg")
+        .join(cand, ["d1", "d2"], "left_semi")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        shared
+        .join(sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select("d1", "d2",
+                F.round(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 6)
+                .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_JACCARD_VERIFY_DUCK = """
+sz AS (SELECT doc_id, count(*) n FROM t GROUP BY doc_id),
+shared AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+           FROM t a JOIN t b ON a.tg = b.tg AND a.doc_id < b.doc_id
+           {cand_filter}
+           GROUP BY 1, 2),
+jac AS (SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+        FROM shared JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2)
+"""
+
+# ---------------------------------------------------------------- exact dedup
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       cast(min(doc_id) AS bigint) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY content_hash""",
+    tags=("dedup",),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one hash-aggregate, fully parallel.
+    keep_id = lowest doc_id per identical text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("content_hash")
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+  FROM documents)
+WHERE rn = 1
+ORDER BY doc_id""",
+    tags=("dedup",),
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus (first doc per content hash) — dropDuplicates
+    semantics but with a deterministic keep rule (min doc_id), which plain
+    dropDuplicates does not guarantee."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1).drop("rn").orderBy("doc_id"))
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+{_JACCARD_VERIFY_DUCK.format(cand_filter="")}
+SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""",
+    bench=True,
+    tags=("dedup",),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via
+    shared-shingle self-join — the exactness baseline for minhash_lsh_pairs."""
+    tg = _doc_trigrams(spark, sf_dir)
+    a = tg.select(F.col("doc_id").alias("d1"), "tg")
+    b = tg.select(F.col("doc_id").alias("d2"), "tg")
+    cand = (a.join(b, "tg").filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").distinct())
+    return _jaccard_verified(tg, cand, 0.5).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------- MinHash LSH
+
+_A_LIST = ", ".join(str(a) for a in MINHASH_A)
+_B_LIST = ", ".join(str(b) for b in MINHASH_B)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+hs AS (SELECT doc_id, {md5_mod_duck("tg")} AS h FROM t),
+params AS (SELECT unnest(range({MINHASH_K})) AS k,
+                  unnest([{_A_LIST}]) AS a,
+                  unnest([{_B_LIST}]) AS b),
+sig AS (SELECT doc_id, k, min((a * h + b) % {MERSENNE_P}) AS m
+        FROM hs, params GROUP BY doc_id, k),
+bands AS (SELECT doc_id, k // 4 AS band,
+                 string_agg(cast(m AS varchar), '_' ORDER BY k) AS bkey
+          FROM sig GROUP BY doc_id, k // 4),
+cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+{_JACCARD_VERIFY_DUCK.format(
+    cand_filter="JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id")}
+SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""",
+    bench=True,
+    tags=("dedup", "lsh"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (K=16) + LSH banding (4 bands x 4 rows) near-dup detection,
+    verified with exact Jaccard >= 0.5 on candidates only.
+
+    Scale path: shingle hash -> 16 min-aggregates in ONE groupBy (single
+    shuffle) -> 4 band keys per doc -> equi-join on (band, key). Never
+    compares docs that share no band. With s=0.5: P(candidate) =
+    1-(1-s^4)^4 ≈ 0.23 at the threshold, ~0.9 at s=0.8 — verification
+    restores exactness.
+    """
+    tg = _doc_trigrams(spark, sf_dir)
+    hs = tg.select("doc_id", F.expr(md5_mod_spark("tg")).alias("h"))
+    sig = hs.groupBy("doc_id").agg(*[
+        F.min((F.lit(MINHASH_A[k]) * F.col("h") + F.lit(MINHASH_B[k]))
+              % MERSENNE_P).alias(f"m{k}")
+        for k in range(MINHASH_K)
+    ])
+    bands = None
+    for b in range(MINHASH_K // 4):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"m{4 * b + j}").cast("string")
+                               for j in range(4)]).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    x = bands.select(F.col("doc_id").alias("d1"), "band", "bkey")
+    y = bands.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    cand = (x.join(y, ["band", "bkey"]).filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").distinct())
+    return _jaccard_verified(tg, cand, 0.5).orderBy("d1", "d2")
+
+
+# ------------------------------------------------------------------- SimHash
+
+_SIMHASH_CTE_DUCK = f"""
+tok AS (SELECT doc_id, tok, count(*) c FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents)
+        GROUP BY doc_id, tok),
+th AS (SELECT doc_id, c, {md5_mod_duck("tok", 4_294_967_296)} AS h FROM tok),
+bitsum AS (SELECT doc_id, k,
+                  sum(c * (2 * ((h >> k) & 1) - 1)) AS s
+           FROM th, unnest(range(32)) r(k) GROUP BY doc_id, k),
+sh AS (SELECT doc_id,
+              cast(sum(CASE WHEN s > 0 THEN (cast(1 AS bigint) << k)
+                            ELSE 0 END) AS bigint) AS simhash
+       FROM bitsum GROUP BY doc_id)
+"""
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"WITH {_SIMHASH_CTE_DUCK} SELECT doc_id, simhash FROM sh ORDER BY doc_id",
+    tags=("dedup", "simhash"),
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit term-frequency-weighted SimHash per document. Fully parallel:
+    explode tokens -> per-(doc, bit) signed sums -> recombine bits."""
+    load_table(spark, sf_dir, "documents")
+    return spark.sql(f"""
+WITH tok AS (SELECT doc_id, tok, count(*) c FROM
+               (SELECT doc_id, explode(split(text, ' ')) tok FROM documents)
+             GROUP BY doc_id, tok),
+th AS (SELECT doc_id, c, {md5_mod_spark("tok", 4_294_967_296)} AS h FROM tok),
+bitsum AS (SELECT doc_id, k, sum(c * (2 * ((h >> k) & 1) - 1)) AS s
+           FROM th LATERAL VIEW explode(sequence(0, 31)) AS k
+           GROUP BY doc_id, k),
+sh AS (SELECT doc_id,
+              cast(sum(CASE WHEN s > 0 THEN shiftleft(cast(1 AS bigint), k)
+                            ELSE 0 END) AS bigint) AS simhash
+       FROM bitsum GROUP BY doc_id)
+SELECT doc_id, simhash FROM sh ORDER BY doc_id""")
+
+
+@register(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+WITH {_SIMHASH_CTE_DUCK},
+bands AS (SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS byte
+          FROM sh, unnest(range(4)) r(b)),
+cand AS (SELECT DISTINCT x.doc_id d1, x.simhash s1, y.doc_id d2, y.simhash s2
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.byte = y.byte AND x.doc_id < y.doc_id)
+SELECT d1, d2, cast(bit_count(xor(s1, s2)) AS int) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 6
+ORDER BY d1, d2""",
+    tags=("dedup", "simhash"),
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-banding (4 bands of 8 bits — any doc pair
+    within Hamming distance <=6 that shares a byte band becomes a candidate)
+    then exact Hamming filter. Same LSH shape as MinHash: no all-pairs scan."""
+    load_table(spark, sf_dir, "documents")
+    return spark.sql(f"""
+WITH tok AS (SELECT doc_id, tok, count(*) c FROM
+               (SELECT doc_id, explode(split(text, ' ')) tok FROM documents)
+             GROUP BY doc_id, tok),
+th AS (SELECT doc_id, c, {md5_mod_spark("tok", 4_294_967_296)} AS h FROM tok),
+bitsum AS (SELECT doc_id, k, sum(c * (2 * ((h >> k) & 1) - 1)) AS s
+           FROM th LATERAL VIEW explode(sequence(0, 31)) AS k
+           GROUP BY doc_id, k),
+sh AS (SELECT doc_id,
+              cast(sum(CASE WHEN s > 0 THEN shiftleft(cast(1 AS bigint), k)
+                            ELSE 0 END) AS bigint) AS simhash
+       FROM bitsum GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, b, shiftright(simhash, 8 * b) & 255 AS byte
+          FROM sh LATERAL VIEW explode(sequence(0, 3)) AS b),
+cand AS (SELECT DISTINCT x.doc_id d1, x.simhash s1, y.doc_id d2, y.simhash s2
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.byte = y.byte AND x.doc_id < y.doc_id)
+SELECT d1, d2, cast(bit_count(s1 ^ s2) AS int) AS hamming
+FROM cand WHERE bit_count(s1 ^ s2) <= 6
+ORDER BY d1, d2""")

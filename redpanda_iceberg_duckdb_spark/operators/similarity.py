@@ -1,0 +1,213 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim):
+brute-force cosine top-k (exactness baseline), IVF-style bucketed ANN (the
+scale path), and sign-LSH embedding near-dup detection.
+
+Scale design (100 TB stance):
+- Dot products run JVM-side via zip_with + aggregate inside codegen — no
+  Python, no UDF. The decimal accumulator makes results bit-identical to the
+  DuckDB oracle irrespective of addition order (functions/__init__.py).
+- Brute force is O(|Q| x |N|): correct baseline, used with a small broadcast
+  query set. The ANN variant prunes candidates to the query's coarse
+  partition (label = offline cluster id), i.e. IVF with nprobe=1: candidate
+  lists shrink by the number of partitions while recall depends on cluster
+  quality — the classic trade.
+- Top-k per query is row_number over a window partitioned by query id — a
+  partial sort, never a global one. Ranking happens on ROUNDED similarity
+  (6 dp) with vec_id tiebreak, so cross-engine float noise cannot reorder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions import cosine_dot_decimal
+from ..registry import register
+from ..tables import load_table
+
+# DuckDB: unnest of two lists in one SELECT zips them positionally.
+_NORMS_DUCK = """
+norms AS (SELECT vec_id,
+                 sqrt(cast(sum(cast(cast(x AS double) * cast(x AS double)
+                                    AS decimal(30,12))) AS double)) AS nrm
+          FROM (SELECT vec_id, unnest(embedding) x FROM embeddings)
+          GROUP BY vec_id)
+"""
+
+_DOT_DUCK = """
+dots AS (SELECT qid, cid,
+                cast(sum(cast(cast(x AS double) * cast(y AS double)
+                              AS decimal(30,12))) AS double) AS dot
+         FROM (SELECT qid, cid, unnest(qe) x, unnest(ce) y FROM pairs)
+         GROUP BY qid, cid)
+"""
+
+
+def _norms(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.sqrt(cosine_dot_decimal("embedding", "embedding").cast("double"))
+        .alias("nrm"),
+    )
+
+
+def _ranked_topk(sims: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (sims.select("qid", "cid", "sim", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= k))
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id % 100 = 0),
+pairs AS (SELECT qid, vec_id cid, qe, embedding ce
+          FROM q, embeddings WHERE vec_id <> qid),
+{_DOT_DUCK},
+{_NORMS_DUCK},
+sims AS (SELECT qid, cid,
+                round(dot / (nq.nrm * nc.nrm), 6) AS sim
+         FROM dots JOIN norms nq ON nq.vec_id = qid
+                   JOIN norms nc ON nc.vec_id = cid)
+SELECT qid, cid, sim, rank FROM
+  (SELECT qid, cid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rank
+   FROM sims)
+WHERE rank <= 10
+ORDER BY qid, rank""",
+    bench=True,
+    tags=("similarity",),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for every 100th vector as query: broadcast the
+    query set, scan candidates once, rank per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _norms(emb)
+    q = (emb.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    pairs = (emb.select(F.col("vec_id").alias("cid"),
+                        F.col("embedding").alias("ce"))
+             .crossJoin(F.broadcast(q))
+             .filter(F.col("cid") != F.col("qid")))
+    dots = pairs.select(
+        "qid", "cid",
+        cosine_dot_decimal("qe", "ce").cast("double").alias("dot"))
+    sims = (
+        dots.join(F.broadcast(norms.select(F.col("vec_id").alias("qid"),
+                                           F.col("nrm").alias("qn"))), "qid")
+        .join(norms.select(F.col("vec_id").alias("cid"),
+                           F.col("nrm").alias("cn")), "cid")
+        .select("qid", "cid",
+                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6)
+                .alias("sim"))
+    )
+    return _ranked_topk(sims, 10).orderBy("qid", "rank")
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id qid, label qlabel, embedding qe
+           FROM embeddings WHERE vec_id % 100 = 0),
+pairs AS (SELECT qid, e.vec_id cid, qe, e.embedding ce
+          FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.qid),
+{_DOT_DUCK},
+{_NORMS_DUCK},
+sims AS (SELECT qid, cid,
+                round(dot / (nq.nrm * nc.nrm), 6) AS sim
+         FROM dots JOIN norms nq ON nq.vec_id = qid
+                   JOIN norms nc ON nc.vec_id = cid)
+SELECT qid, cid, sim, rank FROM
+  (SELECT qid, cid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rank
+   FROM sims)
+WHERE rank <= 5
+ORDER BY qid, rank""",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the ``label`` column acts as the coarse quantizer cell
+    (offline k-means in a real pipeline); search touches only the query's own
+    cell (nprobe=1). Equi-join on label replaces the cross join — at scale
+    this is the difference between |Q| x |N| and |Q| x |N|/cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _norms(emb)
+    q = (emb.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+                 F.col("embedding").alias("qe")))
+    pairs = (emb.select(F.col("vec_id").alias("cid"), F.col("label"),
+                        F.col("embedding").alias("ce"))
+             .join(F.broadcast(q), (F.col("label") == F.col("qlabel"))
+                   & (F.col("cid") != F.col("qid"))))
+    dots = pairs.select(
+        "qid", "cid", cosine_dot_decimal("qe", "ce").cast("double").alias("dot"))
+    sims = (
+        dots.join(F.broadcast(norms.select(F.col("vec_id").alias("qid"),
+                                           F.col("nrm").alias("qn"))), "qid")
+        .join(norms.select(F.col("vec_id").alias("cid"),
+                           F.col("nrm").alias("cn")), "cid")
+        .select("qid", "cid",
+                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6)
+                .alias("sim"))
+    )
+    return _ranked_topk(sims, 5).orderBy("qid", "rank")
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH sig AS (SELECT vec_id, embedding,
+                    cast(list_sum([CASE WHEN embedding[i+1] >= 0
+                                        THEN cast(1 AS bigint) << i
+                                        ELSE 0 END
+                                   FOR i IN range(16)]) AS bigint) AS bucket
+             FROM embeddings),
+cand AS (SELECT x.vec_id v1, y.vec_id v2, x.embedding e1, y.embedding e2
+         FROM sig x JOIN sig y
+           ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+dots AS (SELECT v1, v2,
+                cast(sum(cast(cast(x AS double) * cast(y AS double)
+                              AS decimal(30,12))) AS double) AS dot
+         FROM (SELECT v1, v2, unnest(e1) x, unnest(e2) y FROM cand)
+         GROUP BY v1, v2),
+{_NORMS_DUCK}
+SELECT v1, v2, round(dot / (n1.nrm * n2.nrm), 6) AS sim
+FROM dots JOIN norms n1 ON n1.vec_id = v1
+          JOIN norms n2 ON n2.vec_id = v2
+WHERE dot / (n1.nrm * n2.nrm) >= 0.90
+ORDER BY v1, v2""",
+    tags=("similarity", "dedup", "lsh"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign LSH: bucket on the sign bits
+    of the first 16 dims (deterministic coordinate hyperplanes), compare only
+    within buckets, keep cosine >= 0.90. Candidate count collapses from
+    O(N^2) to near-dups + rare collisions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _norms(emb)
+    sig = emb.select(
+        "vec_id", "embedding",
+        F.expr(
+            "aggregate(transform(sequence(0, 15), i -> "
+            "CASE WHEN element_at(embedding, i + 1) >= 0 "
+            "THEN shiftleft(cast(1 AS bigint), i) ELSE cast(0 AS bigint) END), "
+            "cast(0 AS bigint), (acc, v) -> acc + v)"
+        ).alias("bucket"),
+    )
+    x = sig.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+                   "bucket")
+    y = sig.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+                   "bucket")
+    cand = x.join(y, "bucket").filter(F.col("v1") < F.col("v2"))
+    dots = cand.select(
+        "v1", "v2", cosine_dot_decimal("e1", "e2").cast("double").alias("dot"))
+    return (
+        dots.join(norms.select(F.col("vec_id").alias("v1"),
+                               F.col("nrm").alias("n1")), "v1")
+        .join(norms.select(F.col("vec_id").alias("v2"),
+                           F.col("nrm").alias("n2")), "v2")
+        .filter(F.col("dot") / (F.col("n1") * F.col("n2")) >= 0.90)
+        .select("v1", "v2",
+                F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6)
+                .alias("sim"))
+        .orderBy("v1", "v2")
+    )
