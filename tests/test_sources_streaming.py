@@ -1,0 +1,152 @@
+"""Connector + streaming tests: Kafka wire-shape round trip, dead-letter
+split, streaming ingest end-to-end (file JSON -> validated parquet), and the
+windowed/session streaming aggregations cross-checked against their batch
+twin operators."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F, types as T
+
+from redpanda_iceberg_duckdb_spark.generator import TRADE_SCHEMA, trades_df
+from redpanda_iceberg_duckdb_spark.sources import kafka as ksrc
+from redpanda_iceberg_duckdb_spark.sources.iceberg import (
+    hadoop_catalog_conf, rest_catalog_conf, s3_conf,
+)
+from redpanda_iceberg_duckdb_spark.streaming import ingest, windowed
+from redpanda_iceberg_duckdb_spark.tables import load_table
+
+
+def test_kafka_wire_roundtrip(spark):
+    """encode_keyed_json -> decode_json_values reproduces the rows
+    (producer.py:98-100 wire shape)."""
+    df = trades_df(spark, count=50, seed=42)
+    wire = ksrc.encode_keyed_json(df, "trade_id")
+    assert wire.columns == ["key", "value"]
+    assert dict(wire.dtypes) == {"key": "binary", "value": "binary"}
+
+    schema_no_ts = T.StructType(
+        [f for f in TRADE_SCHEMA.fields if f.name != "ts_event"]
+        + [T.StructField("ts_event", T.StringType(), False)])
+    good, bad = ingest.ingest_kafka_shaped(wire, schema_no_ts)
+    assert bad.count() == 0
+    back = {r.trade_id: r for r in good.collect()}
+    orig = {r.trade_id: r for r in df.collect()}
+    assert set(back) == set(orig)
+    k = next(iter(back))
+    assert back[k].price == orig[k].price and back[k].side == orig[k].side
+
+
+def test_dead_letter_split(spark):
+    rows = [("k1", json.dumps({"symbol": "AAPL", "qty": 5}).encode()),
+            ("k2", b"not json at all")]
+    df = spark.createDataFrame(rows, "key string, value binary") \
+        .select(F.col("key").cast("binary"), "value")
+    schema = T.StructType([
+        T.StructField("symbol", T.StringType()),
+        T.StructField("qty", T.IntegerType()),
+    ])
+    good, bad = ingest.ingest_kafka_shaped(df, schema)
+    assert good.count() == 1 and bad.count() == 1
+    assert bad.collect()[0]._raw == "not json at all"
+
+
+def test_catalog_conf_builders():
+    rc = rest_catalog_conf("lake", uri="http://polaris:8181/api/catalog/",
+                           warehouse="redpanda_catalog", credential="root:pass",
+                           oauth2_server_uri="http://polaris:8181/api/catalog/v1/oauth/tokens")
+    assert rc["spark.sql.catalog.lake.type"] == "rest"
+    assert "oauth2-server-uri" in " ".join(rc)
+    hc = hadoop_catalog_conf("lake", "/tmp/wh")
+    assert hc["spark.sql.catalog.lake.type"] == "hadoop"
+    s3 = s3_conf(endpoint="http://minio:9000", access_key="a", secret_key="b")
+    assert s3["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+
+def test_streaming_ingest_end_to_end(spark, tmp_path):
+    """JSON lines (with one malformed row) -> streaming ingest -> parquet;
+    validates the St5 dead-letter discipline and exactly-once append."""
+    src = tmp_path / "in"
+    src.mkdir()
+    df = trades_df(spark, count=100, seed=42)
+    recs = [json.dumps({**r.asDict(), "ts_event": r.ts_event.isoformat()})
+            for r in df.collect()]
+    recs.insert(50, json.dumps({"symbol": "MSFT"}))  # missing required fields
+    (src / "part-0.json").write_text("\n".join(recs))
+
+    schema = T.StructType(
+        [f for f in TRADE_SCHEMA.fields if f.name != "ts_event"]
+        + [T.StructField("ts_event", T.StringType(), True)])
+    raw = ingest.read_json_stream(spark, str(src), schema)
+    assert raw.isStreaming
+    good, _bad = ingest.validate_stream(raw, ["trade_id", "symbol", "price"])
+    out = str(tmp_path / "out")
+    q = ingest.start_ingest(good, out_path=out,
+                            checkpoint=str(tmp_path / "ckpt"),
+                            available_now=True)
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    assert written.count() == 100  # malformed row excluded
+    # restart with no new data: checkpoint makes it a no-op (exactly-once)
+    q2 = ingest.start_ingest(good, out_path=out,
+                             checkpoint=str(tmp_path / "ckpt"),
+                             available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 100
+
+
+def _drain_to_memory(spark, sdf, name):
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def _events_stream(spark, sf_dir):
+    """Streaming read of events.parquet: the file stores TIMESTAMP(NANOS), so
+    read ts as long (raw physical type) and convert exactly like tables.py."""
+    raw_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    return (spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+
+
+def test_streaming_hourly_matches_batch(spark, sf_smoke):
+    """Streaming tumbling-window agg == batch events_hourly on the same data
+    (count + exact-decimal sum; distinct users is approx in streaming)."""
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    stream = _events_stream(spark, sf_smoke)
+    res = _drain_to_memory(spark, windowed.hourly_agg(stream), "hourly_out")
+    got = {(r.hour, r.event_type): (r.n, r.total_value) for r in res.collect()}
+    batch = all_queries()["events_hourly"].fn(spark, sf_smoke)
+    want = {(r.hour, r.event_type): (r.n, r.total_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_sessions_match_batch(spark, sf_smoke):
+    """Streaming session_window == batch lag/cumsum sessionization:
+    same session count and per-user event totals."""
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    stream = _events_stream(spark, sf_smoke)
+    res = _drain_to_memory(spark, windowed.session_agg(stream), "session_out")
+    got = {}
+    for r in res.collect():
+        k = r.user_id
+        got[k] = (got.get(k, (0, 0))[0] + 1, got.get(k, (0, 0))[1] + r.n_events)
+    batch = all_queries()["sessionization"].fn(spark, sf_smoke)
+    want = {}
+    for r in batch.collect():
+        k = r.user_id
+        want[k] = (want.get(k, (0, 0))[0] + 1, want.get(k, (0, 0))[1] + r.n_events)
+    assert got == want
