@@ -1,0 +1,126 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched mapInPandas. The image/audio decode libraries are
+not in this container, so the decode step is stubbed (clearly marked), while
+everything Spark-side — schema, binary columns, batch iteration, UDF
+signatures, partitioning — is real and tested.
+
+Pipeline shape for a real 100 TB multimodal corpus:
+  parquet(binary payload, metadata struct)
+    -> repartition to bound per-task batch bytes (payloads are fat: target
+       ~64-128 MB of payload per task, NOT the default row-count heuristics)
+    -> mapInPandas(decode + feature-extract)  [Arrow transfer, no JVM copy]
+    -> narrow feature columns onward; drop the payload before any shuffle.
+Dropping the payload pre-shuffle is the single most important rule: shuffling
+raw media bytes is how these pipelines fall over.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+try:  # decode libraries are absent in this environment — gate, don't assume
+    from PIL import Image  # type: ignore  # noqa: F401
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + metadata struct to each document.
+    (Here the payload is the UTF-8 text bytes standing in for image bytes;
+    in production this column arrives from the lake already binary.)"""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.col("text")).alias("n_chars"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real image decode requires PIL/opencv, absent from this
+    container. The Spark-side contract (bytes in, array out) is what the
+    pipeline tests exercise via extract_byte_features."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; not available in this environment")
+    raise NotImplementedError("wire to PIL.Image.open when available")
+
+
+def sample_frame_offsets(n_bytes: int, n_frames: int = 4) -> list[int]:
+    """Deterministic fake video frame sampler: evenly spaced byte offsets —
+    the partition/batch plumbing is identical to real frame sampling."""
+    if n_bytes <= 0 or n_frames <= 0:
+        return []
+    step = max(n_bytes // n_frames, 1)
+    return [min(i * step, n_bytes - 1) for i in range(n_frames)]
+
+
+def extract_byte_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas:
+    the exact batch shape a real decoder uses (iterator of pandas frames in,
+    iterator out; payload dropped from the output)."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": raw.map(len).astype("int64"),
+                "byte_sum": raw.map(lambda b: sum(b) % 2_147_483_647)
+                               .astype("int64"),
+                "first_byte": raw.map(lambda b: b[0] if b else -1)
+                                 .astype("int32"),
+                "frame_offsets": raw.map(
+                    lambda b: sample_frame_offsets(len(b))),
+            })
+
+    schema = ("doc_id long, n_bytes long, byte_sum long, first_byte int, "
+              "frame_offsets array<long>")
+    return payloads.mapInPandas(features, schema=schema)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       'application/octet-stream' AS mime
+FROM documents
+ORDER BY doc_id""",
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads — byte length and content digest
+    computed on the binary column itself (md5 of UTF-8 bytes == md5 of the
+    source text, which is what the oracle checks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = with_payload(docs)
+    return p.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.mime").alias("mime"),
+    ).orderBy("doc_id")
+
+
+@register("multimodal_byte_features", oracle=None, tags=("multimodal", "pandas_udf"))
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full binary pipeline: attach payload -> mapInPandas feature extraction
+    -> narrow columns out. Rows-only check (byte iteration over blobs is not
+    reasonably SQL-expressible in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (extract_byte_features(with_payload(docs))
+            .withColumn("n_frames", F.size("frame_offsets"))
+            .orderBy("doc_id"))
