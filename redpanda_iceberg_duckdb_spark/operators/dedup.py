@@ -30,13 +30,13 @@ from ..tables import load_table
 
 # ---------------------------------------------------------------- trigrams
 
-# Word-trigram shingles, deduplicated per doc.
+# Word-trigram shingles, deduplicated per doc. The split array is
+# materialized once per row (ws) — inlining split(text) into the transform
+# lambda would re-split the document per element (O(len^2) per doc).
 _TG_ARRAY_SPARK = (
-    "case when size(split(text, ' ')) >= 3 then "
-    "transform(sequence(1, size(split(text, ' ')) - 2), i -> "
-    "concat_ws(' ', element_at(split(text, ' '), i), "
-    "element_at(split(text, ' '), i + 1), "
-    "element_at(split(text, ' '), i + 2))) "
+    "case when size(ws) >= 3 then "
+    "transform(sequence(0, size(ws) - 3), i -> "
+    "concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) "
     "else array() end"
 )
 
@@ -49,22 +49,32 @@ t AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS tg
 
 def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(F.expr(_TG_ARRAY_SPARK)).alias("tg")
-    ).distinct()
+    return (d.select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id", F.explode(F.expr(_TG_ARRAY_SPARK)).alias("tg"))
+            .distinct())
 
 
 def _jaccard_verified(tg: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate pairs (d1 < d2): |A∩B| / |A∪B|."""
+    """Exact Jaccard over candidate pairs (d1 < d2): |A∩B| / |A∪B|.
+
+    Cost scales with |cand| x shingles-per-doc, NOT with the all-pairs
+    shared-shingle join: candidates (small after LSH) broadcast onto d1's
+    shingles, then one equi-join on (d2, tg) intersects with d2's shingles.
+    """
     sz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tg.select(F.col("doc_id").alias("d1"), "tg")
-    b = tg.select(F.col("doc_id").alias("d2"), "tg")
+    d1_shingles = F.broadcast(cand).join(
+        tg.select(F.col("doc_id").alias("d1"), "tg"), "d1")
     shared = (
-        a.join(b, "tg")
-        .join(cand, ["d1", "d2"], "left_semi")
+        d1_shingles
+        .join(tg.select(F.col("doc_id").alias("d2"), "tg"), ["d2", "tg"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return _jaccard_from_shared(shared, sz, threshold)
+
+
+def _jaccard_from_shared(shared: DataFrame, sz: DataFrame,
+                         threshold: float) -> DataFrame:
     return (
         shared
         .join(sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
@@ -150,11 +160,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via
     shared-shingle self-join — the exactness baseline for minhash_lsh_pairs."""
     tg = _doc_trigrams(spark, sf_dir)
+    sz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tg.select(F.col("doc_id").alias("d1"), "tg")
     b = tg.select(F.col("doc_id").alias("d2"), "tg")
-    cand = (a.join(b, "tg").filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2").distinct())
-    return _jaccard_verified(tg, cand, 0.5).orderBy("d1", "d2")
+    shared = (a.join(b, "tg").filter(F.col("d1") < F.col("d2"))
+              .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("c")))
+    return _jaccard_from_shared(shared, sz, 0.5).orderBy("d1", "d2")
 
 
 # ---------------------------------------------------------------- MinHash LSH
@@ -195,21 +206,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-s^4)^4 ≈ 0.23 at the threshold, ~0.9 at s=0.8 — verification
     restores exactness.
     """
-    tg = _doc_trigrams(spark, sf_dir)
+    # tg feeds the signature build AND the verify step; sig feeds both sides
+    # of the bucket self-join — persist both instead of recomputing the
+    # explode+md5 sub-DAG per consumer (at cluster scale: checkpoint the
+    # signature table, it is the natural materialization point).
+    tg = _doc_trigrams(spark, sf_dir).persist()
     hs = tg.select("doc_id", F.expr(md5_mod_spark("tg")).alias("h"))
     sig = hs.groupBy("doc_id").agg(*[
         F.min((F.lit(MINHASH_A[k]) * F.col("h") + F.lit(MINHASH_B[k]))
               % MERSENNE_P).alias(f"m{k}")
         for k in range(MINHASH_K)
     ])
-    bands = None
-    for b in range(MINHASH_K // 4):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band"),
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
             F.concat_ws("_", *[F.col(f"m{4 * b + j}").cast("string")
                                for j in range(4)]).alias("bkey"),
         )
-        bands = part if bands is None else bands.unionAll(part)
+        for b in range(MINHASH_K // 4)
+    ])
+    bands = (sig.select("doc_id", F.explode(band_structs).alias("bs"))
+             .select("doc_id", F.col("bs.band").alias("band"),
+                     F.col("bs.bkey").alias("bkey"))
+             .persist())
     x = bands.select(F.col("doc_id").alias("d1"), "band", "bkey")
     y = bands.select(F.col("doc_id").alias("d2"), "band", "bkey")
     cand = (x.join(y, ["band", "bkey"]).filter(F.col("d1") < F.col("d2"))

@@ -1,0 +1,55 @@
+"""Plan-shape regression tests: the properties that make these queries scale
+(pushdown, pruning, broadcast, top-k) asserted on the actual physical plans."""
+
+from __future__ import annotations
+
+from redpanda_iceberg_duckdb_spark import plans
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+
+def _q(spark, sf, name):
+    return all_queries()[name].fn(spark, sf)
+
+
+def test_tpch_q1_filter_pushdown_and_pruning(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "tpch_q1_pricing_summary")
+    assert plans.has_pushed_filter(df, "l_shipdate")
+    # Only the 7 needed columns reach the scan — not l_orderkey/partkey/etc.
+    schema = plans.scan_read_schema(df, "lineitem")
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+    assert "l_quantity" in schema
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "tpch_q6_forecast_revenue")
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert plans.has_pushed_filter(df, col), col
+
+
+def test_tpch_q3_broadcasts_dimension(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "tpch_q3_shipping_priority")
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "tpch_q5_local_supplier_volume")
+    # region->nation->supplier and customer are all broadcast; only the
+    # orders x lineitem join may shuffle.
+    assert plans.broadcast_join_count(df) >= 3
+
+
+def test_q5_topk_uses_take_ordered(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "q5_topk")
+    assert plans.has_take_ordered(df)
+
+
+def test_topk_join_uses_take_ordered(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "top_customers_by_spend")
+    assert plans.has_take_ordered(df)
+
+
+def test_text_stats_prunes_columns(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "text_stats")
+    schema = plans.scan_read_schema(df, "documents")
+    # lang/source are not read; n_chars is not needed (recomputed)
+    assert "lang" not in schema and "source" not in schema
