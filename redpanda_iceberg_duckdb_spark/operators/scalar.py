@@ -1,0 +1,204 @@
+"""Scalar-function and subquery operators: JSON extraction, date-part
+rollups, LIKE-filtered scans, ranking functions, correlated subqueries, and
+approximate aggregates. Rounds out the function surface of SURVEY.md section 2.8
+plus the subquery shapes Catalyst decorrelates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions import dsum, dsum_sql
+from ..registry import register
+from ..tables import load_table, load_tables
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+SELECT event_type,
+       count(json_extract(props, '$.k')) AS n_with_k,
+       cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint)
+           AS sum_k,
+       cast(min(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint)
+           AS min_k,
+       cast(max(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint)
+           AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type""",
+    tags=("scalar", "json"),
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column: extract $.k from props (string-typed
+    JSON, the lake-common pattern) and aggregate. get_json_object stays
+    JVM-side; at scale, parse once into a typed column, not per-expression."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(k).alias("n_with_k"),
+             F.sum(k).alias("sum_k"),
+             F.min(k).alias("min_k"),
+             F.max(k).alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+SELECT cast(year(o_orderdate) AS int) AS yr,
+       cast(month(o_orderdate) AS int) AS mo,
+       count(*) AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+FROM orders
+GROUP BY yr, mo
+ORDER BY yr, mo""",
+    tags=("scalar", "time"),
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part rollup (year/month extraction)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"),
+                  F.month("o_orderdate").alias("mo"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("total"))
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "parts_like_filter",
+    oracle="""
+SELECT p_brand, count(*) AS n_parts,
+       count(DISTINCT p_type) AS n_types
+FROM part
+WHERE p_type LIKE '%a%' AND p_name NOT LIKE '%zz%' AND p_size >= 10
+GROUP BY p_brand
+ORDER BY p_brand""",
+    tags=("scalar", "filter"),
+)
+def parts_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE predicates with a range filter — string predicates
+    push down to the scan as startswith/contains where possible."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%a%")
+                 & ~F.col("p_name").like("%zz%")
+                 & (F.col("p_size") >= 10))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.countDistinct("p_type").alias("n_types"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "window_rank_functions",
+    oracle="""
+SELECT event_type, event_id,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       first_value(event_id) OVER w AS first_id,
+       nth_value(event_id, 2) OVER w AS second_id
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+QUALIFY rank() OVER w <= 20
+ORDER BY event_type, rnk, event_id""",
+    tags=("scalar", "window"),
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family (rank / dense_rank / ntile / first_value /
+    nth_value) over a totally ordered frame; top-20 per type."""
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    wo = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.select(
+            "event_type", "event_id",
+            F.rank().over(wo).alias("rnk"),
+            F.dense_rank().over(wo).alias("drnk"),
+            F.ntile(4).over(wo).alias("quartile"),
+            F.first("event_id").over(w).alias("first_id"),
+            F.nth_value("event_id", 2).over(w).alias("second_id"),
+        )
+        .filter(F.col("rnk") <= 20)
+        .orderBy("event_type", "rnk", "event_id")
+    )
+
+
+@register(
+    "customers_above_avg_balance",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(cast(sum(cast(c_acctbal AS decimal(18,2))) AS double)
+             / count(c_acctbal), 2) AS avg_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment""",
+    tags=("scalar", "subquery"),
+)
+def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate (TPC-H Q22 shape) —
+    Catalyst evaluates the subquery once and broadcasts the scalar.
+    avg() compares in double on both engines: the threshold is a strict
+    inequality against a quotient, cross-engine-safe for this data."""
+    load_table(spark, sf_dir, "customer")
+    return spark.sql("""
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(cast(sum(cast(c_acctbal AS decimal(18,2))) AS double)
+             / count(c_acctbal), 2) AS avg_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment""")
+
+
+@register(
+    "small_quantity_parts",
+    oracle="""
+SELECT count(*) AS n_small,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS revenue
+FROM lineitem l1
+WHERE l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l1.l_partkey)""",
+    tags=("scalar", "subquery"),
+)
+def small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): per-part average
+    quantity threshold. Catalyst decorrelates this into an aggregate + join —
+    the plan a hand-written two-pass pipeline would produce.
+
+    Cross-engine note: the 0.5*avg threshold is a double quotient compared
+    strictly; quantities are integers, so a tie would need the quotient to be
+    exactly 2*quantity — measure-zero for real data, verified by the oracle
+    gate."""
+    load_table(spark, sf_dir, "lineitem")
+    return spark.sql("""
+SELECT count(*) AS n_small,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS revenue
+FROM lineitem l1
+WHERE l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l1.l_partkey)""")
+
+
+@register("approx_aggregates", oracle=None, tags=("scalar", "approx"))
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, approximate quantiles) — the
+    100 TB default where exactness isn't required. Rows-only check: sketch
+    implementations differ across engines by design."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+             F.percentile_approx("value", 0.5).alias("p50_approx"),
+             F.percentile_approx("value", 0.99).alias("p99_approx"))
+        .orderBy("event_type")
+    )
