@@ -1,0 +1,140 @@
+"""Array/vector aggregation operators: element-wise centroid computation
+(the offline half of IVF), unpivot/stack reshaping, and winnowing-style
+rolling-hash fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import md5_mod_spark, md5_mod_duck
+from ..registry import register
+from ..tables import load_table, load_tables
+
+_DIMS = 64
+
+
+@register(
+    "label_centroids",
+    oracle="""
+SELECT label, i AS dim,
+       round(cast(sum(cast(cast(x AS double) AS decimal(20,12))) AS double)
+             / count(*), 6) AS centroid,
+       count(*) AS n_vectors
+FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+             unnest(embedding) AS x
+      FROM embeddings)
+GROUP BY label, i
+ORDER BY label, i""",
+    tags=("similarity", "array"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (element-wise mean over array<float>): the
+    training step of the IVF coarse quantizer used by ann_ivf_topk.
+
+    Implementation: posexplode -> (label, dim) aggregate — one shuffle of
+    N*dims skinny rows. At 100 TB this is the textbook mapreduce for
+    centroids; exact-decimal sums keep it oracle-checkable. (float32 -> double
+    is exact, so casting the element is enough.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", F.col("dim").alias("dim"))
+        .agg(F.round(
+                F.sum(F.col("x").cast("double").cast("decimal(20,12)"))
+                 .cast("double") / F.count(F.lit(1)), 6).alias("centroid"),
+             F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("label", "dim")
+        .select("label", "dim", "centroid", "n_vectors")
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_returnflag, 'quantity' AS measure,
+       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS total
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'extendedprice' AS measure,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS total
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'discount' AS measure,
+       cast(sum(cast(l_discount AS decimal(18,2))) AS double) AS total
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag, measure""",
+    tags=("grouping", "unpivot"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide measures -> long form) via stack(): one scan, the
+    aggregate happens after the reshape so each measure is a group."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    long = li.select(
+        "l_returnflag",
+        F.expr("stack(3, 'quantity', l_quantity, "
+               "'extendedprice', l_extendedprice, "
+               "'discount', l_discount) AS (measure, v)"),
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("total"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+grams AS (SELECT doc_id, i,
+                 {md5_mod_duck("ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]")} AS h
+          FROM w, unnest(range(greatest(len(ws) - 2, 0))) r(i)),
+win AS (SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               max(i) OVER (PARTITION BY doc_id) AS max_i
+        FROM grams)
+SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
+       cast(min(wmin) AS bigint) AS min_fp, cast(max(wmin) AS bigint) AS max_fp
+FROM win WHERE i + 3 <= max_i
+GROUP BY doc_id
+ORDER BY doc_id""",
+    tags=("dedup", "text"),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD 2003) document fingerprints:
+    hash every trigram, slide a window of 4 positions, keep each window's
+    minimum — the selected hashes are robust local fingerprints. Reported
+    per-doc as count/min/max of distinct fingerprints.
+
+    All window work is per-doc (partitioned), hashes are the cross-engine
+    md5 u64 — no global state, embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.expr(
+            "case when size(ws) >= 3 then "
+            "transform(sequence(0, size(ws) - 3), i -> "
+            "concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) "
+            "else array() end").alias("tgs"))
+        .select("doc_id", F.posexplode("tgs").alias("i", "tg"))
+        .select("doc_id", "i", F.expr(md5_mod_spark("tg")).alias("h"))
+    )
+    wf = (W.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3))
+    wp = W.partitionBy("doc_id")
+    win = grams.select(
+        "doc_id", "i",
+        F.min("h").over(wf).alias("wmin"),
+        F.max("i").over(wp).alias("max_i"),
+    )
+    return (
+        win.filter(F.col("i") + 3 <= F.col("max_i"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("wmin").alias("n_fingerprints"),
+             F.min("wmin").alias("min_fp"),
+             F.max("wmin").alias("max_fp"))
+        .orderBy("doc_id")
+    )
