@@ -53,3 +53,22 @@ def test_text_stats_prunes_columns(spark, sf_smoke):
     schema = plans.scan_read_schema(df, "documents")
     # lang/source are not read; n_chars is not needed (recomputed)
     assert "lang" not in schema and "source" not in schema
+
+
+def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
+    """Partition-spec discipline: date-partitioned layout + a date filter =>
+    Catalyst prunes partitions at plan time (the 100 TB table layout the
+    reference never configures — SURVEY.md section 4 'partition pruning')."""
+    from pyspark.sql import functions as F
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke, "events")
+    out = str(tmp_path / "events_by_day")
+    (e.withColumn("day", F.to_date("ts"))
+     .write.partitionBy("day").parquet(out))
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-01")
+    plan = plans.physical_plan(back)
+    assert "PartitionFilters" in plan and "day" in plan
+    n_all = spark.read.parquet(out).count()
+    assert 0 < back.count() < n_all
