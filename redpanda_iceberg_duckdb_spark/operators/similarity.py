@@ -2,51 +2,72 @@
 brute-force cosine top-k (exactness baseline), IVF-style bucketed ANN (the
 scale path), and sign-LSH embedding near-dup detection.
 
+Cross-engine determinism without giving up speed: every pairwise product of
+float32 values is exact in float64; multiplying by 1e12 and flooring yields an
+exact int64, and integer sums are order-independent. So Spark (numpy or JVM
+fold), and the DuckDB oracle produce bit-identical scaled dots/norms, and
+cosine = dot / (sqrt(n1)*sqrt(n2)) — the 1e12 scales cancel — is the same
+IEEE double everywhere.
+
 Scale design (100 TB stance):
-- Dot products run JVM-side via zip_with + aggregate inside codegen — no
-  Python, no UDF. The decimal accumulator makes results bit-identical to the
-  DuckDB oracle irrespective of addition order (functions/__init__.py).
-- Brute force is O(|Q| x |N|): correct baseline, used with a small broadcast
-  query set. The ANN variant prunes candidates to the query's coarse
-  partition (label = offline cluster id), i.e. IVF with nprobe=1: candidate
-  lists shrink by the number of partitions while recall depends on cluster
-  quality — the classic trade.
+- The brute-force path runs the candidate scan through mapInPandas + numpy
+  (Arrow batches, C-speed matmul per batch) against a small broadcast query
+  matrix — the vectorized-UDF case where Python beats per-element JVM lambda
+  folds by ~10x. Candidates stream batch-by-batch; nothing materializes.
+- The ANN variant prunes candidates to the query's coarse partition
+  (label = offline k-means cell, trained by label_centroids), i.e. IVF with
+  nprobe=1: candidate lists shrink by the cell count.
 - Top-k per query is row_number over a window partitioned by query id — a
   partial sort, never a global one. Ranking happens on ROUNDED similarity
-  (6 dp) with vec_id tiebreak, so cross-engine float noise cannot reorder.
+  (6 dp) with vec_id tiebreak, so float noise cannot reorder.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from ..functions import cosine_dot_decimal
 from ..registry import register
 from ..tables import load_table
 
+_SCALE = "1e12"
+
+# int64-scaled dot: floor(x*y*1e12) summed — order-independent, exact.
+_DOT_INT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "cast(floor(cast(x as double) * cast(y as double) * " + _SCALE + ") as bigint)), "
+    "cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
 # DuckDB: unnest of two lists in one SELECT zips them positionally.
-_NORMS_DUCK = """
+_NORMS_DUCK = f"""
 norms AS (SELECT vec_id,
-                 sqrt(cast(sum(cast(cast(x AS double) * cast(x AS double)
-                                    AS decimal(30,12))) AS double)) AS nrm
+                 sqrt(cast(sum(cast(floor(cast(x AS double) * cast(x AS double)
+                                          * {_SCALE}) AS bigint)) AS double)) AS nrm
           FROM (SELECT vec_id, unnest(embedding) x FROM embeddings)
           GROUP BY vec_id)
 """
 
-_DOT_DUCK = """
+_DOT_DUCK = f"""
 dots AS (SELECT qid, cid,
-                cast(sum(cast(cast(x AS double) * cast(y AS double)
-                              AS decimal(30,12))) AS double) AS dot
+                cast(sum(cast(floor(cast(x AS double) * cast(y AS double)
+                                    * {_SCALE}) AS bigint)) AS double) AS dot
          FROM (SELECT qid, cid, unnest(qe) x, unnest(ce) y FROM pairs)
          GROUP BY qid, cid)
 """
 
 
+def dot_int64(a: str, b: str) -> F.Column:
+    """JVM fold variant of the scaled dot — fine for small pair sets."""
+    return F.expr(_DOT_INT_SPARK.format(a=a, b=b))
+
+
 def _norms(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id",
-        F.sqrt(cosine_dot_decimal("embedding", "embedding").cast("double"))
-        .alias("nrm"),
+        F.sqrt(dot_int64("embedding", "embedding").cast("double")).alias("nrm"),
     )
 
 
@@ -54,6 +75,51 @@ def _ranked_topk(sims: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (sims.select("qid", "cid", "sim", F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= k))
+
+
+def _numpy_dots(emb: DataFrame, queries: list) -> DataFrame:
+    """All (query, candidate) scaled dots via mapInPandas + numpy.
+
+    `queries` is a small collected list of (vec_id, embedding) — the ANN
+    query set, broadcast into each task through the closure. Per Arrow batch:
+    one float64 outer product per query row, floored to int64 and summed —
+    bit-identical to the SQL formulation, ~C speed.
+    """
+    qids = [int(q[0]) for q in queries]
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+
+    def compute(batches):
+        for pdf in batches:
+            cids = pdf["vec_id"].to_numpy()
+            cmat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            out_qid, out_cid, out_dot = [], [], []
+            for j, qid in enumerate(qids):
+                prods = np.floor(cmat * qmat[j] * 1e12).astype(np.int64)
+                dots = prods.sum(axis=1)
+                keep = cids != qid
+                out_qid.append(np.full(keep.sum(), qid, dtype=np.int64))
+                out_cid.append(cids[keep])
+                out_dot.append(dots[keep])
+            yield pd.DataFrame({
+                "qid": np.concatenate(out_qid),
+                "cid": np.concatenate(out_cid),
+                "dot": np.concatenate(out_dot).astype(np.float64),
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        compute, schema="qid long, cid long, dot double")
+
+
+def _sims_from_dots(dots: DataFrame, norms: DataFrame) -> DataFrame:
+    return (
+        dots.join(F.broadcast(norms.select(F.col("vec_id").alias("qid"),
+                                           F.col("nrm").alias("qn"))), "qid")
+        .join(norms.select(F.col("vec_id").alias("cid"),
+                           F.col("nrm").alias("cn")), "cid")
+        .select("qid", "cid",
+                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6)
+                .alias("sim"))
+    )
 
 
 @register(
@@ -75,32 +141,20 @@ SELECT qid, cid, sim, rank FROM
 WHERE rank <= 10
 ORDER BY qid, rank""",
     bench=True,
-    tags=("similarity",),
+    tags=("similarity", "pandas_udf"),
 )
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for every 100th vector as query: broadcast the
-    query set, scan candidates once, rank per query."""
+    """Exact cosine top-10 for every 100th vector as query: numpy-batched
+    scan of all candidates (mapInPandas), rank per query. The query set is
+    small by construction (ANN query batch), collected once and shipped in
+    the task closure — the distributed scan is over candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
     norms = _norms(emb)
-    q = (emb.filter(F.col("vec_id") % 100 == 0)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
-    pairs = (emb.select(F.col("vec_id").alias("cid"),
-                        F.col("embedding").alias("ce"))
-             .crossJoin(F.broadcast(q))
-             .filter(F.col("cid") != F.col("qid")))
-    dots = pairs.select(
-        "qid", "cid",
-        cosine_dot_decimal("qe", "ce").cast("double").alias("dot"))
-    sims = (
-        dots.join(F.broadcast(norms.select(F.col("vec_id").alias("qid"),
-                                           F.col("nrm").alias("qn"))), "qid")
-        .join(norms.select(F.col("vec_id").alias("cid"),
-                           F.col("nrm").alias("cn")), "cid")
-        .select("qid", "cid",
-                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6)
-                .alias("sim"))
-    )
-    return _ranked_topk(sims, 10).orderBy("qid", "rank")
+    queries = [(r.vec_id, r.embedding) for r in
+               emb.filter(F.col("vec_id") % 100 == 0)
+                  .select("vec_id", "embedding").collect()]
+    dots = _numpy_dots(emb, queries)
+    return _ranked_topk(_sims_from_dots(dots, norms), 10).orderBy("qid", "rank")
 
 
 @register(
@@ -126,9 +180,10 @@ ORDER BY qid, rank""",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the ``label`` column acts as the coarse quantizer cell
-    (offline k-means in a real pipeline); search touches only the query's own
-    cell (nprobe=1). Equi-join on label replaces the cross join — at scale
-    this is the difference between |Q| x |N| and |Q| x |N|/cells."""
+    (offline k-means — see label_centroids); search touches only the query's
+    own cell (nprobe=1). Equi-join on label replaces the cross join — at
+    scale this is the difference between |Q| x |N| and |Q| x |N|/cells. Pair
+    count is small, so the JVM int64 fold is used directly."""
     emb = load_table(spark, sf_dir, "embeddings")
     norms = _norms(emb)
     q = (emb.filter(F.col("vec_id") % 100 == 0)
@@ -138,18 +193,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("embedding").alias("ce"))
              .join(F.broadcast(q), (F.col("label") == F.col("qlabel"))
                    & (F.col("cid") != F.col("qid"))))
-    dots = pairs.select(
-        "qid", "cid", cosine_dot_decimal("qe", "ce").cast("double").alias("dot"))
-    sims = (
-        dots.join(F.broadcast(norms.select(F.col("vec_id").alias("qid"),
-                                           F.col("nrm").alias("qn"))), "qid")
-        .join(norms.select(F.col("vec_id").alias("cid"),
-                           F.col("nrm").alias("cn")), "cid")
-        .select("qid", "cid",
-                F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6)
-                .alias("sim"))
-    )
-    return _ranked_topk(sims, 5).orderBy("qid", "rank")
+    dots = pairs.select("qid", "cid",
+                        dot_int64("qe", "ce").cast("double").alias("dot"))
+    return _ranked_topk(_sims_from_dots(dots, norms), 5).orderBy("qid", "rank")
 
 
 @register(
@@ -165,8 +211,8 @@ cand AS (SELECT x.vec_id v1, y.vec_id v2, x.embedding e1, y.embedding e2
          FROM sig x JOIN sig y
            ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
 dots AS (SELECT v1, v2,
-                cast(sum(cast(cast(x AS double) * cast(y AS double)
-                              AS decimal(30,12))) AS double) AS dot
+                cast(sum(cast(floor(cast(x AS double) * cast(y AS double)
+                                    * {_SCALE}) AS bigint)) AS double) AS dot
          FROM (SELECT v1, v2, unnest(e1) x, unnest(e2) y FROM cand)
          GROUP BY v1, v2),
 {_NORMS_DUCK}
@@ -181,7 +227,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign LSH: bucket on the sign bits
     of the first 16 dims (deterministic coordinate hyperplanes), compare only
     within buckets, keep cosine >= 0.90. Candidate count collapses from
-    O(N^2) to near-dups + rare collisions."""
+    O(N^2) to near-dups + rare collisions, so the fold-based dot is cheap."""
     emb = load_table(spark, sf_dir, "embeddings")
     norms = _norms(emb)
     sig = emb.select(
@@ -198,8 +244,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = sig.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
                    "bucket")
     cand = x.join(y, "bucket").filter(F.col("v1") < F.col("v2"))
-    dots = cand.select(
-        "v1", "v2", cosine_dot_decimal("e1", "e2").cast("double").alias("dot"))
+    dots = cand.select("v1", "v2",
+                       dot_int64("e1", "e2").cast("double").alias("dot"))
     return (
         dots.join(norms.select(F.col("vec_id").alias("v1"),
                                F.col("nrm").alias("n1")), "v1")

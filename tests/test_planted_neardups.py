@@ -1,0 +1,51 @@
+"""The driver's embeddings table contains no true near-duplicates (max pair
+cosine ~0.60), so embedding_near_dup_pairs correctly returns empty there.
+This test plants real near-dups in a synthetic embeddings.parquet and proves
+the operator (and its DuckDB oracle, on the same file) detects exactly them."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+from .oracle_harness import run_compare
+
+
+def _planted_dir(tmp_path, spark):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(40, 64)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], i % 10))
+    # 5 near-dup clones: tiny perturbation of vectors 0..4 -> cosine ~0.9997.
+    # Noise only on dims 16+ — the sign-LSH buckets on dims 0..15, and a
+    # perturbed value crossing zero there would (correctly, by LSH contract)
+    # drop the pair from the candidate set.
+    for j in range(5):
+        noise = np.zeros(64, dtype=np.float32)
+        noise[16:] = rng.normal(scale=0.01, size=48).astype(np.float32)
+        clone = base[j] + noise
+        rows.append((100 + j, [float(x) for x in clone.astype(np.float32)],
+                     j % 10))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "planted"
+    out.mkdir()
+    # single file named exactly embeddings.parquet, as the loaders expect
+    df.coalesce(1).write.parquet(str(out / "_tmp"))
+    import glob, shutil
+    part = glob.glob(str(out / "_tmp" / "part-*.parquet"))[0]
+    shutil.copy(part, str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_embedding_near_dups_detected(spark, tmp_path):
+    d = _planted_dir(tmp_path, spark)
+    q = all_queries()["embedding_near_dup_pairs"]
+    rows = q.fn(spark, d).collect()
+    got = {(r.v1, r.v2) for r in rows}
+    assert got == {(j, 100 + j) for j in range(5)}
+    assert all(r.sim > 0.99 for r in rows)
+    # and the DuckDB oracle agrees bit-for-bit on the same file
+    run_compare(spark, q, d)
