@@ -150,3 +150,11 @@ def test_streaming_sessions_match_batch(spark, sf_smoke):
         k = r.user_id
         want[k] = (want.get(k, (0, 0))[0] + 1, want.get(k, (0, 0))[1] + r.n_events)
     assert got == want
+
+
+def test_sql_cli_entry(spark, sf_smoke):
+    from redpanda_iceberg_duckdb_spark.cli import run_sql
+
+    df = run_sql(spark, sf_smoke,
+                 "SELECT l_returnflag, count(*) n FROM lineitem GROUP BY 1")
+    assert {r.l_returnflag for r in df.collect()} == {"A", "N", "R"}
