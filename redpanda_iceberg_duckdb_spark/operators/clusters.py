@@ -1,0 +1,87 @@
+"""Duplicate-cluster resolution: connected components over the near-dup pair
+graph, producing one canonical document per cluster — the final step of a
+dedup pipeline (pairs alone don't dedup; transitive groups do).
+
+Algorithm: iterative min-label propagation. Every node starts labeled with
+its own id; each round, every node takes the min label among itself and its
+neighbors; converged when no label changes. Rounds needed = graph diameter
+(near-dup clusters are tiny, so 2-4 rounds in practice; the iteration cap is
+a safety net, and a warning is the correct behavior past it, not silent
+wrong answers).
+
+Scale: each round is one join edge⋈labels + one min-aggregate — all
+shuffle-partitioned, no driver state beyond the loop counter and the
+converged flag (a count aggregate). This is the standard large-graph CC
+shape (cf. GraphX/Pregel) expressed in DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from .dedup import _TG_CTE_DUCK, _JACCARD_VERIFY_DUCK
+
+
+def connected_components(edges: DataFrame, *, src: str = "d1", dst: str = "d2",
+                         max_rounds: int = 20) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+    Returns (node, component) where component = min node id reachable."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    for _ in range(max_rounds):
+        neighbor_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select("node", F.least(
+                F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"))
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+{_JACCARD_VERIFY_DUCK.format(cand_filter="")},
+edges AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+und AS (SELECT d1 a, d2 b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+comp AS (
+  WITH RECURSIVE walk(node, comp) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT und.a, walk.comp FROM und JOIN walk ON und.b = walk.node
+  )
+  SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+SELECT comp AS cluster_id, count(*) AS cluster_size,
+       cast(min(node) AS bigint) AS keep_doc_id
+FROM comp GROUP BY comp
+ORDER BY cluster_id""",
+    tags=("dedup", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: n-gram Jaccard pairs (>= 0.5) -> connected
+    components -> one keep_doc_id (min) per cluster. The oracle computes the
+    same components with a recursive CTE; component id = min reachable doc."""
+    from ..registry import all_queries
+
+    pairs = all_queries()["ngram_jaccard_pairs"].fn(spark, sf_dir)
+    comps = connected_components(pairs.select("d1", "d2"))
+    return (
+        comps.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"),
+             F.min("node").alias("keep_doc_id"))
+        .orderBy("cluster_id")
+    )

@@ -213,3 +213,46 @@ def source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("avg_chars"))
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+              (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents)
+            GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+scored AS (SELECT doc_id, tf.tok AS term,
+                  cast(tf * 1000000 // df AS bigint) AS score_scaled
+           FROM tf JOIN df ON tf.tok = df.tok)
+SELECT doc_id, term, score_scaled, rnk FROM
+  (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_scaled DESC, term) rnk
+   FROM scored)
+WHERE rnk <= 3
+ORDER BY doc_id, rnk""",
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by a TF-IDF-style score.
+
+    Score = tf * 1e6 // df (integer rational): same ordering as tf/df,
+    but exact integer arithmetic — cross-engine ln() can differ in the last
+    ulp, so the classic tf*ln(N/df) is not oracle-safe; the monotone rational
+    surrogate is. DF is one extra aggregate over the exploded tokens
+    (broadcast-joined back — vocabulary is small relative to the corpus)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(F.broadcast(df_), "tok")
+              .select("doc_id", F.col("tok").alias("term"),
+                      F.expr("cast(tf * 1000000 div df as bigint)")
+                      .alias("score_scaled")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_scaled"), F.asc("term"))
+    return (scored.select("doc_id", "term", "score_scaled",
+                          F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 3)
+            .orderBy("doc_id", "rnk"))
