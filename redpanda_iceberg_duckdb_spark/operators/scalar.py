@@ -202,3 +202,37 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.percentile_approx("value", 0.99).alias("p99_approx"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "interval_join_purchase_signup",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id,
+       p.ts AS p_ts, s.ts AS s_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id
+ AND s.ts <= p.ts
+ AND s.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY purchase_id, signup_id""",
+    tags=("scalar", "join", "interval"),
+)
+def interval_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: purchases x same-user signups within a 1-hour
+    look-back. Catalyst executes this as an equi-join on user_id with the
+    range as residual condition — linear, not the O(n^2) a pure range join
+    would be. Streaming twin: streaming/joins.py (same predicate +
+    watermark-bounded state)."""
+    e = load_table(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id"), F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    s = (e.filter(F.col("event_type") == "signup")
+         .select(F.col("user_id").alias("s_user"),
+                 F.col("event_id").alias("signup_id"),
+                 F.col("ts").alias("s_ts")))
+    return (p.join(s, (F.col("user_id") == F.col("s_user"))
+                   & (F.col("s_ts") <= F.col("p_ts"))
+                   & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")))
+            .select("user_id", "purchase_id", "signup_id", "p_ts", "s_ts")
+            .orderBy("purchase_id", "signup_id"))
