@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..functions import dsum, dsum_sql
+from ..functions.hashing import md5_mod_duck, md5_mod_spark
 from ..registry import register
 from ..tables import load_table, load_tables
 
@@ -236,3 +237,54 @@ def interval_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame
                    & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")))
             .select("user_id", "purchase_id", "signup_id", "p_ts", "s_ts")
             .orderBy("purchase_id", "signup_id"))
+
+
+@register(
+    "deterministic_sample_stats",
+    oracle=f"""
+SELECT event_type, count(*) AS n_sampled,
+       {dsum_sql("value", "sampled_value")}
+FROM events
+WHERE {md5_mod_duck("cast(event_id AS varchar)", 100)} < 5
+GROUP BY event_type
+ORDER BY event_type""",
+    tags=("scalar", "sampling"),
+)
+def deterministic_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 5% sample via content hashing (md5(event_id) mod 100 < 5)
+    — unlike rand()/TABLESAMPLE, the same rows are selected on every engine,
+    every run, every partitioning. The pattern for auditable pipeline
+    sampling at scale."""
+    e = load_table(spark, sf_dir, "events")
+    keep = F.expr(md5_mod_spark("cast(event_id AS string)", 100)) < 5
+    return (e.filter(keep)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 dsum("value", "sampled_value"))
+            .orderBy("event_type"))
+
+
+@register(
+    "heavy_hitters_users",
+    oracle="""
+WITH per_user AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tot AS (SELECT cast(sum(n) AS bigint) AS total FROM per_user)
+SELECT user_id, n,
+       round(n * 1.0 / total, 6) AS share
+FROM per_user, tot
+ORDER BY n DESC, user_id
+LIMIT 10""",
+    tags=("scalar", "skew"),
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: top-10 heaviest keys with their share of all
+    rows — the pre-flight check before choosing salting/AQE strategies for a
+    key (functions/skew.py consumes exactly this kind of hot-key list)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = per_user.agg(F.sum("n").alias("total"))
+    return (per_user.crossJoin(F.broadcast(total))
+            .select("user_id", "n",
+                    F.round(F.col("n") / F.col("total"), 6).alias("share"))
+            .orderBy(F.desc("n"), F.asc("user_id"))
+            .limit(10))
