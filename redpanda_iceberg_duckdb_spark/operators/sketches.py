@@ -1,0 +1,130 @@
+"""Sketch and fuzzy-match operators with deterministic cross-engine math:
+a Flajolet-Martin distinct-count sketch (the ancestor of HyperLogLog) built
+on the shared md5 hash — unlike engine-native approx_count_distinct, the
+estimate itself is bit-identical on Spark and DuckDB — plus Levenshtein
+fuzzy matching and explicit GROUPING SETS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import md5_mod_duck, md5_mod_spark
+from ..registry import register
+from ..tables import load_table
+
+_M = 2_147_483_648  # 2^31 hash space for the FM sketch
+
+
+def _tz_expr_sql(h: str) -> str:
+    """Trailing-zero count of a 31-bit hash via the classic (h & -h) trick:
+    the lowest set bit isolated, then log2 by comparison ladder is avoided —
+    both engines get identical ints from identical arithmetic."""
+    # lowest set bit; 0 maps to 0 (treat as max run)
+    return f"({h} & -{h})"
+
+
+@register(
+    "fm_distinct_sketch",
+    oracle=f"""
+WITH h AS (SELECT event_type,
+                  {md5_mod_duck("cast(user_id AS varchar)", _M)} AS hv
+           FROM events),
+runs AS (SELECT event_type,
+                max(CASE WHEN hv = 0 THEN 31
+                         ELSE cast(floor(log2(hv & -hv)) AS int) END) AS r
+         FROM h GROUP BY event_type)
+SELECT event_type, r AS max_trailing_zeros,
+       cast(round(pow(2, r) / 0.77351, 0) AS bigint) AS fm_estimate,
+       (SELECT count(DISTINCT user_id) FROM events e
+        WHERE e.event_type = runs.event_type) AS exact_distinct
+FROM runs
+ORDER BY event_type""",
+    tags=("sketch", "approx"),
+)
+def fm_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flajolet-Martin distinct estimate per group, deterministic across
+    engines: hash each key with the shared md5-u64, track the max
+    trailing-zero run, estimate 2^R / 0.77351. One hash + one max-aggregate —
+    the sketch that explains WHY approx_count_distinct scales (HLL = many FM
+    buckets + harmonic mean); here single-bucket, so the estimate is coarse
+    by design — the exact count rides along for calibration.
+
+    log2/pow notes: hv & -hv is an exact power of two, so log2 of it and
+    pow(2, r) are exact in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hv = F.expr(md5_mod_spark("cast(user_id AS string)", _M))
+    h = e.select("event_type", hv.alias("hv"))
+    runs = h.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("hv") == 0, 31).otherwise(
+                F.floor(F.log2(F.expr("hv & -hv"))).cast("int"))
+        ).alias("r"))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return (runs.join(exact, "event_type")
+            .select("event_type", F.col("r").alias("max_trailing_zeros"),
+                    F.round(F.pow(F.lit(2.0), F.col("r")) / 0.77351, 0)
+                    .cast("long").alias("fm_estimate"),
+                    "exact_distinct")
+            .orderBy("event_type"))
+
+
+@register(
+    "fuzzy_part_names",
+    oracle="""
+SELECT a.p_partkey k1, b.p_partkey k2,
+       a.p_name n1, b.p_name n2,
+       cast(levenshtein(a.p_name, b.p_name) AS int) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+ORDER BY k1, k2""",
+    tags=("text", "fuzzy", "join"),
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical part names (edit distance <= 2)
+    within a brand. The brand equi-join bounds the candidate pairs — the
+    blocking-key pattern every fuzzy-dedup pipeline uses to avoid O(n^2)
+    levenshtein evaluations."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("k1"), F.col("p_name").alias("n1"),
+                 F.col("p_brand").alias("b1"))
+    b = p.select(F.col("p_partkey").alias("k2"), F.col("p_name").alias("n2"),
+                 F.col("p_brand").alias("b2"))
+    return (a.join(b, (F.col("b1") == F.col("b2")) & (F.col("k1") < F.col("k2")))
+            .filter((F.levenshtein("n1", "n2") <= 2)
+                    & (F.col("n1") != F.col("n2")))
+            .select("k1", "k2", "n1", "n2",
+                    F.levenshtein("n1", "n2").cast("int").alias("dist"))
+            .orderBy("k1", "k2"))
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n,
+       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+         o_orderpriority NULLS FIRST""",
+    tags=("grouping",),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators — the general form
+    behind cube/rollup, disambiguating real NULL keys from subtotal rows."""
+    load_table(spark, sf_dir, "orders")
+    return spark.sql("""
+SELECT o_orderstatus, o_orderpriority,
+       cast(grouping(o_orderstatus) AS int) AS g_status,
+       cast(grouping(o_orderpriority) AS int) AS g_priority,
+       count(*) AS n,
+       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+         o_orderpriority NULLS FIRST""")
