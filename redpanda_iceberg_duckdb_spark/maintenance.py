@@ -1,0 +1,51 @@
+"""Table maintenance: the operational jobs a 100 TB lake needs that the
+reference delegates to Redpanda's translator (1 MiB flush -> many small
+files) and never cleans up.
+
+- compact_small_files: rewrite a parquet dataset into ~target-sized files.
+  The small-file problem is the top operational failure mode of streaming
+  ingest (every micro-batch emits files); compaction restores scan
+  efficiency (fewer tasks, bigger sequential reads, better row-group
+  statistics).
+- partitioned_rewrite: re-layout a dataset under a partition column (e.g.
+  days(ts)) so future scans partition-prune (tests/test_plans.py proves the
+  pruning).
+
+On Iceberg these are `rewrite_data_files` / partition-spec evolution; these
+utilities are the plain-parquet equivalents with the same knobs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def dataset_file_stats(path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a parquet dataset directory (recursive)."""
+    files = [f for f in glob.glob(f"{path}/**/*.parquet", recursive=True)]
+    return len(files), sum(os.path.getsize(f) for f in files)
+
+
+def compact_small_files(spark: SparkSession, path: str, out_path: str, *,
+                        target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Rewrite ``path`` into ``out_path`` with ~target-sized files.
+    Returns the output file count. Uses the measured input size, not row
+    counts — file sizing is a byte problem."""
+    _, total = dataset_file_stats(path)
+    n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(path)
+    # coalesce avoids a shuffle when reducing; repartition only if growing
+    n_in = df.rdd.getNumPartitions()
+    out = df.coalesce(n_out) if n_out <= n_in else df.repartition(n_out)
+    out.write.mode("overwrite").parquet(out_path)
+    return dataset_file_stats(out_path)[0]
+
+
+def partitioned_rewrite(df: DataFrame, out_path: str, *,
+                        day_col: str = "ts") -> None:
+    """Re-layout under day= partitions for partition-pruned scans."""
+    (df.withColumn("day", F.to_date(F.col(day_col)))
+     .write.mode("overwrite").partitionBy("day").parquet(out_path))

@@ -1,0 +1,102 @@
+"""Corpus-level text operators: PII-style redaction, n-gram frequency
+tables, and document-length histograms — the remaining bookkeeping ops of a
+training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# A "PII-ish" pattern over the synthetic corpus: digit runs and the word
+# 'key' stand in for account numbers / sensitive tokens. The operator shape
+# (regex redact + audit counts) is what matters; swap patterns in production.
+_PII_RE = r"[0-9]+|key"
+
+
+@register(
+    "pii_redaction_audit",
+    oracle=rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_RE}')) AS n_redactions,
+       md5(regexp_replace(text, '{_PII_RE}', '[REDACTED]', 'g')) AS redacted_md5,
+       length(regexp_replace(text, '{_PII_RE}', '[REDACTED]', 'g'))
+           AS redacted_len
+FROM documents
+ORDER BY doc_id""",
+    tags=("text", "redaction"),
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass + audit trail: per-doc redaction count and a digest of
+    the redacted text (the digest is what downstream verification pipelines
+    store — never the raw spans). Pure regexp, JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(F.col("text"), _PII_RE, "[REDACTED]")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_RE}', 0)"))
+        .alias("n_redactions"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "bigram_frequencies",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+bg AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram
+       FROM w, unnest(range(greatest(len(ws) - 1, 0))) r(i)),
+counts AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+SELECT bigram, n,
+       row_number() OVER (ORDER BY n DESC, bigram) AS rnk
+FROM counts
+ORDER BY rnk
+LIMIT 25""",
+    tags=("text", "ngram"),
+)
+def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 word bigrams: explode -> count -> top-k. The
+    aggregate is partial before the shuffle; the final top-k is a single
+    TakeOrdered over group counts (vocabulary-sized, not corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    bg = (d.select(F.split("text", " ").alias("ws"))
+          .select(F.explode(F.expr(
+              "case when size(ws) >= 2 then transform(sequence(0, size(ws)-2),"
+              " i -> concat_ws(' ', ws[i], ws[i+1])) else array() end"))
+              .alias("bigram")))
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("bigram"))
+    return (counts.select("bigram", "n", F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 25).orderBy("rnk"))
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+SELECT cast(CASE WHEN n_chars >= 500 THEN 11 ELSE n_chars // 50 + 1 END AS int)
+           AS bucket,
+       count(*) AS n_docs,
+       cast(min(n_chars) AS bigint) AS min_chars,
+       cast(max(n_chars) AS bigint) AS max_chars
+FROM documents
+GROUP BY bucket
+ORDER BY bucket""",
+    tags=("text", "histogram"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram: 10 fixed-width 50-char buckets + overflow.
+    Pure integer bucketing (width_bucket semantics, but exact integer
+    division so both engines agree by construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.when(F.col("n_chars") >= 500, 11)
+              .otherwise(F.expr("n_chars div 50") + 1)).cast("int")
+    return (d.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .orderBy("bucket"))
