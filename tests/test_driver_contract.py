@@ -1,0 +1,51 @@
+"""Contract tests for the driver-facing surfaces: __spark_entry__ invariants
+and the bench.py JSON line shape. These are the interfaces the round harness
+consumes — breaking them silently would void the whole round."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_contract(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns[0] == "symbol"
+
+
+def test_queries_oracle_alignment():
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    assert len(qs) >= 60
+    # every oracle key is a query; every oracle is non-empty SQL text
+    assert set(osql) <= set(qs)
+    assert all(isinstance(s, str) and "SELECT" in s.upper()
+               for s in osql.values())
+    # rows-only queries are the documented exceptions, not accidents
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {"approx_aggregates", "multimodal_byte_features"}
+
+
+def test_bench_emits_single_json_line(tmp_path):
+    """bench.py at sf0.001 (fast) prints exactly one JSON object on stdout
+    with the driver-required keys."""
+    import os
+
+    env = dict(os.environ)
+    env.update({"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+                "SPARK_GRAFT_CPUS": "8"})
+    res = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env, capture_output=True, text=True, cwd="/root/repo", timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, res.stdout
+    payload = json.loads(lines[0])
+    for key in ["metric", "value", "unit", "queries", "sf"]:
+        assert key in payload
+    assert payload["unit"] == "sec" and payload["sf"] == 0.001
+    assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
