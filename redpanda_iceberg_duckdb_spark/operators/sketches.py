@@ -13,15 +13,10 @@ from ..functions.hashing import md5_mod_duck, md5_mod_spark
 from ..registry import register
 from ..tables import load_table
 
-_M = 2_147_483_648  # 2^31 hash space for the FM sketch
-
-
-def _tz_expr_sql(h: str) -> str:
-    """Trailing-zero count of a 31-bit hash via the classic (h & -h) trick:
-    the lowest set bit isolated, then log2 by comparison ladder is avoided —
-    both engines get identical ints from identical arithmetic."""
-    # lowest set bit; 0 maps to 0 (treat as max run)
-    return f"({h} & -{h})"
+# 2^31 hash space for the FM sketches. Trailing-zero runs are computed with
+# the classic lowest-set-bit trick: (h & -h) is an exact power of two, so
+# log2 of it is exact in both engines.
+_M = 2_147_483_648
 
 
 @register(
@@ -128,3 +123,60 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
          o_orderpriority NULLS FIRST""")
+
+
+@register(
+    "hll_lite_distinct",
+    oracle=f"""
+WITH h AS (SELECT event_type,
+                  {md5_mod_duck("cast(user_id AS varchar)", _M)} AS hv
+           FROM events),
+bucketed AS (SELECT event_type, hv % 16 AS bucket, hv // 16 AS rest FROM h),
+runs AS (SELECT event_type, bucket,
+                max(CASE WHEN rest = 0 THEN 27
+                         ELSE cast(floor(log2(rest & -rest)) AS int) END) AS r
+         FROM bucketed GROUP BY event_type, bucket),
+est AS (SELECT event_type,
+               count(*) AS n_buckets,
+               cast(sum(cast(pow(2, r) AS bigint)) AS bigint) AS sum_pow
+        FROM runs GROUP BY event_type)
+SELECT event_type,
+       n_buckets,
+       sum_pow,
+       cast(round(16.0 * sum_pow / n_buckets / 0.77351, 0) AS bigint)
+           AS hll_lite_estimate,
+       (SELECT count(DISTINCT user_id) FROM events e
+        WHERE e.event_type = est.event_type) AS exact_distinct
+FROM est
+ORDER BY event_type""",
+    tags=("sketch", "approx"),
+)
+def hll_lite_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-bucket FM sketch ("HLL-lite"): hash -> 16 buckets by low bits,
+    max trailing-zero run per bucket, average the per-bucket 2^R estimates.
+    This is the structure of HyperLogLog (minus bias-corrected harmonic
+    mean), fully deterministic across engines because bucket assignment, run
+    lengths, and the combine are exact integer/power-of-two arithmetic.
+
+    Scale shape: ONE aggregation pass (groupBy event_type+bucket -> max),
+    then a 16-row-per-group combine — mergeable partial state, exactly how
+    distributed sketch aggregation works."""
+    e = load_table(spark, sf_dir, "events")
+    hv = F.expr(md5_mod_spark("cast(user_id AS string)", _M))
+    b = e.select("event_type", (hv % 16).alias("bucket"),
+                 F.expr(f"{md5_mod_spark('cast(user_id AS string)', _M)} div 16")
+                 .alias("rest"))
+    runs = b.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rest") == 0, 27).otherwise(
+            F.floor(F.log2(F.expr("rest & -rest"))).cast("int"))).alias("r"))
+    est = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.pow(F.lit(2.0), F.col("r")).cast("long")).alias("sum_pow"))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_buckets", "sum_pow",
+                    F.round(16.0 * F.col("sum_pow") / F.col("n_buckets")
+                            / 0.77351, 0).cast("long").alias("hll_lite_estimate"),
+                    "exact_distinct")
+            .orderBy("event_type"))
