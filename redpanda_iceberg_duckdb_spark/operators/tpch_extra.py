@@ -181,3 +181,119 @@ def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_err", F.lit(0)).alias("n_errors"))
         .orderBy("day")
     )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, yr, {dmul_sum_sql(_DISC, "revenue")}
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             cast(year(l_shipdate) AS int) AS yr,
+             l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= timestamp '1996-01-01 00:00:00'
+        AND l_shipdate < timestamp '1998-01-01 00:00:00') shipping
+GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr""",
+    tags=("tpch", "join"),
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Two broadcast joins against the same dimension (nation) under different
+    roles — aliasing, not re-reading, keeps it one scan."""
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders",
+                    "customer", "nation")
+    n1 = t["nation"].select(F.col("n_nationkey").alias("nk1"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("nk2"),
+                            F.col("n_name").alias("cust_nation"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    joined = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(((F.col("supp_nation") == "NATION_1")
+                 & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2")
+                   & (F.col("cust_nation") == "NATION_1")))
+    )
+    return (joined.groupBy("supp_nation", "cust_nation",
+                           F.year("l_shipdate").cast("int").alias("yr"))
+            .agg(dmul_sum(_disc_price(), "revenue"))
+            .orderBy("supp_nation", "cust_nation", "yr"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {dmul_sum_sql(_DISC, "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+    AND l_shipdate < timestamp '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey""",
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE reused twice (revenue per supplier + its max).
+    The revenue aggregate is computed once and self-compared via a scalar
+    subquery; exact-decimal revenue makes the equality cross-engine-safe."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(dmul_sum(_disc_price(), "total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (revenue.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+@register(
+    "tpch_q19_disjunctive_predicate",
+    oracle=f"""
+SELECT {dmul_sum_sql(_DISC, "revenue")}, count(*) AS n_matches
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 50)""",
+    tags=("tpch", "filter", "join"),
+)
+def tpch_q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst pushes the per-side conjuncts below the join (p_brand/p_size to
+    the part scan, l_quantity to lineitem) and keeps only the cross-side
+    residual — the textbook disjunctive-pushdown case."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    j = t["lineitem"].join(F.broadcast(t["part"]),
+                           F.col("p_partkey") == F.col("l_partkey"))
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 30))
+        | ((b == "Brand#2") & s.between(10, 30) & q.between(10, 40))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 50))
+    )
+    return j.filter(cond).agg(dmul_sum(_disc_price(), "revenue"),
+                              F.count(F.lit(1)).alias("n_matches"))
