@@ -49,3 +49,23 @@ def partitioned_rewrite(df: DataFrame, out_path: str, *,
     """Re-layout under day= partitions for partition-pruned scans."""
     (df.withColumn("day", F.to_date(F.col(day_col)))
      .write.mode("overwrite").partitionBy("day").parquet(out_path))
+
+
+def expire_snapshots(base: str, *, keep: int = 2) -> list[str]:
+    """Retention for merge_sink snapshot versions: drop all but the newest
+    ``keep`` version directories (never the one the pointer names). The
+    plain-parquet analogue of Iceberg's expire_snapshots."""
+    import re
+    import shutil
+
+    from .streaming.merge_sink import current_snapshot_path
+
+    current = current_snapshot_path(base)
+    versions = sorted(
+        (d for d in glob.glob(os.path.join(base, "v*"))
+         if re.fullmatch(r"v\d+", os.path.basename(d))),
+        key=lambda d: int(os.path.basename(d)[1:]))
+    victims = [d for d in versions[:-keep] if d != current]
+    for d in victims:
+        shutil.rmtree(d)
+    return victims

@@ -160,3 +160,37 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "session_id")
             .select("user_id", F.col("session_id").cast("long").alias("session_id"),
                     "n_events", "session_value"))
+
+
+@register(
+    "window_distribution_functions",
+    oracle="""
+SELECT event_type, event_id,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       lead(event_id) OVER w AS next_id,
+       lag(event_id, 2) OVER w AS prev2_id
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+QUALIFY row_number() OVER w <= 15
+ORDER BY event_type, pct_rank, event_id""",
+    tags=("window", "distribution"),
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-function family: percent_rank / cume_dist (integer-ratio
+    quotients — cross-engine-safe to round) plus lead and offset lag, over a
+    totally ordered frame; first 15 rows per type."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return (
+        e.select(
+            "event_type", "event_id",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.lead("event_id").over(w).alias("next_id"),
+            F.lag("event_id", 2).over(w).alias("prev2_id"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 15).drop("rn")
+        .orderBy("event_type", "pct_rank", "event_id")
+    )

@@ -16,3 +16,31 @@ def test_compaction_reduces_files(spark, sf_smoke, tmp_path):
     n_out = compact_small_files(spark, frag, out)
     assert n_out < n_in
     assert spark.read.parquet(out).count() == e.count()
+
+
+def test_expire_snapshots(spark, tmp_path):
+    from redpanda_iceberg_duckdb_spark.maintenance import expire_snapshots
+    from redpanda_iceberg_duckdb_spark.streaming.merge_sink import (
+        read_snapshot, start_merge_sink,
+    )
+    from pyspark.sql import types as T
+
+    src = tmp_path / "chg"
+    src.mkdir()
+    for i in range(4):
+        (spark.createDataFrame([(i, f"p{i}")], "id long, payload string")
+         .coalesce(1).write.parquet(str(src / f"b{i}")))
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("id", T.LongType()),
+                                    T.StructField("payload", T.StringType())]))
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(str(src)))
+    base = str(tmp_path / "snap")
+    q = start_merge_sink(stream, base=base, key_cols=["id"],
+                         checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(180)
+
+    victims = expire_snapshots(base, keep=2)
+    assert len(victims) >= 1
+    snap = read_snapshot(spark, base)
+    assert snap.count() == 4  # current snapshot untouched
