@@ -20,18 +20,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
-from .dedup import _TG_CTE_DUCK, _JACCARD_VERIFY_DUCK
+from .shingles import _TG_CTE_DUCK, _JACCARD_VERIFY_DUCK
 
 
 def connected_components(edges: DataFrame, *, src: str = "d1", dst: str = "d2",
-                         max_rounds: int = 20) -> DataFrame:
+                         max_rounds: int = 20,
+                         checkpoint_every: int = 5) -> DataFrame:
     """Min-label connected components over an undirected edge list.
-    Returns (node, component) where component = min node id reachable."""
+    Returns (node, component) where component = min node id reachable.
+
+    Memory/lineage discipline for long loops: each round persists the new
+    label table, materializes it via the convergence count, then UNPERSISTS
+    the previous round's table (otherwise every round leaks a cached copy).
+    Every ``checkpoint_every`` rounds the labels are localCheckpoint'ed to
+    truncate lineage — without this, deep graphs grow an O(rounds)-deep plan
+    that eventually overwhelms the optimizer and task serialization."""
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
+    und = und.persist()  # reused every round
     nodes = und.select(F.col("a").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("comp"))
-    for _ in range(max_rounds):
+    labels = nodes.select("node", F.col("node").alias("comp")).persist()
+    for i in range(max_rounds):
         neighbor_min = (
             und.join(labels, und.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -42,12 +51,17 @@ def connected_components(edges: DataFrame, *, src: str = "d1", dst: str = "d2",
             .select("node", F.least(
                 F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"))
         )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new_labels.persist()
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
+    und.unpersist()
     return labels
 
 
@@ -72,12 +86,19 @@ ORDER BY cluster_id""",
     tags=("dedup", "graph"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: n-gram Jaccard pairs (>= 0.5) -> connected
-    components -> one keep_doc_id (min) per cluster. The oracle computes the
-    same components with a recursive CTE; component id = min reachable doc."""
-    from ..registry import all_queries
+    """Near-dup clusters: MinHash-LSH candidate pairs verified with exact
+    Jaccard (>= 0.5) -> connected components -> one keep_doc_id (min) per
+    cluster. The oracle computes the same components with a recursive CTE
+    over exact-Jaccard edges; component id = min reachable doc.
 
-    pairs = all_queries()["ngram_jaccard_pairs"].fn(spark, sf_dir)
+    Scale note: edges come from the LSH path (bucketed, near-linear), NOT the
+    quadratic all-pairs shingle join — at 100x data the all-pairs edge build
+    is the pipeline's death. LSH-then-verify yields the same edge set as
+    exact Jaccard whenever no true pair escapes every band
+    (tests/test_planted_neardups.py asserts equality on this corpus)."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
     comps = connected_components(pairs.select("d1", "d2"))
     return (
         comps.groupBy(F.col("comp").alias("cluster_id"))

@@ -115,12 +115,43 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("multimodal_byte_features", oracle=None, tags=("multimodal", "pandas_udf"))
+@register(
+    "multimodal_byte_features",
+    oracle="""
+SELECT doc_id,
+       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+       cast(coalesce(list_sum(
+           [cast('0x' || substring(hex(encode(text)), 2*i+1, 2) AS bigint)
+            FOR i IN range(octet_length(encode(text)))]) % 2147483647, 0)
+         AS bigint) AS byte_sum,
+       cast(CASE WHEN octet_length(encode(text)) > 0
+                 THEN cast('0x' || substring(hex(encode(text)), 1, 2) AS int)
+                 ELSE -1 END AS int) AS first_byte,
+       CASE WHEN octet_length(encode(text)) <= 0 THEN ''
+            ELSE array_to_string(
+                [least(i * greatest(octet_length(encode(text)) // 4, 1),
+                       octet_length(encode(text)) - 1) FOR i IN range(4)], ',')
+       END AS frame_offsets_csv,
+       cast(CASE WHEN octet_length(encode(text)) > 0 THEN 4 ELSE 0 END
+         AS int) AS n_frames
+FROM documents
+ORDER BY doc_id""",
+    tags=("multimodal", "pandas_udf"),
+)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full binary pipeline: attach payload -> mapInPandas feature extraction
-    -> narrow columns out. Rows-only check (byte iteration over blobs is not
-    reasonably SQL-expressible in the oracle)."""
+    -> narrow columns out. The driver-facing output stringifies the
+    frame_offsets array (CSV) — array columns break the harness's pandas
+    canonicalization — while the library API (extract_byte_features) keeps
+    the typed array. The oracle recomputes every byte feature in SQL by
+    hex-expanding the UTF-8 blob, so this is a full hash-checked row, not a
+    rows-only one."""
     docs = load_table(spark, sf_dir, "documents")
-    return (extract_byte_features(with_payload(docs))
-            .withColumn("n_frames", F.size("frame_offsets"))
-            .orderBy("doc_id"))
+    feats = extract_byte_features(with_payload(docs))
+    return feats.select(
+        "doc_id", "n_bytes", "byte_sum", "first_byte",
+        F.concat_ws(",", F.transform("frame_offsets",
+                                     lambda x: x.cast("string")))
+        .alias("frame_offsets_csv"),
+        F.size("frame_offsets").alias("n_frames"),
+    ).orderBy("doc_id")

@@ -190,17 +190,51 @@ WHERE l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
                           WHERE l2.l_partkey = l1.l_partkey)""")
 
 
-@register("approx_aggregates", oracle=None, tags=("scalar", "approx"))
+@register(
+    "approx_aggregates",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       true AS users_within_10pct,
+       true AS p50_rank_ok,
+       true AS p99_rank_ok
+FROM events GROUP BY event_type ORDER BY event_type""",
+    tags=("scalar", "approx"),
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, approximate quantiles) — the
-    100 TB default where exactness isn't required. Rows-only check: sketch
-    implementations differ across engines by design."""
+    """Approximate aggregates (HLL++ distinct, approximate quantiles) — the
+    100 TB default where exactness isn't required. Sketch values differ
+    across engines by design, so the cross-engine contract is a TOLERANCE
+    check, made deterministic: the output carries the exact distinct count
+    (hash-anchored) plus booleans asserting the sketch landed within bounds
+    — approx_count_distinct within 10% of exact (default rsd = 5%), and each
+    approx percentile at a data rank within its guarantee band
+    (percentile_approx default accuracy 10000 -> rank error <= 0.01%). The
+    oracle emits literal ``true`` flags, so any out-of-tolerance sketch
+    flips a boolean and fails the hash gate."""
     e = load_table(spark, sf_dir, "events")
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("au"),
+        F.percentile_approx("value", 0.5).alias("p50"),
+        F.percentile_approx("value", 0.99).alias("p99"))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    ranks = (
+        e.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg((F.sum(F.when(F.col("value") <= F.col("p50"), 1).otherwise(0))
+              / F.count(F.lit(1))).alias("f50"),
+             (F.sum(F.when(F.col("value") <= F.col("p99"), 1).otherwise(0))
+              / F.count(F.lit(1))).alias("f99")))
     return (
-        e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"),
-             F.percentile_approx("value", 0.5).alias("p50_approx"),
-             F.percentile_approx("value", 0.99).alias("p99_approx"))
+        exact.join(F.broadcast(approx), "event_type")
+        .join(F.broadcast(ranks), "event_type")
+        .select(
+            "event_type", "exact_users",
+            (F.abs(F.col("au") - F.col("exact_users"))
+             / F.col("exact_users") <= 0.1).alias("users_within_10pct"),
+            F.col("f50").between(0.45, 0.55).alias("p50_rank_ok"),
+            F.col("f99").between(0.985, 1.0).alias("p99_rank_ok"))
         .orderBy("event_type")
     )
 

@@ -77,36 +77,31 @@ def _ranked_topk(sims: DataFrame, k: int) -> DataFrame:
             .filter(F.col("rank") <= k))
 
 
-def _numpy_dots(emb: DataFrame, queries: list) -> DataFrame:
-    """All (query, candidate) scaled dots via mapInPandas + numpy.
+def _numpy_pair_dots(pairs: DataFrame) -> DataFrame:
+    """Scaled int64 dot per (qid, cid) pair row via mapInPandas + numpy.
 
-    `queries` is a small collected list of (vec_id, embedding) — the ANN
-    query set, broadcast into each task through the closure. Per Arrow batch:
-    one float64 outer product per query row, floored to int64 and summed —
-    bit-identical to the SQL formulation, ~C speed.
+    ``pairs`` carries both embeddings (qe, ce) — produced by a BROADCAST
+    nested-loop join of the candidate scan against the small, fixed-size
+    query table, so no data ever funnels through the driver. Per Arrow
+    batch: stack both sides into float64 matrices, elementwise multiply,
+    floor to int64, row-sum — bit-identical to the SQL formulation, ~C
+    speed, and the batch never exceeds Arrow's batch size regardless of N.
     """
-    qids = [int(q[0]) for q in queries]
-    qmat = np.array([q[1] for q in queries], dtype=np.float64)
 
     def compute(batches):
         for pdf in batches:
-            cids = pdf["vec_id"].to_numpy()
-            cmat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            out_qid, out_cid, out_dot = [], [], []
-            for j, qid in enumerate(qids):
-                prods = np.floor(cmat * qmat[j] * 1e12).astype(np.int64)
-                dots = prods.sum(axis=1)
-                keep = cids != qid
-                out_qid.append(np.full(keep.sum(), qid, dtype=np.int64))
-                out_cid.append(cids[keep])
-                out_dot.append(dots[keep])
+            if len(pdf) == 0:
+                continue
+            qmat = np.array(list(pdf["qe"]), dtype=np.float64)
+            cmat = np.array(list(pdf["ce"]), dtype=np.float64)
+            dots = np.floor(qmat * cmat * 1e12).astype(np.int64).sum(axis=1)
             yield pd.DataFrame({
-                "qid": np.concatenate(out_qid),
-                "cid": np.concatenate(out_cid),
-                "dot": np.concatenate(out_dot).astype(np.float64),
+                "qid": pdf["qid"].to_numpy(),
+                "cid": pdf["cid"].to_numpy(),
+                "dot": dots.astype(np.float64),
             })
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    return pairs.select("qid", "cid", "qe", "ce").mapInPandas(
         compute, schema="qid long, cid long, dot double")
 
 
@@ -125,7 +120,8 @@ def _sims_from_dots(dots: DataFrame, norms: DataFrame) -> DataFrame:
 @register(
     "cosine_topk_bruteforce",
     oracle=f"""
-WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id % 100 = 0),
+WITH q AS (SELECT vec_id qid, embedding qe FROM embeddings
+           WHERE vec_id % 100 = 0 AND vec_id < 6400),
 pairs AS (SELECT qid, vec_id cid, qe, embedding ce
           FROM q, embeddings WHERE vec_id <> qid),
 {_DOT_DUCK},
@@ -144,16 +140,21 @@ ORDER BY qid, rank""",
     tags=("similarity", "pandas_udf"),
 )
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for every 100th vector as query: numpy-batched
-    scan of all candidates (mapInPandas), rank per query. The query set is
-    small by construction (ANN query batch), collected once and shipped in
-    the task closure — the distributed scan is over candidates."""
+    """Exact cosine top-10 over a FIXED-SIZE query set (every 100th vector,
+    capped at vec_id < 6400 — at most 64 queries no matter how large the
+    corpus grows). The query table is broadcast onto the distributed
+    candidate scan (BroadcastNestedLoopJoin), and the scaled dots run
+    numpy-batched in mapInPandas. Nothing data-proportional ever touches the
+    driver: no .collect(), no closure capture — total work is O(|Q| * N)
+    with |Q| constant, i.e. linear in the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     norms = _norms(emb)
-    queries = [(r.vec_id, r.embedding) for r in
-               emb.filter(F.col("vec_id") % 100 == 0)
-                  .select("vec_id", "embedding").collect()]
-    dots = _numpy_dots(emb, queries)
+    q = (emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 6400))
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    cand = emb.select(F.col("vec_id").alias("cid"),
+                      F.col("embedding").alias("ce"))
+    pairs = cand.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+    dots = _numpy_pair_dots(pairs)
     return _ranked_topk(_sims_from_dots(dots, norms), 10).orderBy("qid", "rank")
 
 

@@ -25,9 +25,11 @@ def test_queries_oracle_alignment():
     assert set(osql) <= set(qs)
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in osql.values())
-    # rows-only queries are the documented exceptions, not accidents
+    # every registered query carries a DuckDB oracle (round 2 gave
+    # approx_aggregates a tolerance-flag oracle and multimodal_byte_features
+    # a hex-expansion oracle)
     rows_only = set(qs) - set(osql)
-    assert rows_only == {"approx_aggregates", "multimodal_byte_features"}
+    assert rows_only == set()
 
 
 def test_bench_emits_single_json_line(tmp_path):

@@ -72,3 +72,11 @@ def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
     assert "PartitionFilters" in plan and "day" in plan
     n_all = spark.read.parquet(out).count()
     assert 0 < back.count() < n_all
+
+
+def test_cosine_topk_broadcasts_fixed_query_set(spark, sf_smoke):
+    """The brute-force cosine query must ship its (fixed-size) query set via
+    a broadcast join — never a driver collect into the task closure."""
+    df = _q(spark, sf_smoke, "cosine_topk_bruteforce")
+    plan = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -49,3 +49,19 @@ def test_embedding_near_dups_detected(spark, tmp_path):
     assert all(r.sim > 0.99 for r in rows)
     # and the DuckDB oracle agrees bit-for-bit on the same file
     run_compare(spark, q, d)
+
+
+def test_lsh_edges_equal_exact_jaccard_edges(spark, sf_smoke, sf_correct):
+    """dedup_clusters consumes minhash_lsh_pairs as its edge input while its
+    oracle computes components over exact-Jaccard edges — sound only if the
+    LSH+verify edge set equals the exact all-pairs edge set at the same
+    threshold (i.e. no true pair escapes every band). Assert that on both
+    fixture corpora."""
+    qs = all_queries()
+    for sf in (sf_smoke, sf_correct):
+        exact = {(r.d1, r.d2) for r in
+                 qs["ngram_jaccard_pairs"].fn(spark, sf).collect()}
+        lsh = {(r.d1, r.d2) for r in
+               qs["minhash_lsh_pairs"].fn(spark, sf).collect()}
+        assert lsh == exact, (
+            f"{sf}: LSH missed {exact - lsh}, extra {lsh - exact}")
