@@ -44,15 +44,76 @@ def main() -> None:
         print(f"# {name}: warm {min(runs):.3f}s cold {max(runs):.3f}s "
               f"({n} rows)", file=sys.stderr)
 
+    extras = skew_join_demo(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extras": extras,
         "sf": sf,
     }))
     spark.stop()
+
+
+def skew_join_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Wall-clock A/B of the skew toolkit: join a hot-keyed fact (95% of
+    lineitem rows share one key) against a keyed dim, plain vs salted_join,
+    with auto-broadcast disabled so both run as shuffle joins (the regime
+    where skew hurts; a broadcastable dim would sidestep skew entirely).
+    Results are asserted identical; both timings go to the JSON so the
+    skew-mitigation win is measured, not claimed."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.functions.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # x8 row multiplier so the hot partition is heavy enough for the skew
+    # cost to dominate scheduling noise at sf0.1 (~4.5M rows on one key).
+    big = (li.select("l_orderkey", "l_extendedprice",
+                     F.explode(F.array(*[F.lit(i) for i in range(8)]))
+                     .alias("_r"))
+           .select(
+               F.when(F.pmod("l_orderkey", 100) < 95, F.lit(0))
+                .otherwise(F.pmod("l_orderkey", 1000)).alias("k"),
+               "l_extendedprice"))
+    small = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w"))
+
+    def agg(joined):
+        return (joined.groupBy("w")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("l_extendedprice")
+                           .cast("decimal(18,2)")).alias("s"))
+                .collect())
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out: dict[str, float] = {}
+        results = {}
+        for label, join_fn in [
+            ("skew_join_plain", lambda: big.join(small, "k")),
+            ("skew_join_salted", lambda: salted_join(big, small, "k",
+                                                     salts=32)),
+        ]:
+            runs = []
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                results[label] = sorted(map(tuple, agg(join_fn())))
+                runs.append(_t.perf_counter() - t0)
+            out[label] = round(min(runs), 3)
+            print(f"# {label}: warm {min(runs):.3f}s cold {max(runs):.3f}s",
+                  file=sys.stderr)
+        assert results["skew_join_plain"] == results["skew_join_salted"], \
+            "salted join changed the result"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
 
 
 if __name__ == "__main__":

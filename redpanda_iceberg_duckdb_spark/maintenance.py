@@ -60,12 +60,16 @@ def expire_snapshots(base: str, *, keep: int = 2) -> list[str]:
 
     from .streaming.merge_sink import current_snapshot_path
 
+    if keep < 0:
+        raise ValueError(f"keep must be >= 0, got {keep}")
     current = current_snapshot_path(base)
     versions = sorted(
         (d for d in glob.glob(os.path.join(base, "v*"))
          if re.fullmatch(r"v\d+", os.path.basename(d))),
         key=lambda d: int(os.path.basename(d)[1:]))
-    victims = [d for d in versions[:-keep] if d != current]
+    # versions[:-keep] with keep=0 is the EMPTY slice — the opposite of
+    # "keep none but current" — so compute the cut explicitly.
+    victims = [d for d in versions[:len(versions) - keep] if d != current]
     for d in victims:
         shutil.rmtree(d)
     return victims

@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     tpch,            # TPC-H core shapes
     tpch_extra,      # TPC-H joins: outer/semi/anti/multi-fact
     windows,         # window-function family
+    tpch_shapes,     # new r2: Q2/Q8/Q11/Q16/Q20/Q21/Q22 analogues
     multimodal,      # changed r2: byte-features canonicalization + oracle
     scalar,          # changed r2: approx_aggregates deterministic oracle
     similarity,      # changed r2: cosine_topk broadcast query set

@@ -89,12 +89,14 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_TG_CTE_DUCK},
 {_JACCARD_VERIFY_DUCK.format(cand_filter="")}
 SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""",
-    bench=True,
     tags=("dedup",),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via
-    shared-shingle self-join — the exactness baseline for minhash_lsh_pairs."""
+    shared-shingle self-join — the exactness baseline for minhash_lsh_pairs.
+    Deliberately NOT a bench headline: the all-pairs shared-shingle join is
+    quadratic in docs per hot shingle, the plan you would never run at
+    100 TB (minhash_lsh_pairs is the scale path and the dedup headline)."""
     tg = _doc_trigrams(spark, sf_dir)
     sz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tg.select(F.col("doc_id").alias("d1"), "tg")

@@ -42,10 +42,9 @@ def validate_stream(raw: DataFrame,
                     required: list[str]) -> tuple[DataFrame, DataFrame]:
     """Schema enforcement (St5): rows missing any required field go to the
     dead-letter side; the good side is append-ready."""
-    ok = None
+    ok = F.lit(True)  # empty required list => every row is valid
     for c in required:
-        cond = F.col(c).isNotNull()
-        ok = cond if ok is None else (ok & cond)
+        ok = ok & F.col(c).isNotNull()
     good = raw.filter(ok)
     bad = raw.filter(~ok)
     return good, bad

@@ -33,17 +33,33 @@ STATE_SCHEMA = T.StructType([
 ])
 
 
+def _half_up_cents(values: pd.Series) -> pd.Series:
+    """Integer cents with half-away-from-zero midpoints — the same policy as
+    Spark's ROUND / functions.__init__ (pandas .round() is half-to-even and
+    would diverge on exact midpoints like 1.005 stored as 100.5 cents)."""
+    import numpy as np
+
+    scaled = values.astype("float64") * 100
+    return pd.Series(
+        np.sign(scaled) * np.floor(np.abs(scaled) + 0.5),
+        index=values.index).astype("int64")
+
+
 def _accumulate(key, batches: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
     """Fold each micro-batch into (count, integer-cent total, max) state and
     emit the updated running aggregate. Money is kept in integer cents so
-    cross-batch accumulation is exact regardless of arrival order."""
-    n, total, mx = state.get if state.exists else (0, 0, 0)
+    cross-batch accumulation is exact regardless of arrival order. The max
+    is seeded from the data, never from 0 — an all-negative stream must
+    report its true (negative) max."""
+    n, total, mx = state.get if state.exists else (0, 0, None)
     for pdf in batches:
-        cents = (pdf["value"] * 100).round().astype("int64")
+        cents = _half_up_cents(pdf["value"])
         n += len(pdf)
         total += int(cents.sum())
-        mx = max(mx, int(cents.max()) if len(cents) else 0)
+        if len(cents):
+            bmx = int(cents.max())
+            mx = bmx if mx is None else max(mx, bmx)
     state.update((n, total, mx))
     yield pd.DataFrame({
         "user_id": [key[0]], "n_events": [n],

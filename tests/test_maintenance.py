@@ -44,3 +44,25 @@ def test_expire_snapshots(spark, tmp_path):
     assert len(victims) >= 1
     snap = read_snapshot(spark, base)
     assert snap.count() == 4  # current snapshot untouched
+
+
+def test_expire_snapshots_keep_zero_drops_all_but_current(tmp_path):
+    """keep=0 must mean 'keep nothing except the pointer target' — the old
+    versions[:-0] slice silently deleted nothing."""
+    import os
+    from redpanda_iceberg_duckdb_spark.maintenance import expire_snapshots
+
+    base = str(tmp_path / "snaps")
+    os.makedirs(base)
+    for v in (1, 2, 3):
+        os.makedirs(os.path.join(base, f"v{v}"))
+        with open(os.path.join(base, f"v{v}", "data.parquet"), "w") as f:
+            f.write("x")
+    with open(os.path.join(base, "_CURRENT"), "w") as f:
+        f.write("v3")
+    victims = expire_snapshots(base, keep=0)
+    assert sorted(os.path.basename(v) for v in victims) == ["v1", "v2"]
+    assert os.path.exists(os.path.join(base, "v3"))
+    import pytest
+    with pytest.raises(ValueError):
+        expire_snapshots(base, keep=-1)

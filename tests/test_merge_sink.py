@@ -49,3 +49,41 @@ def test_streaming_merge_folds_changes(spark, tmp_path):
         if rid not in truth or seq > truth[rid][1]:
             truth[rid] = (payload, seq)
     assert got == truth
+
+
+def test_intra_batch_dedup_last_change_per_key_wins(spark, tmp_path):
+    """A single micro-batch carrying two changes for one key must leave ONE
+    row for that key (highest change_seq), not duplicates."""
+    from redpanda_iceberg_duckdb_spark.streaming.merge_sink import merge_batch
+
+    base = str(tmp_path / "snap")
+    import os
+    os.makedirs(base)
+    schema = "id long, payload string, change_seq long"
+    b0 = spark.createDataFrame(
+        [(1, "first", 1), (1, "second", 2), (2, "x", 1)], schema)
+    assert merge_batch(b0, 0, base=base, key_cols=["id"], seq_col="change_seq")
+    snap = read_snapshot(spark, base)
+    got = {r.id: r.payload for r in snap.collect()}
+    assert got == {1: "second", 2: "x"}
+    assert snap.count() == 2  # no duplicate key rows
+
+
+def test_replayed_batch_is_skipped_not_overwritten(spark, tmp_path):
+    """foreachBatch replay after the pointer flip must skip, not re-read and
+    overwrite the directory the pointer names."""
+    from redpanda_iceberg_duckdb_spark.streaming.merge_sink import merge_batch
+
+    base = str(tmp_path / "snap")
+    import os
+    os.makedirs(base)
+    schema = "id long, payload string, change_seq long"
+    b0 = spark.createDataFrame([(1, "a", 1)], schema)
+    b1 = spark.createDataFrame([(2, "b", 2)], schema)
+    assert merge_batch(b0, 0, base=base, key_cols=["id"], seq_col="change_seq")
+    assert merge_batch(b1, 1, base=base, key_cols=["id"], seq_col="change_seq")
+    # replay of batch 1 (crash after commit, before checkpoint ack)
+    assert not merge_batch(b1, 1, base=base, key_cols=["id"],
+                           seq_col="change_seq")
+    got = {r.id: r.payload for r in read_snapshot(spark, base).collect()}
+    assert got == {1: "a", 2: "b"}

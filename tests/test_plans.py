@@ -80,3 +80,27 @@ def test_cosine_topk_broadcasts_fixed_query_set(spark, sf_smoke):
     df = _q(spark, sf_smoke, "cosine_topk_bruteforce")
     plan = plans.physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q2_style_broadcasts_dims_single_shuffle(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "tpch_q2_min_cost_supplier")
+    plan = plans.physical_plan(df)
+    assert plans.broadcast_join_count(df) >= 3  # supplier(x2 uses) + part
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q16_style_anti_join_and_pruned_bridge(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "tpch_q16_supplier_part_counts")
+    plan = plans.physical_plan(df)
+    assert "LeftAnti" in plan  # NOT IN became an anti join
+    # the lineitem scan reads only the two bridge keys
+    schema = plans.scan_read_schema(df, "lineitem")
+    assert "l_extendedprice" not in schema and "l_partkey" in schema
+
+
+def test_q22_style_prunes_orders_to_custkey(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "tpch_q22_idle_rich_customers")
+    plan = plans.physical_plan(df)
+    assert "LeftAnti" in plan
+    schema = plans.scan_read_schema(df, "orders")
+    assert "o_totalprice" not in schema and "o_custkey" in schema

@@ -181,3 +181,75 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke):
     # only if data arrived out of order; file source replays in order, so
     # the sets must match exactly here.
     assert got == want
+
+
+def test_validate_stream_empty_required_passes_all(spark, sf_smoke):
+    """An empty required-column list means every row is valid (previously a
+    TypeError from filter(None))."""
+    from redpanda_iceberg_duckdb_spark.streaming.ingest import validate_stream
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    good, bad = validate_stream(d, [])
+    assert good.count() == d.count()
+    assert bad.count() == 0
+
+
+def test_oauth2_token_fetch_client_credentials():
+    """fetch_oauth2_token mirrors the reference's get_token.sh flow: POST
+    client credentials, parse access_token. Exercised against a local HTTP
+    server so it runs without network egress."""
+    import http.server
+    import json
+    import threading
+    import urllib.parse
+
+    from redpanda_iceberg_duckdb_spark.sources.iceberg import (
+        fetch_oauth2_token, rest_catalog_token_conf)
+
+    seen = {}
+
+    class TokenHandler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            seen.update(dict(urllib.parse.parse_qsl(body.decode())))
+            out = json.dumps({"access_token": "tok-123",
+                              "token_type": "bearer"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), TokenHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_port}/catalog/v1/oauth/tokens"
+        tok = fetch_oauth2_token(uri, client_id="root", client_secret="s3cr3t")
+    finally:
+        srv.shutdown()
+    assert tok == "tok-123"
+    assert seen == {"grant_type": "client_credentials", "client_id": "root",
+                    "client_secret": "s3cr3t", "scope": "PRINCIPAL_ROLE:ALL"}
+    conf = rest_catalog_token_conf(
+        "polaris", uri="http://x/catalog", warehouse="wh", token=tok)
+    assert conf["spark.sql.catalog.polaris.token"] == "tok-123"
+
+
+def test_iceberg_round_trip_when_jar_present(spark, tmp_path):
+    """Executes a REAL Iceberg write/read/snapshot cycle when the
+    iceberg-spark runtime jar is on the classpath; skipped (with the
+    documented no-egress reason) otherwise."""
+    import pytest
+
+    from redpanda_iceberg_duckdb_spark.sources.iceberg import (
+        is_available, iceberg_round_trip)
+
+    if not is_available(spark):
+        pytest.skip("iceberg-spark runtime jar absent (no Maven egress in "
+                    "this environment — see sources/iceberg.py:is_available)")
+    out = iceberg_round_trip(spark, warehouse=str(tmp_path / "wh"))
+    assert out["rows"] == 200 and out["snapshots"] >= 2

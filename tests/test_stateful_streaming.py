@@ -44,3 +44,26 @@ def test_stateful_running_totals(spark, sf_smoke, tmp_path):
                   F.max(F.round(F.col("value") * 100).cast("long")).alias("mx")))
     want = {r.user_id: (r.n, r.tot, r.mx) for r in truth.collect()}
     assert got == want
+
+
+def test_half_up_cents_midpoints_and_negative_max():
+    """Rounding is half-away-from-zero (the repo policy, = Spark ROUND), not
+    pandas' half-to-even; max state seeds from data, so an all-negative
+    stream reports its true negative max."""
+    import pandas as pd
+    from redpanda_iceberg_duckdb_spark.streaming.stateful import (
+        _accumulate, _half_up_cents)
+
+    # 0.125 -> 12.5 cents: half-even gives 12, half-up must give 13.
+    got = list(_half_up_cents(pd.Series([0.125, -0.125, 1.0, -2.345])))
+    assert got == [13, -13, 100, -235]  # -234.5 rounds away from zero
+
+    class FakeState:
+        exists = False
+        def update(self, v): self.value = v
+
+    st = FakeState()
+    out = list(_accumulate((7,), iter([pd.DataFrame({"value": [-3.0, -1.5]})]),
+                           st))
+    assert st.value == (2, -450, -150)  # max is -150, NOT 0
+    assert out[0]["max_value_cents"].iloc[0] == -150
