@@ -27,9 +27,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.fn(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks the FIRST 50 queries in dict order,
+# so ordering is a verification-coverage decision: names listed here are the
+# ones that most need a driver-green row THIS round — queries whose
+# implementation changed since their last green row, plus queries that have
+# never had one. Unchanged queries with a green CORRECTNESS_r{N} row rotate
+# to the tail (their old green row remains the evidence). Keep this list
+# under ~50 and re-derive it each round.
+_VERIFY_FIRST = [
+    # reference-parity contract + TPC-H + windows: first driver check r02
+    "q1_trade_analytics", "q2_cardinality", "q3_verification_agg",
+    "q4_reaggregation", "q5_topk", "q6_summary_union",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "order_priority_semijoin", "customers_without_orders",
+    "top_customers_by_spend", "nation_order_rollup",
+    "tpch_q10_returned_items", "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
+    "full_outer_daily_activity", "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier", "tpch_q19_disjunctive_predicate",
+    "window_running_total", "window_topk_per_user", "window_event_gaps",
+    "sessionization", "window_distribution_functions",
+    # new in r02
+    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+    "tpch_q11_important_value", "tpch_q16_supplier_part_counts",
+    "tpch_q20_part_share_suppliers", "tpch_q21_sole_late_supplier",
+    "tpch_q22_idle_rich_customers",
+    # implementation changed in r02
+    "multimodal_byte_features", "approx_aggregates",
+    "cosine_topk_bruteforce", "dedup_clusters",
+    # new pipeline operators in r02
+    "stratified_sample_by_source", "sequence_packing_bins",
+    "morton_zorder_stats", "decontamination_overlap",
+    "doc_repetition_score", "containment_pairs", "ann_ivf_multiprobe",
+    # LSH candidate path refactored in r02 (lsh_candidates extraction)
+    "minhash_lsh_pairs",
+]
+
+
+def _ordered_queries():
+    qs = all_queries()
+    ordered = [n for n in _VERIFY_FIRST if n in qs]
+    ordered += [n for n in qs if n not in set(_VERIFY_FIRST)]
+    return {n: qs[n] for n in ordered}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, q in all_queries().items():
+    for name, q in _ordered_queries().items():
         def wrapped(spark: SparkSession, sf_dir: str, _q=q) -> DataFrame:
             configure_session(spark)
             return _q.fn(spark, sf_dir)
@@ -38,4 +83,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: q.oracle for n, q in all_queries().items() if q.oracle is not None}
+    return {n: q.oracle for n, q in _ordered_queries().items()
+            if q.oracle is not None}

@@ -1,0 +1,151 @@
+"""Benchmark decontamination + intra-corpus containment — the integrity
+checks a training corpus runs before a model ever sees it: (1) does any
+training doc overlap an evaluation benchmark, (2) is any doc a near-superset
+of another (template expansion, quoting, concatenation), (3) how internally
+repetitive is each doc.
+
+Scale design (100 TB stance):
+- Decontamination joins the CORPUS side (huge) against the BENCHMARK side
+  (small, broadcast) on shingles — the corpus is never self-joined, so cost
+  is linear in corpus shingles.
+- Containment reuses the MinHash-LSH candidate generator (dedup.py
+  lsh_candidates): no all-pairs scan. Jaccard-banding is tuned for
+  symmetric similarity, so asymmetric high-containment pairs with low
+  Jaccard (tiny doc inside huge doc) can escape every band — documented
+  recall bound; the standard fix at scale is a second banding on the small
+  side's signature alone.
+- Repetition scoring is one aggregate over exploded shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .dedup import _LSH_CAND_CTE_DUCK, lsh_candidates
+from .shingles import _TG_ARRAY_SPARK, _TG_CTE_DUCK, _doc_trigrams
+
+# Benchmark stand-in: every 25th doc plays the eval set (deterministic,
+# re-derivable in both engines). In production this is a real benchmark
+# table (MMLU/GSM8K/... n-gram dumps) broadcast the same way.
+_BENCH_PRED = "doc_id % 25 = 0"
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+bench AS (SELECT * FROM t WHERE {_BENCH_PRED}),
+corp AS (SELECT * FROM t WHERE NOT ({_BENCH_PRED})),
+sz AS (SELECT doc_id, count(*) n FROM corp GROUP BY doc_id),
+ov AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_doc_id, count(*) AS c
+       FROM corp c JOIN bench b USING (tg) GROUP BY 1, 2),
+scored AS (SELECT doc_id, bench_doc_id,
+                  round(c * 1.0 / n, 6) AS overlap,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, bench_doc_id) AS rn
+           FROM ov JOIN sz USING (doc_id))
+SELECT doc_id, bench_doc_id, overlap
+FROM scored WHERE rn = 1 AND overlap >= 0.05
+ORDER BY doc_id""",
+    tags=("contamination", "pipeline"),
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each training doc's distinct
+    trigrams that appear in any benchmark doc; flags docs over 5% overlap
+    with their worst-offending benchmark doc. The benchmark shingle table
+    broadcasts onto the corpus scan — one shuffle (the per-pair count),
+    linear in corpus size."""
+    tg = _doc_trigrams(spark, sf_dir)
+    bench = tg.filter(F.expr(_BENCH_PRED))
+    corp = tg.filter(~F.expr(_BENCH_PRED))
+    sz = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ov = (corp.join(F.broadcast(bench.withColumnRenamed(
+              "doc_id", "bench_doc_id")), "tg")
+          .groupBy("doc_id", "bench_doc_id")
+          .agg(F.count(F.lit(1)).alias("c")))
+    scored = (ov.join(sz, "doc_id")
+              .withColumn("overlap", F.round(F.col("c") / F.col("n"), 6))
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("doc_id")
+                  .orderBy(F.desc("c"), "bench_doc_id"))))
+    return (scored.filter((F.col("rn") == 1) & (F.col("overlap") >= 0.05))
+            .select("doc_id", "bench_doc_id", "overlap")
+            .orderBy("doc_id"))
+
+
+@register(
+    "doc_repetition_score",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+t AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS tg
+      FROM w, unnest(range(greatest(len(ws) - 2, 0))) r(i))
+SELECT doc_id,
+       count(*) AS n_trigrams,
+       count(DISTINCT tg) AS n_distinct,
+       round(1.0 - count(DISTINCT tg) * 1.0 / count(*), 6) AS repetition
+FROM t GROUP BY doc_id
+ORDER BY doc_id""",
+    tags=("contamination", "quality"),
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal repetition per document: 1 - distinct/total trigram ratio —
+    the boilerplate/loop-generated-text signal used to downweight or drop
+    docs before training. One explode + one aggregate; no joins. (Note this
+    trigram stream keeps repeats — _doc_trigrams dedups, so it builds its
+    own explode.)"""
+    d = load_table(spark, sf_dir, "documents")
+    t = (d.select("doc_id", F.split("text", " ").alias("ws"))
+         .select("doc_id", F.explode(F.expr(_TG_ARRAY_SPARK)).alias("tg")))
+    return (t.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.countDistinct("tg").alias("n_distinct"),
+                 F.round(F.lit(1.0) - F.countDistinct("tg") / F.count(F.lit(1)),
+                         6).alias("repetition"))
+            .orderBy("doc_id"))
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+{_LSH_CAND_CTE_DUCK},
+sz AS (SELECT doc_id, count(*) n FROM t GROUP BY doc_id),
+shared AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+           FROM t a JOIN t b ON a.tg = b.tg AND a.doc_id < b.doc_id
+           JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id
+           GROUP BY 1, 2),
+cont AS (SELECT d1, d2,
+                round(c * 1.0 / least(s1.n, s2.n), 6) AS containment
+         FROM shared JOIN sz s1 ON s1.doc_id = d1
+                     JOIN sz s2 ON s2.doc_id = d2)
+SELECT d1, d2, containment FROM cont
+WHERE containment >= 0.6 ORDER BY d1, d2""",
+    tags=("contamination", "dedup", "lsh"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset detection: containment = |A∩B| / min(|A|, |B|) over
+    MinHash-LSH candidate pairs — catches a doc embedded inside a larger
+    one, which symmetric Jaccard under-scores (|A∩B|/|A∪B| is small when
+    sizes differ wildly). Candidates come from the same single-shuffle LSH
+    path as minhash_lsh_pairs; only the verify metric differs."""
+    tg = _doc_trigrams(spark, sf_dir).persist()
+    cand = lsh_candidates(tg)
+    sz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    d1_shingles = F.broadcast(cand).join(
+        tg.select(F.col("doc_id").alias("d1"), "tg"), "d1")
+    shared = (d1_shingles
+              .join(tg.select(F.col("doc_id").alias("d2"), "tg"),
+                    ["d2", "tg"])
+              .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("c")))
+    return (shared
+            .join(sz.select(F.col("doc_id").alias("d1"),
+                            F.col("n").alias("n1")), "d1")
+            .join(sz.select(F.col("doc_id").alias("d2"),
+                            F.col("n").alias("n2")), "d2")
+            .select("d1", "d2",
+                    F.round(F.col("c") / F.least("n1", "n2"), 6)
+                    .alias("containment"))
+            .filter(F.col("containment") >= 0.6)
+            .orderBy("d1", "d2"))

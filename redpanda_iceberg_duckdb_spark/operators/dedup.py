@@ -111,11 +111,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _A_LIST = ", ".join(str(a) for a in MINHASH_A)
 _B_LIST = ", ".join(str(b) for b in MINHASH_B)
 
-
-@register(
-    "minhash_lsh_pairs",
-    oracle=f"""
-WITH {_TG_CTE_DUCK},
+# Shared CTE: trigrams (t) -> minhash signatures -> band keys -> candidate
+# pairs (cand). Reused by minhash_lsh_pairs and containment_pairs oracles.
+_LSH_CAND_CTE_DUCK = f"""
 hs AS (SELECT doc_id, {md5_mod_duck("tg")} AS h FROM t),
 params AS (SELECT unnest(range({MINHASH_K})) AS k,
                   unnest([{_A_LIST}]) AS a,
@@ -127,28 +125,15 @@ bands AS (SELECT doc_id, k // 4 AS band,
           FROM sig GROUP BY doc_id, k // 4),
 cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
          FROM bands x JOIN bands y
-           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-{_JACCARD_VERIFY_DUCK.format(
-    cand_filter="JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id")}
-SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""",
-    bench=True,
-    tags=("dedup", "lsh"),
-)
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (K=16) + LSH banding (4 bands x 4 rows) near-dup detection,
-    verified with exact Jaccard >= 0.5 on candidates only.
+           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+"""
 
-    Scale path: shingle hash -> 16 min-aggregates in ONE groupBy (single
-    shuffle) -> 4 band keys per doc -> equi-join on (band, key). Never
-    compares docs that share no band. With s=0.5: P(candidate) =
-    1-(1-s^4)^4 ≈ 0.23 at the threshold, ~0.9 at s=0.8 — verification
-    restores exactness.
-    """
-    # tg feeds the signature build AND the verify step; sig feeds both sides
-    # of the bucket self-join — persist both instead of recomputing the
-    # explode+md5 sub-DAG per consumer (at cluster scale: checkpoint the
-    # signature table, it is the natural materialization point).
-    tg = _doc_trigrams(spark, sf_dir).persist()
+
+def lsh_candidates(tg: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs (d1 < d2) from a (doc_id, tg) shingle
+    table: 16 min-aggregates in one groupBy (single shuffle), 4 band keys
+    per doc, equi-join on (band, key). The near-linear candidate generator
+    behind minhash_lsh_pairs and containment_pairs."""
     hs = tg.select("doc_id", F.expr(md5_mod_spark("tg")).alias("h"))
     sig = hs.groupBy("doc_id").agg(*[
         F.min((F.lit(MINHASH_A[k]) * F.col("h") + F.lit(MINHASH_B[k]))
@@ -169,8 +154,36 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .persist())
     x = bands.select(F.col("doc_id").alias("d1"), "band", "bkey")
     y = bands.select(F.col("doc_id").alias("d2"), "band", "bkey")
-    cand = (x.join(y, ["band", "bkey"]).filter(F.col("d1") < F.col("d2"))
+    return (x.join(y, ["band", "bkey"]).filter(F.col("d1") < F.col("d2"))
             .select("d1", "d2").distinct())
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+{_LSH_CAND_CTE_DUCK},
+{_JACCARD_VERIFY_DUCK.format(
+    cand_filter="JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id")}
+SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""",
+    bench=True,
+    tags=("dedup", "lsh"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (K=16) + LSH banding (4 bands x 4 rows) near-dup detection,
+    verified with exact Jaccard >= 0.5 on candidates only.
+
+    Scale path: shingle hash -> 16 min-aggregates in ONE groupBy (single
+    shuffle) -> 4 band keys per doc -> equi-join on (band, key). Never
+    compares docs that share no band. With s=0.5: P(candidate) =
+    1-(1-s^4)^4 ≈ 0.23 at the threshold, ~0.9 at s=0.8 — verification
+    restores exactness.
+    """
+    # tg feeds the signature build AND the verify step — persist it instead
+    # of recomputing the explode+md5 sub-DAG per consumer (at cluster scale:
+    # checkpoint the signature table, the natural materialization point).
+    tg = _doc_trigrams(spark, sf_dir).persist()
+    cand = lsh_candidates(tg)
     return _jaccard_verified(tg, cand, 0.5).orderBy("d1", "d2")
 
 

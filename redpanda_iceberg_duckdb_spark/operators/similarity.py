@@ -200,6 +200,92 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+WITH cs AS (
+  SELECT label, k,
+         sum(cast(floor(cast(x as double) * 1e4) as bigint)) AS s,
+         count(*) AS n
+  FROM (SELECT label, unnest(embedding) x,
+               generate_subscripts(embedding, 1) k FROM embeddings)
+  GROUP BY label, k),
+q AS (SELECT vec_id qid, embedding qe FROM embeddings WHERE vec_id % 100 = 0),
+qd AS (SELECT qid, k, cast(floor(cast(x as double) * 1e4) as bigint) AS qv
+       FROM (SELECT vec_id qid, unnest(embedding) x,
+                    generate_subscripts(embedding, 1) k
+             FROM embeddings WHERE vec_id % 100 = 0)),
+dist AS (SELECT qid, label,
+                cast(sum(cast(qv * n - s as hugeint) * (qv * n - s))
+                     as double) / (cast(n as double) * n) AS dist
+         FROM qd JOIN cs USING (k) GROUP BY qid, label, n),
+probe AS (SELECT qid, label FROM
+            (SELECT qid, label,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY dist, label) rn
+             FROM dist) WHERE rn <= 2),
+pairs AS (SELECT q.qid, e.vec_id cid, q.qe, e.embedding ce
+          FROM q JOIN probe p ON p.qid = q.qid
+               JOIN embeddings e ON e.label = p.label AND e.vec_id <> q.qid),
+{_DOT_DUCK},
+{_NORMS_DUCK},
+sims AS (SELECT qid, cid,
+                round(dot / (nq.nrm * nc.nrm), 6) AS sim
+         FROM dots JOIN norms nq ON nq.vec_id = qid
+                   JOIN norms nc ON nc.vec_id = cid)
+SELECT qid, cid, sim, rank FROM
+  (SELECT qid, cid, sim,
+          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) rank
+   FROM sims)
+WHERE rank <= 5
+ORDER BY qid, rank""",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query searches its TWO nearest coarse
+    cells by true centroid distance (not just its own cell) — the standard
+    recall lever when the query sits near a cell boundary. Centroid
+    distances are computed in scaled-integer arithmetic
+    (sum_k (floor(q_k*1e4)*n - S_k)^2 with S_k the cell's scaled coordinate
+    sum, n its size), exact in both engines, so probe selection — and hence
+    the candidate set — is bit-identical cross-engine. Candidates then score
+    through the same exact-dot machinery as ann_ivf_topk. At scale the
+    centroid table is tiny (cells x dims) and broadcasts; candidate volume
+    doubles versus nprobe=1, a recall/cost dial, never a correctness one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _norms(emb)
+    cs = (emb.select("label", F.posexplode("embedding").alias("k", "x"))
+          .groupBy("label", "k")
+          .agg(F.sum(F.floor(F.col("x").cast("double") * 1e4).cast("long"))
+               .alias("s"),
+               F.count(F.lit(1)).alias("n")))
+    cent = (cs.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("k", "s"))).alias("ks"),
+                 F.max("n").alias("n"))
+            .select("label",
+                    F.expr("transform(ks, t -> t.s)").alias("s_arr"), "n"))
+    q = (emb.filter(F.col("vec_id") % 100 == 0)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    term = ("cast(cast(floor(cast(x as double) * 1e4) as bigint) * n - s "
+            "as decimal(19,0))")
+    dist = (q.crossJoin(F.broadcast(cent))
+            .select("qid", "label", F.expr(
+                f"cast(aggregate(zip_with(qe, s_arr, (x, s) -> "
+                f"{term} * {term}), cast(0 as decimal(38,0)), "
+                "(acc, v) -> acc + v) as double) "
+                "/ (cast(n as double) * n)").alias("dist")))
+    probe = (dist.withColumn("rn", F.row_number().over(
+                W.partitionBy("qid").orderBy("dist", "label")))
+             .filter(F.col("rn") <= 2).select("qid", "label"))
+    pairs = (emb.select(F.col("vec_id").alias("cid"), "label",
+                        F.col("embedding").alias("ce"))
+             .join(F.broadcast(q.join(probe, "qid")), "label")
+             .filter(F.col("cid") != F.col("qid")))
+    dots = pairs.select("qid", "cid",
+                        dot_int64("qe", "ce").cast("double").alias("dot"))
+    return _ranked_topk(_sims_from_dots(dots, norms), 5).orderBy("qid", "rank")
+
+
+@register(
     "embedding_near_dup_pairs",
     oracle=f"""
 WITH sig AS (SELECT vec_id, embedding,

@@ -58,3 +58,36 @@ def test_bucketed_join_avoids_shuffle(spark, sf_smoke, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_smoke, tmp_path):
+    """zorder_write must produce files whose min/max ranges are tight on
+    BOTH interleaved dimensions (that's what makes parquet min/max stats
+    prune scans filtered on either column). A plain write gives every file
+    ~the full range; z-ordered files must average well under half of it."""
+    import glob
+
+    from redpanda_iceberg_duckdb_spark.operators.sampling_packing import (
+        zorder_write)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", F.floor(F.col("value") / 2).alias("vbucket"))
+    out = str(tmp_path / "zorder")
+    zorder_write(e, out, "user_id", "vbucket", files=16)
+
+    glo = e.agg(F.max("user_id") - F.min("user_id"),
+                F.max("vbucket") - F.min("vbucket")).collect()[0]
+    u_span, v_span = float(glo[0]), float(glo[1])
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 8
+    u_widths, v_widths = [], []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.max("user_id") - F.min("user_id"),
+            F.max("vbucket") - F.min("vbucket")).collect()[0]
+        u_widths.append(float(r[0])); v_widths.append(float(r[1]))
+    # average per-file span must shrink on BOTH dims simultaneously
+    assert sum(u_widths) / len(u_widths) <= 0.55 * u_span, (u_widths, u_span)
+    assert sum(v_widths) / len(v_widths) <= 0.55 * v_span, (v_widths, v_span)

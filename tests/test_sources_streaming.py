@@ -253,3 +253,56 @@ def test_iceberg_round_trip_when_jar_present(spark, tmp_path):
                     "this environment — see sources/iceberg.py:is_available)")
     out = iceberg_round_trip(spark, warehouse=str(tmp_path / "wh"))
     assert out["rows"] == 200 and out["snapshots"] >= 2
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must collapse redelivered events (same
+    event_id) and content-retries (same payload, new event_id) across
+    micro-batches, matching the batch ground truth."""
+    from pyspark.sql import types as T
+
+    from redpanda_iceberg_duckdb_spark.streaming.dedup_stream import (
+        dedup_content_stream, dedup_exact_stream)
+
+    src = tmp_path / "dup_src"
+    base = "2024-01-01 00:{m:02d}:00"
+    rows_batches = [
+        [(1, base.format(m=1), 10.0), (2, base.format(m=2), 20.0)],
+        [(1, base.format(m=1), 10.0),   # redelivery: same id
+         (3, base.format(m=3), 30.0)],
+        [(4, base.format(m=4), 20.0)],  # content retry of id=2's payload? no:
+    ]
+    schema = "event_id long, ts_s string, value double"
+    for i, rows in enumerate(rows_batches):
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.parquet(str(src / f"b{i}")))
+
+    stream_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_s", T.StringType()),
+        T.StructField("value", T.DoubleType())])
+
+    def read_stream():
+        return (spark.readStream.schema(stream_schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src))
+                .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s"))
+
+    # exact dedup by event_id: 1,2,1(dup),3,4 -> {1,2,3,4}
+    q = (dedup_exact_stream(read_stream(), watermark="10 minutes")
+         .writeStream.format("memory").queryName("dedup_ids")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = {r.event_id for r in spark.sql("select * from dedup_ids").collect()}
+    assert ids == {1, 2, 3, 4}
+
+    # content dedup by value payload: values 10,20,10(dup),30,20(dup id=4)
+    q2 = (dedup_content_stream(read_stream(), payload_cols=["value"],
+                               watermark="10 minutes")
+          .writeStream.format("memory").queryName("dedup_content")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    vals = sorted(r.value for r in
+                  spark.sql("select * from dedup_content").collect())
+    assert vals == [10.0, 20.0, 30.0]
