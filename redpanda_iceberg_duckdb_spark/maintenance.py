@@ -73,3 +73,32 @@ def expire_snapshots(base: str, *, keep: int = 2) -> list[str]:
     for d in victims:
         shutil.rmtree(d)
     return victims
+
+
+def apply_deletions(spark: SparkSession, data_path: str, out_path: str, *,
+                    tombstones: DataFrame, key_col: str) -> tuple[int, int]:
+    """Right-to-be-forgotten pass: rewrite ``data_path`` without any row
+    whose ``key_col`` appears in ``tombstones`` (a small keyed DataFrame —
+    broadcast onto the scan, so the pass is one read + one write, no
+    shuffle). Returns (rows_before, rows_after). The Iceberg/Delta
+    equivalent is DELETE WHERE + rewrite_data_files; on plain parquet the
+    rewrite IS the delete.
+
+    Write lands in ``out_path`` (never in place): the caller swaps paths or
+    pointers after validating counts, the same crash-safe two-step as
+    streaming/merge_sink's pointer flip."""
+    df = spark.read.parquet(data_path)
+    before = df.count()
+    keys = tombstones.select(F.col(key_col)).distinct()
+    kept = df.join(F.broadcast(keys), key_col, "left_anti")
+    kept.write.mode("overwrite").parquet(out_path)
+    after = spark.read.parquet(out_path).count()
+    return before, after
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant read: files written before a column was
+    added coexist with files written after; mergeSchema unions the schemas
+    and back-fills nulls for missing columns — the plain-parquet analogue of
+    Iceberg's add-column evolution (old data files simply lack the field)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

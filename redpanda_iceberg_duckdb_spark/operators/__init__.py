@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     dedup,
     sampling_packing,  # stratified sample / sequence packing / z-order
     contamination,     # decontamination / repetition / containment
+    incremental,       # materialized-rollup delta refresh
     analytics,
     arrays,
     asof,

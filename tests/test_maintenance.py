@@ -66,3 +66,41 @@ def test_expire_snapshots_keep_zero_drops_all_but_current(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         expire_snapshots(base, keep=-1)
+
+
+def test_apply_deletions_removes_only_tombstoned_keys(spark, sf_smoke, tmp_path):
+    from redpanda_iceberg_duckdb_spark.maintenance import apply_deletions
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    src = str(tmp_path / "users_data")
+    load_table(spark, sf_smoke, "events").write.parquet(src)
+    doomed = spark.createDataFrame([(3,), (7,), (11,)], "user_id long")
+    out = str(tmp_path / "after_delete")
+    before, after = apply_deletions(spark, src, out,
+                                    tombstones=doomed, key_col="user_id")
+    kept = spark.read.parquet(out)
+    assert kept.filter("user_id in (3, 7, 11)").count() == 0
+    removed = spark.read.parquet(src).filter("user_id in (3, 7, 11)").count()
+    assert removed > 0 and after == before - removed
+
+
+def test_read_evolving_merges_added_column(spark, tmp_path):
+    from redpanda_iceberg_duckdb_spark.maintenance import read_evolving
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string") \
+        .write.parquet(base + "/f1")
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id long, name string, score double") \
+        .write.parquet(base + "/f2")
+    # move part files into one directory (simulating appended batches)
+    import glob as g
+    import shutil
+    os_dir = base + "/all"
+    import os as _os
+    _os.makedirs(os_dir)
+    for i, f in enumerate(g.glob(base + "/f*/part-*.parquet")):
+        shutil.copy(f, f"{os_dir}/part-{i}.parquet")
+    df = read_evolving(spark, os_dir)
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
