@@ -60,7 +60,7 @@ _VERIFY_FIRST = [
     "stratified_sample_by_source", "sequence_packing_bins",
     "morton_zorder_stats", "decontamination_overlap",
     "doc_repetition_score", "containment_pairs", "ann_ivf_multiprobe",
-    "events_hourly_incremental",
+    "events_hourly_incremental", "histogram_quantiles",
     # LSH candidate path refactored in r02 (lsh_candidates extraction)
     "minhash_lsh_pairs",
 ]

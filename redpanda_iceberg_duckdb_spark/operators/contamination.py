@@ -57,7 +57,9 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their worst-offending benchmark doc. The benchmark shingle table
     broadcasts onto the corpus scan — one shuffle (the per-pair count),
     linear in corpus size."""
-    tg = _doc_trigrams(spark, sf_dir)
+    # tg feeds the bench slice, the corpus slice, and the size table —
+    # persist it once instead of re-deriving the explode per consumer.
+    tg = _doc_trigrams(spark, sf_dir).persist()
     bench = tg.filter(F.expr(_BENCH_PRED))
     corp = tg.filter(~F.expr(_BENCH_PRED))
     sz = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

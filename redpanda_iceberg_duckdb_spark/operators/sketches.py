@@ -180,3 +180,60 @@ def hll_lite_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / 0.77351, 0).cast("long").alias("hll_lite_estimate"),
                     "exact_distinct")
             .orderBy("event_type"))
+
+
+@register(
+    "histogram_quantiles",
+    oracle="""
+WITH b AS (
+  SELECT event_type, least(cast(floor(value / 5) as bigint), 99) AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM b),
+qs AS (SELECT unnest([cast(0.5 as double), cast(0.95 as double)]) AS q)
+SELECT event_type, q,
+       round(5.0 * bucket + 5.0 * (q * total - (cum - cnt)) / cnt, 6)
+         AS estimate
+FROM c, qs
+WHERE cum >= q * total AND (cum - cnt) < q * total
+ORDER BY event_type, q""",
+    tags=("sketch", "quantile"),
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles: p50/p95 per event_type estimated from
+    a fixed 100-bucket equi-width histogram (width 5 over [0, 500), tail
+    clamped) with linear interpolation inside the landing bucket — the
+    100 TB quantile answer when percentile_approx's per-group sketches are
+    still too heavy: histogram counts merge by plain addition across
+    partitions, days, or clusters (unlike exact percentiles, which need the
+    data). Deterministic across engines: bucketing is exact floor
+    arithmetic, cumulative counts are integers, and the one interpolation
+    divide is the same IEEE double everywhere."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    b = (e.groupBy("event_type",
+                   F.least(F.floor(F.col("value") / 5).cast("long"),
+                           F.lit(99)).alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    w_cum = (W.partitionBy("event_type").orderBy("bucket")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_all = W.partitionBy("event_type")
+    c = (b.withColumn("cum", F.sum("cnt").over(w_cum))
+         .withColumn("total", F.sum("cnt").over(w_all)))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("q"))
+    target = F.col("q") * F.col("total")
+    return (c.crossJoin(F.broadcast(qs))
+            .filter((F.col("cum") >= target)
+                    & ((F.col("cum") - F.col("cnt")) < target))
+            .select("event_type", "q",
+                    F.round(F.lit(5.0) * F.col("bucket")
+                            + F.lit(5.0) * (target - (F.col("cum") - F.col("cnt")))
+                            / F.col("cnt"), 6).alias("estimate"))
+            .orderBy("event_type", "q"))

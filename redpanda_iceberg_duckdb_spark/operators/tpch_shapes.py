@@ -239,16 +239,23 @@ ORDER BY s_name""",
 def tpch_q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers who dominate (>15% of shipped quantity)
     at least one part — a nested aggregate threshold feeding a semi-join.
-    Both aggregates partition on l_partkey-compatible keys, so the
-    sp⋈pt join is co-partitioned after the first shuffle; the final IN
-    becomes a broadcast left-semi join onto the supplier dimension."""
+    lineitem is scanned ONCE: the per-part total re-aggregates from the
+    (supplier, part) partials (exact — partials stay decimal until the
+    double compare), so the plan is one fact scan + two pipelined
+    aggregates instead of two scans; the final IN becomes a broadcast
+    left-semi join onto the supplier dimension."""
     t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    # sp feeds both the per-part rollup and the threshold join — persist the
+    # partial so the fact table is scanned once, not once per consumer.
     sp = (t["lineitem"].groupBy("l_suppkey", "l_partkey")
-          .agg(dsum("l_quantity", "s_qty")))
-    pt = (t["lineitem"].groupBy("l_partkey")
-          .agg(dsum("l_quantity", "p_qty")))
+          .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+               .alias("s_dec"))
+          .persist())
+    pt = (sp.groupBy("l_partkey")
+          .agg(F.sum("s_dec").alias("p_dec")))
     dominant = (sp.join(pt, "l_partkey")
-                .filter(F.col("s_qty") > F.lit(0.15) * F.col("p_qty"))
+                .filter(F.col("s_dec").cast("double")
+                        > F.lit(0.15) * F.col("p_dec").cast("double"))
                 .select("l_suppkey").distinct())
     return (t["supplier"]
             .join(F.broadcast(t["nation"]),
@@ -284,10 +291,12 @@ LIMIT 10""",
 def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
     multi-supplier orders. The EXISTS / NOT EXISTS pair becomes per-order
-    aggregates (supplier count, late-supplier count) joined back — one pass
-    over lineitem⋈orders, reusing the l_orderkey partitioning for both the
-    per-(order, supplier) and per-order aggregates. 'Late' = shipped more
-    than 60 days after the order date."""
+    WINDOW aggregates (supplier count, late-supplier count over
+    partitionBy(orderkey)) instead of an aggregate re-joined to itself —
+    the fact side is scanned and shuffled once, not twice. 'Late' =
+    shipped more than 60 days after the order date."""
+    from pyspark.sql import Window as W
+
     t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
     flags = (
         t["lineitem"]
@@ -298,10 +307,11 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_shipdate")
                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
                    1).otherwise(0)).alias("late")))
-    per_order = (flags.groupBy("l_orderkey")
-                 .agg(F.count(F.lit(1)).alias("n_supp"),
-                      F.sum("late").alias("n_late")))
-    return (flags.join(per_order, "l_orderkey")
+    w = W.partitionBy("l_orderkey")
+    flagged = (flags
+               .withColumn("n_supp", F.count(F.lit(1)).over(w))
+               .withColumn("n_late", F.sum("late").over(w)))
+    return (flagged
             .filter((F.col("late") == 1) & (F.col("n_supp") >= 2)
                     & (F.col("n_late") == 1))
             .join(F.broadcast(t["supplier"]),
