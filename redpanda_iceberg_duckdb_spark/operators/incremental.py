@@ -61,6 +61,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY hour, event_type
 ORDER BY hour, event_type""",
+    bench=True,
     tags=("incremental", "grouping"),
 )
 def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

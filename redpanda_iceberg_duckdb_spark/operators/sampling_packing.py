@@ -47,6 +47,7 @@ SELECT source, rate_pct,
          AS achieved_pct
 FROM rated GROUP BY source, rate_pct
 ORDER BY source""",
+    bench=True,
     tags=("sampling", "pipeline"),
 )
 def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -202,6 +202,7 @@ SELECT event_type, q,
 FROM c, qs
 WHERE cum >= q * total AND (cum - cnt) < q * total
 ORDER BY event_type, q""",
+    bench=True,
     tags=("sketch", "quantile"),
 )
 def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,3 +51,29 @@ def test_bench_emits_single_json_line(tmp_path):
         assert key in payload
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
+
+
+def test_verify_first_window_contract():
+    """Every query needing a driver-green row this round must sit inside the
+    driver's 50-query correctness window, and every tail query must already
+    have a green row from a previous round's CORRECTNESS file."""
+    import json
+    import os
+
+    names = list(entry_mod.queries())
+    vf = entry_mod._VERIFY_FIRST
+    assert len(vf) <= 50
+    assert set(vf) <= set(names[:50]), set(vf) - set(names[:50])
+    # tail queries must be covered by some earlier round's green row
+    greens = set()
+    for i in range(1, 30):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         f"CORRECTNESS_r{i:02d}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                rows = json.load(f)
+            greens |= {n for n, v in rows.items()
+                       if not v.get("err") and v.get("rows_match")
+                       and v.get("schema_match") and v.get("hash_match")}
+    uncovered = [n for n in names[50:] if n not in greens]
+    assert uncovered == [], uncovered
