@@ -238,3 +238,75 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + F.lit(5.0) * (target - (F.col("cum") - F.col("cnt")))
                             / F.col("cnt"), 6).alias("estimate"))
             .orderBy("event_type", "q"))
+
+
+# Count-Min sketch geometry: 4 independent hash rows x 256 counters.
+_CMS_D, _CMS_W = 4, 256
+
+
+@register(
+    "count_min_heavy_hitters",
+    oracle=f"""
+WITH exact AS (
+  SELECT event_type, user_id, count(*) AS exact_n
+  FROM events GROUP BY 1, 2),
+top5 AS (
+  SELECT event_type, user_id, exact_n FROM
+    (SELECT *, row_number() OVER (PARTITION BY event_type
+                                  ORDER BY exact_n DESC, user_id) rn
+     FROM exact) WHERE rn <= 5),
+cells AS (
+  SELECT event_type, d,
+         {md5_mod_duck("cast(d as varchar) || ':' || cast(user_id as varchar)", _CMS_W)} AS col,
+         count(*) AS c
+  FROM events, unnest(range({_CMS_D})) r(d)
+  GROUP BY 1, 2, 3),
+est AS (
+  SELECT t.event_type, t.user_id, t.exact_n, min(c.c) AS cms_est
+  FROM top5 t
+  JOIN cells c ON c.event_type = t.event_type
+  AND c.col = {md5_mod_duck("cast(c.d as varchar) || ':' || cast(t.user_id as varchar)", _CMS_W)}
+  GROUP BY 1, 2, 3)
+SELECT event_type, user_id, exact_n, cms_est,
+       cms_est >= exact_n AS est_ge_exact
+FROM est ORDER BY event_type, exact_n DESC, user_id""",
+    tags=("sketch", "frequency"),
+)
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: a 4x256 counter grid per
+    event_type (cell = count of rows hashing there; estimate = min over the
+    4 rows) — the mergeable heavy-hitter structure for 100 TB streams:
+    cells merge by addition, size is fixed regardless of key cardinality,
+    and estimates only ever OVER-count (est_ge_exact is provably always
+    true — the oracle hashes identically, so the driver hash-checks that
+    invariant too). Scored here for the exact top-5 users per type so the
+    sketch error is visible next to ground truth."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    exact = (e.groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).alias("exact_n")))
+    top5 = (exact.withColumn("rn", F.row_number().over(
+                W.partitionBy("event_type")
+                .orderBy(F.desc("exact_n"), "user_id")))
+            .filter(F.col("rn") <= 5).drop("rn"))
+    d_vals = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("d")
+    cell_hash = md5_mod_spark(
+        "concat(cast(d as string), ':', cast(user_id as string))", _CMS_W)
+    cells = (e.select("event_type", "user_id").select(
+                "event_type", "user_id", d_vals)
+             .select("event_type", "d", F.expr(cell_hash).alias("col"))
+             .groupBy("event_type", "d", "col")
+             .agg(F.count(F.lit(1)).alias("c")))
+    probe_hash = md5_mod_spark(
+        "concat(cast(d as string), ':', cast(user_id as string))", _CMS_W)
+    probes = (top5.select("event_type", "user_id", "exact_n", d_vals)
+              .select("event_type", "user_id", "exact_n", "d",
+                      F.expr(probe_hash).alias("col")))
+    est = (cells.join(F.broadcast(probes), ["event_type", "d", "col"])
+           .groupBy("event_type", "user_id", "exact_n")
+           .agg(F.min("c").alias("cms_est")))
+    return (est.select("event_type", "user_id", "exact_n", "cms_est",
+                       (F.col("cms_est") >= F.col("exact_n"))
+                       .alias("est_ge_exact"))
+            .orderBy("event_type", F.desc("exact_n"), "user_id"))
