@@ -104,3 +104,22 @@ def test_q22_style_prunes_orders_to_custkey(spark, sf_smoke):
     assert "LeftAnti" in plan
     schema = plans.scan_read_schema(df, "orders")
     assert "o_totalprice" not in schema and "o_custkey" in schema
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_smoke):
+    """The benchmark shingle table must broadcast onto the corpus scan — a
+    shuffled corpus-vs-benchmark join would defeat the linear-cost design."""
+    df = _q(spark, sf_smoke, "decontamination_overlap")
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_cms_probes_broadcast(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "count_min_heavy_hitters")
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_incremental_rollup_prunes_and_pushes_cutoff(spark, sf_smoke):
+    """Both branches of the incremental rollup push their ts-cutoff filters
+    to the parquet scan."""
+    df = _q(spark, sf_smoke, "events_hourly_incremental")
+    assert plans.has_pushed_filter(df, "ts")
