@@ -61,7 +61,7 @@ _VERIFY_FIRST = [
     "morton_zorder_stats", "decontamination_overlap",
     "doc_repetition_score", "containment_pairs", "ann_ivf_multiprobe",
     "events_hourly_incremental", "histogram_quantiles",
-    "count_min_heavy_hitters",
+    "count_min_heavy_hitters", "range_join_error_proximity",
     # LSH candidate path refactored in r02 (lsh_candidates extraction)
     "minhash_lsh_pairs",
 ]

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     sampling_packing,  # stratified sample / sequence packing / z-order
     contamination,     # decontamination / repetition / containment
     incremental,       # materialized-rollup delta refresh
+    range_join,        # bucketed range join (no nested-loop scans)
     analytics,
     arrays,
     asof,

@@ -123,3 +123,13 @@ def test_incremental_rollup_prunes_and_pushes_cutoff(spark, sf_smoke):
     to the parquet scan."""
     df = _q(spark, sf_smoke, "events_hourly_incremental")
     assert plans.has_pushed_filter(df, "ts")
+
+
+def test_range_join_avoids_nested_loop(spark, sf_smoke):
+    """The pure-range-predicate join must plan as a hash join on the time
+    bucket — no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    df = _q(spark, sf_smoke, "range_join_error_proximity")
+    plan = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS still a join, just equi-bucketed
