@@ -30,4 +30,6 @@ from . import (  # noqa: F401
     sketches,
     grouping,
     text,
+    lexicon,         # vocab growth / novelty / entropy / modal tokens
+    profiling,       # single-scan column profile, weighted quantiles
 )

@@ -1,0 +1,174 @@
+"""Corpus-level lexical analysis: vocabulary growth (Heaps-law curve),
+per-document token novelty, token-distribution entropy, and modal tokens.
+
+These are the corpus statistics a training-data pipeline computes before
+and after dedup/filtering (vocabulary saturation tells you when more data
+stops adding new tokens; novelty flags documents that are recombinations
+of already-seen vocabulary; entropy is a cheap diversity score).
+
+Scale notes (100 TB stance):
+- Everything reduces to token explosion -> hash aggregation. The first-seen
+  aggregate (`min(doc_id) per token`) is ONE shuffle keyed by token with
+  map-side partial mins; vocabulary is sublinear in corpus size (Heaps'
+  law), so the reduce side stays small even at 100 TB.
+- Novelty joins first-seen back to per-doc distinct tokens on the token
+  key — an equi-join between two already-token-partitioned frames, so AQE
+  can plan it without an extra exchange of the big side.
+- No Python UDFs; split/explode/ln are all JVM-side codegen.
+
+Reference parity: the reference has no text operators at all (its corpus
+surface is /root/reference/duckdb/query_and_publish.py:107-122 trade
+aggregates); this module is additive LLM-pipeline coverage per the build
+brief, same fixture contract as operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# Distinct (doc_id, token) pairs; dedup happens before the first-seen agg so
+# a token repeated within one doc counts once.
+_TOK_CTE_DUCK = """
+w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+first_seen AS (SELECT tok, min(doc_id) AS first_doc FROM w GROUP BY tok)
+"""
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .distinct())
+
+
+def _first_seen(tokens: DataFrame) -> DataFrame:
+    return tokens.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+
+
+@register(
+    "vocab_growth_by_bucket",
+    oracle=f"""
+WITH {_TOK_CTE_DUCK}
+SELECT first_doc, count(*) AS new_tokens,
+       min(tok) AS first_token, max(tok) AS last_token
+FROM first_seen GROUP BY first_doc ORDER BY first_doc""",
+    tags=("text", "vocab"),
+)
+def vocab_growth_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: which documents (in doc_id order)
+    introduced NEVER-BEFORE-SEEN tokens, how many, and the alphabetic
+    min/max of what they introduced. One shuffle: min(doc_id) per token
+    with map-side partial mins; the rollup runs over the vocabulary frame,
+    which Heaps' law keeps sublinear in corpus size, so the result is
+    bounded by |vocab| rows even at 100 TB."""
+    fs = _first_seen(_doc_tokens(spark, sf_dir))
+    return (fs.groupBy("first_doc")
+            .agg(F.count(F.lit(1)).alias("new_tokens"),
+                 F.min("tok").alias("first_token"),
+                 F.max("tok").alias("last_token"))
+            .orderBy("first_doc"))
+
+
+@register(
+    "token_novelty_ratio",
+    oracle=f"""
+WITH {_TOK_CTE_DUCK},
+per_doc AS (
+  SELECT w.doc_id,
+         count(*) AS n_distinct,
+         sum(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END) AS n_new
+  FROM w JOIN first_seen f USING (tok)
+  GROUP BY w.doc_id)
+SELECT doc_id, n_distinct, n_new,
+       round(cast(n_new as double) / n_distinct, 6) AS novelty
+FROM per_doc ORDER BY doc_id""",
+    tags=("text", "vocab", "join"),
+)
+def token_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct tokens whose
+    FIRST corpus occurrence is this doc. Low-novelty documents are vocab
+    recombinations — prime dedup/filter candidates. The join is token-keyed
+    between two frames already partitioned by token (the explode output and
+    the first-seen aggregate), so only one side exchanges; the ratio is a
+    true quotient of small ints -> round(…,6) is midpoint-safe cross-engine."""
+    toks = _doc_tokens(spark, sf_dir)
+    joined = toks.join(_first_seen(toks), "tok")
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_distinct"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                       .otherwise(0)).alias("n_new"))
+            .select("doc_id", "n_distinct", "n_new",
+                    F.round(F.col("n_new").cast("double")
+                            / F.col("n_distinct"), 6).alias("novelty"))
+            .orderBy("doc_id"))
+
+
+@register(
+    "token_entropy_by_source",
+    oracle="""
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM w GROUP BY source, tok),
+s AS (SELECT source, sum(c) AS n_tokens, count(*) AS n_distinct,
+             sum(c * ln(c)) AS slc
+      FROM c GROUP BY source)
+SELECT source, n_tokens, n_distinct,
+       round(ln(n_tokens) - slc / n_tokens, 6) AS entropy
+FROM s ORDER BY source""",
+    tags=("text", "entropy"),
+)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy (nats) of the token distribution per source —
+    the standard cheap diversity score for corpus slices. Uses the
+    ln-decomposition H = ln(N) - Σ c·ln(c) / N so the inner aggregate needs
+    only per-token counts (map-side combine), no per-token probability
+    column. Two shuffles, the second over |sources| rows. Cross-engine: the
+    double Σ c·ln(c) is order-dependent only in the last ulp over ~dozens of
+    terms; round(…,6) absorbs it."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (d.select("source",
+                       F.explode(F.split("text", " ")).alias("tok"))
+              .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c")))
+    return (counts.groupBy("source")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.sum(F.col("c") * F.log(F.col("c"))).alias("slc"))
+            .select("source", "n_tokens", "n_distinct",
+                    F.round(F.log(F.col("n_tokens"))
+                            - F.col("slc") / F.col("n_tokens"), 6)
+                    .alias("entropy"))
+            .orderBy("source"))
+
+
+@register(
+    "mode_token_per_source",
+    oracle="""
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM w GROUP BY source, tok),
+r AS (SELECT source, tok, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, tok) AS rn
+      FROM c)
+SELECT source, tok AS top_token, c AS occurrences
+FROM r WHERE rn = 1 ORDER BY source""",
+    tags=("text", "mode", "window"),
+)
+def mode_token_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal (most frequent) token per source with a deterministic
+    count-desc, token-asc tie-break. The window runs over the per-token
+    COUNT frame (vocabulary-sized, not corpus-sized) — at 100 TB the
+    row_number partition is |vocab per source|, never |tokens|."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (d.select("source",
+                       F.explode(F.split("text", " ")).alias("tok"))
+              .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c")))
+    w = W.partitionBy("source").orderBy(F.desc("c"), "tok")
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("source", F.col("tok").alias("top_token"),
+                    F.col("c").alias("occurrences"))
+            .orderBy("source"))

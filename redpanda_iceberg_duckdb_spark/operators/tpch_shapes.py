@@ -362,3 +362,93 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numcust"),
                  dsum("c_acctbal", "totacctbal"))
             .orderBy("c_mktsegment"))
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       cast(sum(cast(l_extendedprice as decimal(12,2))
+                * (1 - cast(l_discount as decimal(12,2)))
+                - cast(p_retailprice as decimal(12,2))
+                  * cast(l_quantity as decimal(12,2))
+                  * cast(0.6 as decimal(12,2))) as double) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC""",
+    tags=("tpch", "multi_join", "agg"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year,
+    /root/reference has no joins — additive per SURVEY.md §2.3): profit =
+    revenue - cost, where cost re-anchors ps_supplycost (no partsupp table)
+    as 60% of p_retailprice. part/supplier/nation broadcast; the only
+    shuffles are the lineitem<->orders key join and the final small
+    (nation, year) aggregate. The name LIKE filter prunes the broadcast
+    part side BEFORE the join, so the fact scan drops non-matching rows at
+    the earliest join. Exact decimal products (scale 6) summed then cast to
+    double -> bit-equal across engines while |v*1e6| < 2^53."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation",
+                    "orders")
+    d = "decimal(12,2)"
+    profit = (
+        F.col("l_extendedprice").cast(d)
+        * (F.lit(1) - F.col("l_discount").cast(d))
+        - F.col("p_retailprice").cast(d) * F.col("l_quantity").cast(d)
+        * F.lit(0.6).cast(d))
+    return (t["lineitem"]
+            .join(F.broadcast(t["part"]
+                              .filter(F.col("p_name").like("%gear%"))
+                              .select("p_partkey", "p_retailprice")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(t["supplier"]
+                              .select("s_suppkey", "s_nationkey")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(t["nation"]), 
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(t["orders"].select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(profit).cast("double").alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= timestamp '1997-01-01'
+  AND l_shipdate < timestamp '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+    tags=("tpch", "join", "conditional_agg"),
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classification): conditional
+    counts of high/low-priority order lines per lineitem attribute within a
+    ship-date year. l_shipmode/commitdate are absent from the fixtures, so
+    the group key re-anchors on l_returnflag — the plan shape (fact-fact
+    equi-join + CASE-bucketed counts) is identical. The date range is pushed
+    to the lineitem parquet scan; both CASE branches come out of ONE
+    aggregate pass (map-side partials), not two filtered scans."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (t["lineitem"]
+            .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+            .select("l_orderkey", "l_returnflag")
+            .join(t["orders"].select("o_orderkey", "o_orderpriority"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("l_returnflag"))

@@ -133,3 +133,42 @@ def test_range_join_avoids_nested_loop(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # it IS still a join, just equi-bucketed
+
+
+def test_q9_broadcasts_dims_single_fact_shuffle_join(spark, sf_smoke):
+    """Q9 analogue: part/supplier/nation broadcast; the only shuffled join
+    is lineitem x orders, and the p_name filter prunes part BEFORE the join."""
+    df = _q(spark, sf_smoke, "tpch_q9_product_profit")
+    assert plans.broadcast_join_count(df) >= 3
+    plan = plans.physical_plan(df)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q12_pushes_shipdate_range_and_prunes(spark, sf_smoke):
+    df = _q(spark, sf_smoke, "tpch_q12_priority_shipping")
+    assert plans.has_pushed_filter(df, "l_shipdate")
+    schema = plans.scan_read_schema(df, "lineitem")
+    assert "l_extendedprice" not in schema and "l_partkey" not in schema
+    oschema = plans.scan_read_schema(df, "orders")
+    assert "o_totalprice" not in oschema
+
+
+def test_profile_orders_single_scan(spark, sf_smoke):
+    """The multi-column profile must read the orders file once — one scan
+    node — even with 6 per-column distinct aggregates (Expand-based plan)."""
+    df = _q(spark, sf_smoke, "profile_orders")
+    import re
+    scans = re.findall(r"^\(\d+\) Scan parquet", plans.physical_plan(df),
+                       flags=re.M)
+    assert len(scans) == 1
+
+
+def test_weighted_median_window_over_preaggregated_values(spark, sf_smoke):
+    """The cumulative window must consume the (type, value) weight aggregate,
+    not raw events: a HashAggregate appears below the Window in the plan."""
+    df = _q(spark, sf_smoke, "weighted_median_by_type")
+    plan = plans.physical_plan(df)
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
