@@ -32,4 +32,6 @@ from . import (  # noqa: F401
     text,
     lexicon,         # vocab growth / novelty / entropy / modal tokens
     profiling,       # single-scan column profile, weighted quantiles
+    curation,        # mixture allocation, filter funnel, top-p, sampling
+    timeseries,      # hourly gap-fill / interpolation / moving stats
 )
