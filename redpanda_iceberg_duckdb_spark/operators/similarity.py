@@ -344,3 +344,108 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sim"))
         .orderBy("v1", "v2")
     )
+
+
+@register(
+    "cluster_quality_silhouette",
+    oracle=f"""
+WITH per AS (
+  SELECT label, vec_id,
+         cast(sum(cast(floor(cast(x AS double) * cast(x AS double)
+                             * {_SCALE}) AS bigint)) AS bigint) AS sn
+  FROM (SELECT label, vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY label, vec_id),
+stats AS (SELECT label, count(*) AS n, cast(sum(sn) AS bigint) AS sn_sum
+          FROM per GROUP BY label),
+cent AS (
+  SELECT label, i AS dim,
+         cast(floor(cast(sum(cast(cast(x AS double) AS decimal(20,12)))
+                         AS double) / count(*) * 1e6) AS bigint) AS cq
+  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding) AS x FROM embeddings)
+  GROUP BY label, i),
+gram AS (SELECT a.label AS l, b.label AS m,
+                cast(sum(a.cq * b.cq) AS bigint) AS g
+         FROM cent a JOIN cent b USING (dim) GROUP BY 1, 2),
+d AS (
+  SELECT s.label AS l, gr.m,
+         cast(s.sn_sum AS double) / s.n - 2 * gr.g + o.g AS dist2
+  FROM stats s
+  JOIN gram gr ON gr.l = s.label
+  JOIN gram o ON o.l = gr.m AND o.m = gr.m),
+nearest AS (
+  SELECT l, m, dist2,
+         row_number() OVER (PARTITION BY l ORDER BY dist2, m) AS rn
+  FROM d WHERE l <> m)
+SELECT a.l AS label, s.n AS n_vectors,
+       round(a.dist2 / {_SCALE}, 6) AS intra_d2,
+       r.m AS nearest_label,
+       round(r.dist2 / {_SCALE}, 6) AS inter_d2,
+       round((r.dist2 - a.dist2) / greatest(r.dist2, a.dist2), 6)
+           AS silhouette
+FROM d a
+JOIN nearest r ON r.l = a.l AND r.rn = 1
+JOIN stats s ON s.label = a.l
+WHERE a.l = a.m
+ORDER BY label""",
+    tags=("similarity", "clustering", "quality"),
+)
+def cluster_quality_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette cluster quality per label: intra = mean squared
+    distance of members to their own centroid, inter = squared distance to
+    the NEAREST other centroid, silhouette = (inter-intra)/max — the audit
+    that tells you whether the IVF coarse quantizer's cells are tight before
+    trusting nprobe=1 ANN.
+
+    The O(N*L) member-to-centroid distance matrix is never built: with
+    ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 and mean_x(x) = own centroid, the
+    whole thing collapses to per-label scalars (mean squared norm) plus the
+    L x L centroid gram matrix — one pass over vectors, one posexplode
+    aggregate for centroids, then dimension-sized joins. Determinism:
+    squared norms are floor-scaled int64 sums (order-free); centroids are
+    exact-decimal means quantized to 1e-6 before the gram product, so every
+    double here is the same IEEE value in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per = emb.select("label",
+                     dot_int64("embedding", "embedding").alias("sn"))
+    stats = per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sn").alias("sn_sum"))
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    cent = (ex.groupBy("label", "dim")
+            .agg(F.floor(
+                    F.sum(F.col("x").cast("double").cast("decimal(20,12)"))
+                     .cast("double") / F.count(F.lit(1)) * 1e6)
+                 .cast("long").alias("cq")))
+    a = cent.select(F.col("label").alias("l"), "dim", F.col("cq").alias("cqa"))
+    b = cent.select(F.col("label").alias("m"), "dim", F.col("cq").alias("cqb"))
+    gram = (a.join(b, "dim")
+            .groupBy("l", "m")
+            .agg(F.sum(F.col("cqa") * F.col("cqb")).alias("g")))
+    own = gram.filter(F.col("l") == F.col("m")) \
+              .select(F.col("l").alias("m2"), F.col("g").alias("g_own"))
+    d = (stats.join(gram, stats["label"] == gram["l"])
+         .join(own, gram["m"] == own["m2"])
+         .select("l", "m",
+                 (F.col("sn_sum").cast("double") / F.col("n")
+                  - 2 * F.col("g") + F.col("g_own")).alias("dist2")))
+    nearest = (d.filter(F.col("l") != F.col("m"))
+               .withColumn("rn", F.row_number().over(
+                   W.partitionBy("l").orderBy("dist2", "m")))
+               .filter(F.col("rn") == 1)
+               .select(F.col("l").alias("ln"),
+                       F.col("m").alias("nearest_label"),
+                       F.col("dist2").alias("inter")))
+    intra = (d.filter(F.col("l") == F.col("m"))
+             .select(F.col("l").alias("la"), F.col("dist2").alias("intra")))
+    scale = float(1e12)
+    return (intra.join(nearest, intra["la"] == nearest["ln"])
+            .join(stats, intra["la"] == stats["label"])
+            .select(F.col("la").alias("label"),
+                    F.col("n").alias("n_vectors"),
+                    F.round(F.col("intra") / scale, 6).alias("intra_d2"),
+                    "nearest_label",
+                    F.round(F.col("inter") / scale, 6).alias("inter_d2"),
+                    F.round((F.col("inter") - F.col("intra"))
+                            / F.greatest("inter", "intra"), 6)
+                    .alias("silhouette"))
+            .orderBy("label"))

@@ -452,3 +452,34 @@ def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
                  F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
             .orderBy("l_returnflag"))
+
+
+@register(
+    "lateral_topk_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o ON true
+WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+    tags=("tpch", "lateral", "topk"),
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k: each customer's 3 most expensive orders,
+    written as SQL with JOIN LATERAL ... LIMIT (the per-row-subquery shape
+    DuckDB users reach for). Catalyst DECORRELATES it — the physical plan is
+    WindowGroupLimit (partial per-key top-k before the shuffle) feeding a
+    broadcast hash join, i.e. exactly the plan you'd hand-write with a
+    window; no per-customer re-execution exists at any scale. Registered
+    through spark.sql to pin the SQL surface, not just the DataFrame API."""
+    load_tables(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")

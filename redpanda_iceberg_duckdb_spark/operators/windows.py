@@ -194,3 +194,73 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") <= 15).drop("rn")
         .orderBy("event_type", "pct_rank", "event_id")
     )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3, count(*) AS n
+FROM p WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20""",
+    tags=("window", "sequence", "path"),
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral paths: trigrams of consecutive event types per user
+    in event-time order (the sequence-mining primitive behind funnel
+    discovery and next-action models). One shuffle on user_id + partition
+    sort for the leads; the trigram aggregate is map-side combinable over
+    |types|^3 keys and the final top-k plans as TakeOrderedAndProject —
+    nothing in this plan grows with user count beyond the one exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_ORDER())
+    p = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (p.filter(F.col("e3").isNotNull())
+            .groupBy("e1", "e2", "e3")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "e1", "e2", "e3")
+            .limit(20))
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+WITH p AS (
+  SELECT event_type AS src, lead(event_type) OVER w AS dst
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT src, dst, count(*) AS n FROM p
+      WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n,
+       round(n * 1.0 / cast(sum(n) OVER (PARTITION BY src) as bigint), 6)
+           AS p_transition
+FROM c ORDER BY src, dst""",
+    tags=("window", "sequence", "markov"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next type | current type) with exact integer counts and a true-quotient
+    probability (round 6, midpoint-safe). The normalizing window runs over
+    the |types|^2 aggregate, not raw events."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_ORDER())
+    p = e.select(F.col("event_type").alias("src"),
+                 F.lead("event_type").over(w).alias("dst"))
+    c = (p.filter(F.col("dst").isNotNull())
+         .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    return (c.select(
+                "src", "dst", "n",
+                F.round(F.col("n")
+                        / F.sum("n").over(W.partitionBy("src")), 6)
+                .alias("p_transition"))
+            .orderBy("src", "dst"))

@@ -172,3 +172,28 @@ def test_weighted_median_window_over_preaggregated_values(spark, sf_smoke):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_smoke):
+    """JOIN LATERAL ... LIMIT must decorrelate: the physical plan is a
+    WindowGroupLimit partial top-k + one hash join — no per-outer-row
+    subquery re-execution (which would be a nested loop)."""
+    df = _q(spark, sf_smoke, "lateral_topk_orders")
+    plan = plans.physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_quality_never_builds_member_x_centroid_matrix(
+        spark, sf_smoke):
+    """The silhouette decomposition must keep joins dimension-sized: no join
+    input may carry the embedding column (the N x L distance matrix is
+    algebraically eliminated, not computed)."""
+    df = _q(spark, sf_smoke, "cluster_quality_silhouette")
+    rows = df.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.nearest_label != r.label
+        assert -1.0 <= r.silhouette <= 1.0
+        assert r.intra_d2 > 0 and r.inter_d2 > 0
