@@ -86,6 +86,7 @@ _PENDING_NEXT_WINDOW = [
     "gap_fill_hourly", "hourly_moving_stats",
     "event_path_trigrams", "event_type_transitions",
     "cluster_quality_silhouette",
+    "mad_outliers_by_type", "chi2_priority_seasonality",
 ]
 
 

@@ -34,4 +34,5 @@ from . import (  # noqa: F401
     profiling,       # single-scan column profile, weighted quantiles
     curation,        # mixture allocation, filter funnel, top-p, sampling
     timeseries,      # hourly gap-fill / interpolation / moving stats
+    robust,          # MAD outliers, chi-square independence
 )

@@ -261,14 +261,16 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint, min-doc_id survivor — same key as dedup_exact_survivors)
     THEN the quality funnel, reported per source. This is the query a
     pipeline runs to sign off a training mix: how much survived dedup, how
-    much survived filtering, and how many tokens remain. One fingerprint
-    aggregate + one dimension-small self-join on the survivor ids + one
-    scan-level funnel CASE — no quadratic step anywhere."""
+    much survived filtering, and how many tokens remain. Survivors come
+    from ONE window rank over the fingerprint key (rn = 1 in doc_id order —
+    Spark plans a WindowGroupLimit partial top-1 before the exchange), NOT
+    a min-aggregate joined back, so the corpus crosses the wire once; the
+    funnel CASE is scan-level and the final rollup is |sources|-sized."""
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     fp = d.select("doc_id", "source", "text", "lang", F.md5(norm).alias("fp"))
-    surv = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    kept = (fp.join(surv, fp["doc_id"] == surv["keep_id"])
+    rn = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    kept = (fp.withColumn("rn", rn).filter(F.col("rn") == 1)
             .select("source",
                     F.size(F.split(F.col("text"), " ")).alias("n_tok"),
                     _funnel_stage_spark().alias("stage")))

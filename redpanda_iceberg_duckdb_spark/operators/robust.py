@@ -1,0 +1,149 @@
+"""Robust / inferential statistics: MAD-based outlier detection and a
+chi-square independence test — the distribution-free QA checks a pipeline
+runs when z-scores (operators/analytics.py zscore_outliers) are too brittle
+for heavy-tailed data.
+
+Scale notes (100 TB stance):
+- `mad_outliers_by_type` is the canonical two-pass robust aggregate: pass 1
+  computes per-group medians (one shuffle), which join back BROADCAST
+  (|groups| rows) so pass 2 is another single shuffle — no sort of the
+  whole table, no driver state. Exact interpolated percentiles are heavier
+  than a t-digest at extreme group counts; for bounded group cardinality
+  (here: event types) exact is the right trade.
+- `chi2_priority_seasonality` reduces the fact table to an R x C
+  contingency matrix in one aggregate pass; everything after runs on
+  dimension-sized frames.
+
+Cross-engine determinism: medians interpolate identically (Spark
+`percentile` == DuckDB `quantile_cont`); chi-square cell terms are doubles
+computed from identical inputs, then rounded and summed as DECIMAL so the
+total is order-independent — the trick for any "sum of doubles" that must
+be bit-stable across engines and partitionings.
+
+Reference parity: the reference has no statistics surface (SURVEY.md
+section 2.4 lists plain aggregates only); additive coverage per the build
+brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# scale factor making MAD comparable to a standard deviation under normality
+_MAD_K = 1.4826
+
+
+@register(
+    "mad_outliers_by_type",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type, med)
+SELECT d.event_type,
+       round(m.med, 4) AS median_value,
+       round(m.mad, 4) AS mad,
+       count(*) AS n,
+       sum(CASE WHEN d.adev > 3 * {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+           AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, m.med, m.mad
+ORDER BY d.event_type""",
+    tags=("robust", "outliers", "percentile"),
+)
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type: a value is an
+    outlier when |v - median| > 3 * 1.4826 * MAD (the robust analogue of
+    3 sigma, immune to the outliers it hunts — unlike zscore_outliers,
+    whose mean/stddev the outliers themselves drag). Two aggregate passes
+    with a broadcast medians join between them; exact interpolated medians
+    are identical IEEE doubles in both engines, so even boundary
+    comparisons agree."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (e.join(F.broadcast(med), "event_type")
+           .select("event_type", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    out = (dev.join(F.broadcast(mad.select("event_type", "mad")),
+                    "event_type")
+           .groupBy("event_type", "med", "mad")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("adev") > 3 * _MAD_K * F.col("mad"), 1)
+                      .otherwise(0)).alias("n_outliers")))
+    return (out.select("event_type",
+                       F.round("med", 4).alias("median_value"),
+                       F.round("mad", 4).alias("mad"),
+                       "n", "n_outliers")
+            .orderBy("event_type"))
+
+
+@register(
+    "chi2_priority_seasonality",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS pri, month(o_orderdate) AS mon,
+         count(*) AS o
+  FROM orders GROUP BY 1, 2),
+rt AS (SELECT pri, cast(sum(o) AS bigint) AS rt FROM cells GROUP BY pri),
+ct AS (SELECT mon, cast(sum(o) AS bigint) AS ct FROM cells GROUP BY mon),
+n AS (SELECT cast(sum(o) AS bigint) AS n FROM cells),
+terms AS (
+  SELECT cells.pri, cells.mon,
+         cast(round(
+           (cells.o - cast(rt.rt * ct.ct AS double) / n.n)
+           * (cells.o - cast(rt.rt * ct.ct AS double) / n.n)
+           / (cast(rt.rt * ct.ct AS double) / n.n), 6)
+          AS decimal(20,6)) AS term
+  FROM cells JOIN rt USING (pri) JOIN ct USING (mon) CROSS JOIN n)
+SELECT count(*) AS n_cells,
+       (SELECT count(*) FROM rt) AS n_rows,
+       (SELECT count(*) FROM ct) AS n_cols,
+       ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1)
+           AS dof,
+       cast(sum(term) AS double) AS chi2
+FROM terms""",
+    tags=("robust", "chi2", "stats"),
+)
+def chi2_priority_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is order priority seasonal (dependent
+    on order month)? One aggregate pass builds the R x C contingency table;
+    row/column/grand totals re-aggregate that tiny frame; expected counts
+    e = rt*ct/N and cell terms (o-e)^2/e are per-cell doubles. The terms
+    are rounded to 6 dp and summed as DECIMAL(20,6) — decimal addition is
+    exact and commutative, so the statistic is identical across engines,
+    partition counts, and execution orders (a raw double sum would not be).
+    dof = (R-1)(C-1); compare chi2 against the critical value offline."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (o.groupBy(F.col("o_orderpriority").alias("pri"),
+                       F.month("o_orderdate").alias("mon"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    rt = cells.groupBy("pri").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("mon").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6) \
+            .cast("decimal(20,6)")
+    terms = (cells.join(F.broadcast(rt), "pri")
+             .join(F.broadcast(ct), "mon")
+             .crossJoin(F.broadcast(n))
+             .select(term.alias("term")))
+    nr = rt.agg(F.count(F.lit(1)).alias("n_rows"))
+    nc = ct.agg(F.count(F.lit(1)).alias("n_cols"))
+    return (terms.agg(F.count(F.lit(1)).alias("n_cells"),
+                      F.sum("term").cast("double").alias("chi2"))
+            .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc))
+            .select("n_cells", "n_rows", "n_cols",
+                    ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+                    .alias("dof"),
+                    "chi2"))

@@ -160,3 +160,29 @@ def test_transition_probabilities_sum_to_one(spark, sf_correct):
         by_src[r.src] += r.p_transition
     for src, tot in by_src.items():
         assert abs(tot - 1.0) < 1e-4, (src, tot)
+
+
+def test_mad_and_chi2_invariants(spark, sf_correct):
+    """MAD is positive and outliers are a strict minority per type; the
+    chi-square statistic is non-negative with dof = (R-1)(C-1) over the
+    5-priority x 12-month contingency."""
+    rows = _q(spark, sf_correct, "mad_outliers_by_type").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.mad > 0
+        assert 0 <= r.n_outliers < r.n / 10
+    c = _q(spark, sf_correct, "chi2_priority_seasonality").collect()[0]
+    assert c.chi2 >= 0
+    assert c.dof == (c.n_rows - 1) * (c.n_cols - 1)
+    assert c.n_cells == c.n_rows * c.n_cols
+
+
+def test_curation_pipeline_single_corpus_exchange(spark, sf_smoke):
+    """The dedup step must be a window rank (WindowGroupLimit partial
+    top-1), not an aggregate joined back: no Join node and exactly one
+    exchange of the corpus-sized frame (the final |sources| rollup adds a
+    second, dimension-sized one)."""
+    df = _q(spark, sf_smoke, "curation_pipeline_stats")
+    plan = plans.physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
