@@ -87,6 +87,7 @@ _PENDING_NEXT_WINDOW = [
     "event_path_trigrams", "event_type_transitions",
     "cluster_quality_silhouette",
     "mad_outliers_by_type", "chi2_priority_seasonality",
+    "corr_value_props_by_type", "ols_hourly_trend",
 ]
 
 

@@ -147,3 +147,135 @@ def chi2_priority_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
                     .alias("dof"),
                     "chi2"))
+
+
+@register(
+    "corr_value_props_by_type",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(cast(value AS decimal(18,2))) AS sx,
+         cast(sum(cast(json_extract(props, '$.k') AS bigint)) AS bigint)
+             AS sy,
+         sum(cast(value AS decimal(18,2))
+             * cast(json_extract(props, '$.k') AS bigint)) AS sxy,
+         sum(cast(value AS decimal(18,2))
+             * cast(value AS decimal(18,2))) AS sxx,
+         cast(sum(cast(json_extract(props, '$.k') AS bigint)
+                  * cast(json_extract(props, '$.k') AS bigint)) AS bigint)
+             AS syy
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       round((n * cast(sxy AS double) - cast(sx AS double) * sy)
+             / sqrt((n * cast(sxx AS double)
+                     - cast(sx AS double) * cast(sx AS double))
+                    * (n * cast(syy AS double)
+                       - cast(sy AS double) * cast(sy AS double))), 6)
+           AS pearson_r
+FROM m ORDER BY event_type""",
+    tags=("robust", "correlation"),
+)
+def corr_value_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between `value` and the integer `props.k`
+    payload per event type, from EXACT sufficient statistics: values are
+    2-decimal doubles so every moment (sum, sum of squares, cross product)
+    is an exact DECIMAL/INT64 — order-independent, bit-equal across
+    engines; only the final normalized quotient is floating point. This is
+    the distributed-corr recipe: one aggregate pass of six map-side
+    combinable moments, no second pass, no centering subtraction on raw
+    rows (the numerically-dubious textbook shortcut is SAFE here because
+    the moments are exact, not floats)."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,2)")
+    y = F.get_json_object("props", "$.k").cast("bigint")
+    m = (e.select("event_type", x.alias("x"), y.alias("y"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    num = (F.col("n") * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy"))
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (F.col("n") * F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double")))
+    return (m.select("event_type", "n",
+                     F.round(num / den, 6).alias("pearson_r"))
+            .orderBy("event_type"))
+
+
+@register(
+    "ols_hourly_trend",
+    oracle="""
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1 FROM events),
+g AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+ty AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT ty.event_type, coalesce(c.n, 0) AS y,
+         row_number() OVER (PARTITION BY ty.event_type
+                            ORDER BY g.hour) AS x
+  FROM g CROSS JOIN ty
+  LEFT JOIN c ON c.event_type = ty.event_type AND c.hour = g.hour),
+m AS (
+  SELECT event_type, count(*) AS n,
+         cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+         cast(sum(x * y) AS bigint) AS sxy,
+         cast(sum(x * x) AS bigint) AS sxx,
+         cast(sum(y * y) AS bigint) AS syy
+  FROM grid GROUP BY event_type)
+SELECT event_type, n,
+       round((n * cast(sxy AS double) - cast(sx AS double) * sy)
+             / (n * cast(sxx AS double) - cast(sx AS double) * sx), 8)
+           AS slope_per_hour,
+       round((cast(sy AS double)
+              - (n * cast(sxy AS double) - cast(sx AS double) * sy)
+                / (n * cast(sxx AS double) - cast(sx AS double) * sx)
+                * sx) / n, 6) AS intercept,
+       round((n * cast(sxy AS double) - cast(sx AS double) * sy)
+             * (n * cast(sxy AS double) - cast(sx AS double) * sy)
+             / ((n * cast(sxx AS double) - cast(sx AS double) * sx)
+                * (n * cast(syy AS double) - cast(sy AS double) * sy)), 6)
+           AS r2
+FROM m ORDER BY event_type""",
+    tags=("robust", "regression", "timeseries"),
+)
+def ols_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type activity trend: ordinary least squares of hourly event
+    count against the hour index OVER THE DENSE ZERO-FILLED GRID (fitting
+    the sparse rollup would bias the trend up by skipping quiet hours).
+    x and y are integers, so all five sufficient statistics are exact
+    int64 sums; slope/intercept/r2 are the only floating-point steps and
+    start from identical inputs in both engines. At 100 TB this is the
+    map-side-combinable trend over any number of series: one aggregate
+    per series, no sort, no window over raw events."""
+    from .timeseries import _filled_grid
+    g = _filled_grid(spark, sf_dir).select(
+        "event_type", F.col("rn").alias("x"), F.col("n_events").alias("y"))
+    m = (g.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    num = (F.col("n") * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy"))
+    denx = (F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx"))
+    deny = (F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy"))
+    slope = num / denx
+    return (m.select(
+                "event_type", "n",
+                F.round(slope, 8).alias("slope_per_hour"),
+                F.round((F.col("sy").cast("double") - slope * F.col("sx"))
+                        / F.col("n"), 6).alias("intercept"),
+                F.round(num * num / (denx * deny), 6).alias("r2"))
+            .orderBy("event_type"))

@@ -186,3 +186,22 @@ def test_curation_pipeline_single_corpus_exchange(spark, sf_smoke):
     plan = plans.physical_plan(df)
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
+
+
+def test_corr_and_ols_invariants(spark, sf_correct):
+    """Pearson r bounded in [-1, 1]; OLS r2 in [0, 1]; the fitted line
+    passes through the mean point (intercept = ybar - slope*xbar)."""
+    for r in _q(spark, sf_correct, "corr_value_props_by_type").collect():
+        assert -1.0 <= r.pearson_r <= 1.0, r
+    from pyspark.sql import functions as F
+    from redpanda_iceberg_duckdb_spark.operators.timeseries import \
+        _filled_grid
+    means = {r.event_type: (r.xbar, r.ybar) for r in
+             _filled_grid(spark, sf_correct)
+             .groupBy("event_type")
+             .agg(F.avg("rn").alias("xbar"),
+                  F.avg("n_events").alias("ybar")).collect()}
+    for r in _q(spark, sf_correct, "ols_hourly_trend").collect():
+        assert 0.0 <= r.r2 <= 1.0, r
+        xbar, ybar = means[r.event_type]
+        assert abs(r.intercept - (ybar - r.slope_per_hour * xbar)) < 1e-3
