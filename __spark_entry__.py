@@ -88,6 +88,9 @@ _PENDING_NEXT_WINDOW = [
     "cluster_quality_silhouette",
     "mad_outliers_by_type", "chi2_priority_seasonality",
     "corr_value_props_by_type", "ols_hourly_trend",
+    "user_concentration_by_type", "range_filter_semijoin",
+    "ntile_value_quartiles", "benford_price_digits",
+    "cluster_best_survivors",
 ]
 
 

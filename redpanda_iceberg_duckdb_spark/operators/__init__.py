@@ -35,4 +35,5 @@ from . import (  # noqa: F401
     curation,        # mixture allocation, filter funnel, top-p, sampling
     timeseries,      # hourly gap-fill / interpolation / moving stats
     robust,          # MAD outliers, chi-square independence
+    scale_patterns,  # two-phase distinct, runtime filters, ntile, Benford
 )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from .shingles import _TG_CTE_DUCK, _JACCARD_VERIFY_DUCK
+from .text import _QUALITY_EXPR_DUCK
 
 
 def connected_components(edges: DataFrame, *, src: str = "d1", dst: str = "d2",
@@ -106,3 +107,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("node").alias("keep_doc_id"))
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "cluster_best_survivors",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+{_JACCARD_VERIFY_DUCK.format(cand_filter="")},
+edges AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+und AS (SELECT d1 a, d2 b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+comp AS (
+  WITH RECURSIVE walk(node, comp) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT und.a, walk.comp FROM und JOIN walk ON und.b = walk.node
+  )
+  SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+quality AS (
+  SELECT doc_id, {_QUALITY_EXPR_DUCK} AS quality FROM documents),
+scored AS (
+  SELECT comp.comp, comp.node, quality.quality,
+         row_number() OVER (PARTITION BY comp.comp
+                            ORDER BY quality.quality DESC, comp.node) AS rk
+  FROM comp JOIN quality ON quality.doc_id = comp.node)
+SELECT comp AS cluster_id,
+       count(*) AS cluster_size,
+       cast(max(CASE WHEN rk = 1 THEN node END) AS bigint) AS best_doc_id,
+       max(CASE WHEN rk = 1 THEN quality END) AS best_quality
+FROM scored GROUP BY comp ORDER BY cluster_id""",
+    tags=("dedup", "graph", "curation"),
+)
+def cluster_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection policy on top of dedup clustering: instead of
+    "keep the min doc_id", keep the HIGHEST-QUALITY member of each near-dup
+    cluster (ties on the 6-dp quality score break to the lower doc_id, so
+    the choice is deterministic in both engines). This is the step a real
+    curation pipeline runs between clustering and corpus assembly — dedup
+    should discard the worse copies, not an arbitrary one.
+
+    Plan shape: the cluster labels (tiny — one row per clustered doc) join
+    the quality table, then a single max(struct) aggregate picks the
+    survivor per cluster — no window, no second shuffle of the corpus."""
+    from .dedup import minhash_lsh_pairs
+    from .text import quality_score
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comps = connected_components(pairs.select("d1", "d2"))
+    quality = quality_score(spark, sf_dir)
+    joined = comps.join(quality, comps.node == quality.doc_id)
+    best = F.max(F.struct(F.col("quality").alias("q"),
+                          (-F.col("node")).alias("neg_id")))
+    return (joined.groupBy(F.col("comp").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 (-best.getField("neg_id")).alias("best_doc_id"),
+                 best.getField("q").alias("best_quality"))
+            .orderBy("cluster_id"))

@@ -1,0 +1,158 @@
+"""Scale-pattern operators: the shuffle-discipline techniques a 100 TB
+deployment leans on, each expressed as a verifiable query.
+
+- Two-phase distinct aggregation (pre-aggregate on the composite key, then
+  re-aggregate) — the skew-safe replacement for COUNT(DISTINCT)'s expand.
+- Dynamic min/max runtime filter before a semi-join — the manual form of
+  Spark's runtime row-group pruning, for when the build side is too big to
+  broadcast but its key bounds are cheap.
+- Deterministic NTILE bucketing (uniqued ORDER BY so bucket edges are
+  engine-independent).
+- Benford first-digit profile — a one-pass data-quality screen.
+
+Reference parity: the reference engine (see /root/reference/duckdb/
+query_and_publish.py) delegates all of this to DuckDB on one node; these are
+the shapes that keep the same answers correct when the data no longer fits
+one node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions import dsum, dsum_sql
+from ..registry import register
+from ..tables import load_table
+
+
+@register(
+    "user_concentration_by_type",
+    oracle="""
+WITH c AS (SELECT event_type, user_id, count(*) AS n
+           FROM events GROUP BY event_type, user_id)
+SELECT event_type,
+       count(*) AS n_users,
+       cast(sum(n) AS bigint) AS n_events,
+       max(n) AS max_events_one_user,
+       round(max(n) * 1.0 / sum(n), 6) AS concentration
+FROM c GROUP BY event_type ORDER BY event_type""",
+    tags=("scale", "skew"),
+)
+def user_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic via two-phase aggregation: pre-aggregate on the
+    composite (event_type, user_id) key — spreading any single hot
+    event_type across as many partitions as it has users — then re-aggregate
+    the small per-user table by event_type alone. COUNT(DISTINCT) over a
+    skewed group funnels every row of the hot group through one task; this
+    shape never does, which is why it is the 100 TB form. `concentration` =
+    share of the group's events owned by its single heaviest user (a true
+    quotient, so round(…, 6) is midpoint-safe cross-engine)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (e.groupBy("event_type", "user_id")
+                .agg(F.count(F.lit(1)).alias("n")))
+    return (per_user.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("n").alias("n_events"),
+                 F.max("n").alias("max_events_one_user"),
+                 F.round(F.max("n") / F.sum("n"), 6).alias("concentration"))
+            .orderBy("event_type"))
+
+
+@register(
+    "range_filter_semijoin",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       {dsum_sql("o_totalprice", "total_price")}
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    tags=("scale", "join", "runtime_filter"),
+)
+def range_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit dynamic min/max runtime filter: compute the
+    build side's key bounds (a 2-value scalar aggregate), broadcast them, and
+    discard probe rows outside [lo, hi] BEFORE the join exchange. Spark's own
+    runtime filters (DPP, bloom) do this automatically for partition columns;
+    the manual form covers the case of a non-partition key whose build side
+    is too large to broadcast — the bounds cost one tiny aggregate but can
+    drop most of the probe side before it is shuffled. Semantics are exactly
+    the plain semi-join (the range filter only removes rows the join would
+    drop anyway), which is what the oracle checks."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_acctbal") > 7500).select("c_custkey")
+    bounds = build.agg(F.min("c_custkey").alias("lo"),
+                       F.max("c_custkey").alias("hi"))
+    pre = (orders.join(F.broadcast(bounds))
+           .filter(F.col("o_custkey").between(F.col("lo"), F.col("hi")))
+           .drop("lo", "hi"))
+    matched = pre.join(build, pre.o_custkey == build.c_custkey, "left_semi")
+    return (matched.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", "total_price"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "ntile_value_quartiles",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS quartile
+  FROM events)
+SELECT event_type, quartile, count(*) AS n,
+       min(value) AS lo, max(value) AS hi,
+       {dsum_sql("value", "total_value")}
+FROM q GROUP BY event_type, quartile ORDER BY event_type, quartile""",
+    tags=("scale", "window"),
+)
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count NTILE(4) buckets per group with per-bucket stats. NTILE
+    assigns by row position, so tied values at a bucket edge land wherever
+    the sort put them — the ORDER BY therefore appends the unique event_id,
+    making bucket membership a pure function of the data (engine- and
+    partitioning-independent). One shuffle on event_type, per-partition sort,
+    then a map-side-combinable aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    q = e.select("event_type", "value", "event_id",
+                 F.ntile(4).over(w).alias("quartile"))
+    return (q.groupBy("event_type", "quartile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("value").alias("lo"),
+                 F.max("value").alias("hi"),
+                 dsum("value", "total_value"))
+            .orderBy("event_type", "quartile"))
+
+
+@register(
+    "benford_price_digits",
+    oracle="""
+WITH d AS (
+  SELECT substring(cast(cast(l_extendedprice AS decimal(18,2)) AS varchar),
+                   1, 1) AS digit
+  FROM lineitem)
+SELECT digit, count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+FROM d GROUP BY digit ORDER BY digit""",
+    tags=("scale", "quality"),
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of extended price — the Benford
+    screen used to flag synthetic or corrupted numeric columns in ingest QA.
+    The digit comes from the decimal(18,2) string form (prices are 2-dp
+    doubles, so the cast is exact in both engines; no float log10 edge
+    cases). One scan, one 9-row aggregate; the share normalization is an
+    unpartitioned window over those 9 rows, not the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), 1, 1)
+    counts = (li.select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    return (counts.select(
+                "digit", "n",
+                F.round(F.col("n") / F.sum("n").over(W.partitionBy()), 6)
+                .alias("share"))
+            .orderBy("digit"))

@@ -137,15 +137,19 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "quality_score",
-    oracle=r"""
-SELECT doc_id,
-       round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+# Quality formula shared with clusters.cluster_best_survivors' oracle.
+_QUALITY_EXPR_DUCK = r"""round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
            + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
                     / len(string_split(text, ' ')))
            + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[^a-z0-9 ]'))
-                                * 1.0 / length(text), 1.0)), 6) AS quality
+                                * 1.0 / length(text), 1.0)), 6)"""
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+SELECT doc_id,
+       {_QUALITY_EXPR_DUCK} AS quality
 FROM documents
 ORDER BY doc_id""",
     tags=("text",),

@@ -1,0 +1,75 @@
+"""Plan and semantics tests for the scale-pattern operators (oracle parity
+itself is covered by the auto-parametrized test_operator_oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redpanda_iceberg_duckdb_spark import plans
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+
+def _q(spark, sf, name):
+    return all_queries()[name].fn(spark, sf)
+
+
+def test_two_phase_distinct_has_no_expand(spark, sf_smoke):
+    """The two-phase shape must NOT plan an Expand (countDistinct's rewrite);
+    both phases are plain partial-aggregated HashAggregates."""
+    plan = plans.physical_plan(_q(spark, sf_smoke, "user_concentration_by_type"))
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_range_filter_semijoin_filters_before_join(spark, sf_smoke):
+    """The probe side is range-filtered before the semi join: the plan holds
+    the 1-row bounds broadcast (nested-loop), a between filter on o_custkey,
+    and then the LeftSemi."""
+    plan = plans.physical_plan(_q(spark, sf_smoke, "range_filter_semijoin"))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "o_custkey" in plan
+
+
+def test_ntile_single_window_shuffle(spark, sf_smoke):
+    plan = plans.physical_plan(_q(spark, sf_smoke, "ntile_value_quartiles"))
+    assert "ntile(4)" in plan
+    assert "Window" in plan
+
+
+def test_benford_prunes_to_one_column(spark, sf_smoke):
+    schema = plans.scan_read_schema(
+        _q(spark, sf_smoke, "benford_price_digits"), "lineitem")
+    assert "l_extendedprice" in schema
+    assert "l_orderkey" not in schema and "l_shipdate" not in schema
+
+
+def test_ntile_buckets_balanced(spark, sf_smoke):
+    """NTILE(4) bucket sizes per group differ by at most 1 (the definition),
+    and every group has exactly 4 buckets."""
+    rows = _q(spark, sf_smoke, "ntile_value_quartiles").collect()
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.n)
+    for etype, sizes in by_type.items():
+        assert len(sizes) == 4, etype
+        assert max(sizes) - min(sizes) <= 1, etype
+
+
+def test_best_survivor_quality_dominates_cluster(spark, sf_smoke):
+    """The chosen survivor's quality is the max quality within its cluster
+    (cross-checked against dedup_clusters membership + quality_score)."""
+    from redpanda_iceberg_duckdb_spark.operators.clusters import (
+        connected_components,
+    )
+    from redpanda_iceberg_duckdb_spark.operators.dedup import minhash_lsh_pairs
+    from redpanda_iceberg_duckdb_spark.operators.text import quality_score
+
+    comps = connected_components(
+        minhash_lsh_pairs(spark, sf_smoke).select("d1", "d2"))
+    q = quality_score(spark, sf_smoke)
+    max_q = {r.comp: r.mq for r in
+             comps.join(q, comps.node == q.doc_id)
+             .groupBy("comp").agg(F.max("quality").alias("mq")).collect()}
+    for r in _q(spark, sf_smoke, "cluster_best_survivors").collect():
+        assert r.best_quality == max_q[r.cluster_id], r
