@@ -279,3 +279,53 @@ def ols_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("n"), 6).alias("intercept"),
                 F.round(num * num / (denx * deny), 6).alias("r2"))
             .orderBy("event_type"))
+
+
+@register(
+    "value_distribution_drift",
+    oracle="""
+WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+           FROM events),
+lab AS (
+  SELECT cast(floor(value / 50.0) AS int) AS bucket,
+         CASE WHEN epoch_us(ts) - lo < (hi - lo) // 2 THEN 1 ELSE 0 END
+             AS early
+  FROM events, b),
+c AS (SELECT bucket,
+             cast(sum(early) AS bigint) AS n_early,
+             cast(count(*) - sum(early) AS bigint) AS n_late
+      FROM lab GROUP BY bucket),
+t AS (SELECT cast(sum(n_early) AS bigint) AS te,
+             cast(sum(n_late) AS bigint) AS tl FROM c)
+SELECT bucket, n_early, n_late,
+       round(n_early * 1.0 / te - n_late * 1.0 / tl, 6) AS share_drift
+FROM c, t ORDER BY bucket""",
+    tags=("robust", "drift", "quality"),
+)
+def value_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen: bucket `value` (width 50) and compare each
+    bucket's share in the first half of the time range against the second
+    half — the ingest-QA check that catches a pipeline whose value
+    distribution silently shifts mid-stream. The time midpoint is an exact
+    integer microsecond (floor-divided span), bucket edges are integers
+    (exact doubles), and counts are integers, so the only float step is the
+    final share subtraction — identical IEEE expression in both engines.
+    Computation: one tiny bounds aggregate broadcast to the scan, then a
+    single grouped count — the drift table never shuffles raw rows twice."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    lab = (e.join(F.broadcast(bounds))
+           .select(F.floor(F.col("value") / 50.0).cast("int").alias("bucket"),
+                   F.when(us - F.col("lo") < F.expr("(hi - lo) div 2"), 1)
+                   .otherwise(0).alias("early")))
+    c = (lab.groupBy("bucket")
+         .agg(F.sum("early").alias("n_early"),
+              (F.count(F.lit(1)) - F.sum("early")).alias("n_late")))
+    t = c.agg(F.sum("n_early").alias("te"), F.sum("n_late").alias("tl"))
+    return (c.join(F.broadcast(t))
+            .select("bucket", "n_early", "n_late",
+                    F.round(F.col("n_early") / F.col("te")
+                            - F.col("n_late") / F.col("tl"), 6)
+                    .alias("share_drift"))
+            .orderBy("bucket"))

@@ -264,3 +264,74 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.sum("n").over(W.partitionBy("src")), 6)
                 .alias("p_transition"))
             .orderBy("src", "dst"))
+
+
+@register(
+    "session_stats",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM flagged),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+  FROM sessions GROUP BY user_id, session_id)
+SELECT count(*) AS n_sessions,
+       cast(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bigint)
+           AS n_bounces,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS bounce_rate,
+       round(sum(n_events) * 1.0 / count(*), 6) AS avg_events,
+       max(n_events) AS max_events,
+       round(cast(sum(dur_us) AS bigint) * 1.0 / count(*) / 1000000.0, 6)
+           AS avg_duration_s
+FROM per""",
+    tags=("window", "session"),
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level session distribution: bounce rate, events/session, and
+    mean duration over the same 30-min-gap sessions as `sessionization`.
+    Durations are exact integer microsecond spans (max-min epoch per
+    session), so every aggregate input is an integer and the three reported
+    ratios are true quotients (round 6, midpoint-safe). Three stages, each
+    one shuffle: window over user partitions, per-session aggregate, then a
+    single-row rollup of the (small) session table."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(*_ORDER())
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(gap > 1_800_000_000, 1)
+         .when(F.lag("ts").over(w).isNull(), 1)
+         .otherwise(0).alias("is_new"),
+    )
+    cum = (W.partitionBy("user_id").orderBy(*_ORDER())
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sessions = flagged.select(
+        "user_id", us.alias("us"),
+        F.sum("is_new").over(cum).alias("session_id"))
+    per = (sessions.groupBy("user_id", "session_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                (F.max("us") - F.min("us")).alias("dur_us")))
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        F.round(bounce / F.count(F.lit(1)), 6).alias("bounce_rate"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 6).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+        F.round(F.sum("dur_us") / F.count(F.lit(1)) / F.lit(1000000.0), 6)
+         .alias("avg_duration_s"))

@@ -73,3 +73,23 @@ def test_best_survivor_quality_dominates_cluster(spark, sf_smoke):
              .groupBy("comp").agg(F.max("quality").alias("mq")).collect()}
     for r in _q(spark, sf_smoke, "cluster_best_survivors").collect():
         assert r.best_quality == max_q[r.cluster_id], r
+
+
+def test_session_stats_consistent_with_sessionization(spark, sf_smoke):
+    """n_sessions and total events must agree with the per-session table
+    that `sessionization` itself produces."""
+    sessions = _q(spark, sf_smoke, "sessionization").collect()
+    stats = _q(spark, sf_smoke, "session_stats").collect()[0]
+    assert stats.n_sessions == len(sessions)
+    assert stats.n_bounces == sum(1 for s in sessions if s.n_events == 1)
+    assert stats.max_events == max(s.n_events for s in sessions)
+
+
+def test_drift_shares_sum_to_zero(spark, sf_smoke):
+    """Each half's bucket shares sum to 1, so signed drift sums to ~0 and
+    every event is assigned to exactly one (bucket, half)."""
+    rows = _q(spark, sf_smoke, "value_distribution_drift").collect()
+    total = sum(r.n_early + r.n_late for r in rows)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+    assert total == load_table(spark, sf_smoke, "events").count()
+    assert abs(sum(r.share_drift for r in rows)) < 1e-5
