@@ -91,7 +91,7 @@ _PENDING_NEXT_WINDOW = [
     "user_concentration_by_type", "range_filter_semijoin",
     "ntile_value_quartiles", "benford_price_digits",
     "cluster_best_survivors",
-    "session_stats", "value_distribution_drift",
+    "session_stats", "value_distribution_drift", "ewma_hourly_counts",
 ]
 
 

@@ -169,3 +169,46 @@ def hourly_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("n_events").over(w).alias("moving_min_24h"),
                 F.max("n_events").over(w).alias("moving_max_24h"))
             .orderBy("event_type", "hour"))
+
+
+@register(
+    "ewma_hourly_counts",
+    oracle=f"""
+WITH {_GRID_CTE_DUCK},
+win AS (
+  SELECT event_type, hour, n_events,
+         list(n_events) OVER (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+             AS l
+  FROM grid)
+SELECT event_type, hour, n_events,
+       list_sum(list_transform(range(1, len(l) + 1),
+                               i -> l[i] * pow(0.5, len(l) - i + 1)))
+           / (1 - pow(0.5, len(l))) AS ewma
+FROM win ORDER BY event_type, hour""",
+    tags=("timeseries", "smoothing"),
+)
+def ewma_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of the hourly
+    event count, truncated to a 16-hour window and renormalized by the
+    truncated weight mass. The weights are powers of two, the inputs are
+    integers, and every product/sum is therefore an exact dyadic rational in
+    IEEE doubles — summation order cannot change the result, so Spark and
+    DuckDB produce bit-identical smoothed values with NO rounding step.
+    (An untruncated recursive EWMA is a sequential fold — not expressible as
+    a distributed window without losing that exactness; the 16-term tail
+    carries weight 2^-16, far below any downstream signal.)
+    Plan: the window runs over the dense grid (hours x types), never raw
+    events; collect_list holds <= 16 integers per row."""
+    g = _filled_grid(spark, sf_dir)
+    w = (W.partitionBy("event_type").orderBy("rn").rowsBetween(-15, 0))
+    arr = F.collect_list("n_events").over(w)
+    with_arr = g.select("event_type", "hour", "n_events", arr.alias("l"))
+    size = F.size("l")
+    weighted = F.transform(
+        "l", lambda x, i: x * F.pow(F.lit(0.5), size - i))
+    wsum = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    return (with_arr.select(
+                "event_type", "hour", "n_events",
+                (wsum / (F.lit(1.0) - F.pow(F.lit(0.5), size))).alias("ewma"))
+            .orderBy("event_type", "hour"))

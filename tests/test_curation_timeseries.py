@@ -205,3 +205,18 @@ def test_corr_and_ols_invariants(spark, sf_correct):
         assert 0.0 <= r.r2 <= 1.0, r
         xbar, ybar = means[r.event_type]
         assert abs(r.intercept - (ybar - r.slope_per_hour * xbar)) < 1e-3
+
+
+def test_ewma_bounded_and_identity_on_first_row(spark, sf_correct):
+    """EWMA is a weighted average, so it lies within [min, max] of its
+    window; the first grid row's window is itself, so ewma == n_events."""
+    rows = _q(spark, sf_correct, "ewma_hourly_counts").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for etype, series in by_type.items():
+        series.sort(key=lambda r: r.hour)
+        assert series[0].ewma == float(series[0].n_events), etype
+        for i, r in enumerate(series):
+            window = [x.n_events for x in series[max(0, i - 15):i + 1]]
+            assert min(window) - 1e-9 <= r.ewma <= max(window) + 1e-9, r
