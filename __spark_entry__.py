@@ -92,6 +92,7 @@ _PENDING_NEXT_WINDOW = [
     "ntile_value_quartiles", "benford_price_digits",
     "cluster_best_survivors",
     "session_stats", "value_distribution_drift", "ewma_hourly_counts",
+    "source_vocab_overlap", "table_checksums", "rollup_chain_monthly",
 ]
 
 

@@ -36,4 +36,5 @@ from . import (  # noqa: F401
     timeseries,      # hourly gap-fill / interpolation / moving stats
     robust,          # MAD outliers, chi-square independence
     scale_patterns,  # two-phase distinct, runtime filters, ntile, Benford
+    integrity,       # order-independent XOR table checksums
 )

@@ -147,3 +147,42 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("user_id").alias("n_users"))
         .orderBy("hour", "event_type")
     )
+
+
+@register(
+    "rollup_chain_monthly",
+    oracle=f"""
+SELECT cast(date_trunc('month', ts) AS timestamp) AS month, event_type,
+       count(*) AS n, {dsum_sql("value", "total_value")},
+       cast(max(epoch_us(ts)) AS bigint) AS last_event_us
+FROM events
+GROUP BY month, event_type
+ORDER BY month, event_type""",
+    tags=("grouping", "time", "rollup"),
+)
+def rollup_chain_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly rollup computed as a CASCADE (events -> hourly -> daily ->
+    monthly) rather than a direct group-by — the materialized-view chain a
+    lakehouse actually maintains, where each tier re-aggregates the one
+    below. Every aggregate carried through the chain is mergeable (count ->
+    sum, decimal sum -> sum, max -> max), so the cascade is provably equal
+    to the direct aggregation — which is exactly what the oracle computes.
+    At 100 TB the hourly tier is the only scan of raw data; daily/monthly
+    re-aggregate tables ~10^4x smaller."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_v"),
+                   F.max(F.unix_micros(F.col("ts"))).alias("last_us")))
+    daily = (hourly.groupBy(F.date_trunc("day", "hour").alias("day"),
+                            "event_type")
+             .agg(F.sum("n").alias("n"), F.sum("dec_v").alias("dec_v"),
+                  F.max("last_us").alias("last_us")))
+    return (daily.groupBy(F.date_trunc("month", "day").alias("month"),
+                          "event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("dec_v").cast("double").alias("total_value"),
+                 F.max("last_us").alias("last_event_us"))
+            .select("month", "event_type", "n", "total_value",
+                    "last_event_us")
+            .orderBy("month", "event_type"))

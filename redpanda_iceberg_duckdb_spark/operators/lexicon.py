@@ -172,3 +172,53 @@ def mode_token_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", F.col("tok").alias("top_token"),
                     F.col("c").alias("occurrences"))
             .orderBy("source"))
+
+
+@register(
+    "source_vocab_overlap",
+    oracle="""
+WITH v AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+s AS (SELECT source, count(*) AS nv FROM v GROUP BY source),
+inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_shared
+          FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+       round(n_shared * 1.0 / (s1.nv + s2.nv - n_shared), 6) AS jaccard
+FROM inter
+JOIN s s1 ON s1.source = source_a
+JOIN s s2 ON s2.source = source_b
+ORDER BY source_a, source_b""",
+    tags=("lexicon", "overlap", "curation"),
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-audit matrix
+    that tells a mixture designer which sources are near-redundant before
+    any document-level dedup runs. The document table collapses to the
+    (source, token) vocabulary FIRST (distinct — vocabulary-sized, not
+    corpus-sized), so the token self-join fans out at most |sources| ways
+    per token and the output is |sources| choose 2 rows. Counts are exact
+    integers; jaccard is a true quotient (round 6). At 100 TB the distinct
+    is the only corpus-scale shuffle; everything after runs on vocabulary
+    tables."""
+    d = load_table(spark, sf_dir, "documents")
+    v = (d.select("source",
+                  F.explode(F.split("text", " ")).alias("tok"))
+         .distinct())
+    s = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = v.select(F.col("source").alias("source_a"), "tok")
+    b = v.select(F.col("source").alias("source_b"), "tok")
+    inter = (a.join(b, ["tok"])
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    s1 = s.select(F.col("source").alias("source_a"), F.col("nv").alias("nv_a"))
+    s2 = s.select(F.col("source").alias("source_b"), F.col("nv").alias("nv_b"))
+    return (inter.join(F.broadcast(s1), "source_a")
+            .join(F.broadcast(s2), "source_b")
+            .select("source_a", "source_b", "n_shared",
+                    F.round(F.col("n_shared")
+                            / (F.col("nv_a") + F.col("nv_b")
+                               - F.col("n_shared")), 6).alias("jaccard"))
+            .orderBy("source_a", "source_b"))

@@ -93,3 +93,19 @@ def test_drift_shares_sum_to_zero(spark, sf_smoke):
     from redpanda_iceberg_duckdb_spark.tables import load_table
     assert total == load_table(spark, sf_smoke, "events").count()
     assert abs(sum(r.share_drift for r in rows)) < 1e-5
+
+
+def test_checksum_detects_any_row_difference(spark, sf_smoke, sf_correct):
+    """Checksums are order-independent but content-sensitive: the same
+    table at two scale factors (superset rows) must differ, and each
+    table's n_rows must equal its actual count."""
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    small = {r.table_name: r for r in
+             _q(spark, sf_smoke, "table_checksums").collect()}
+    big = {r.table_name: r for r in
+           _q(spark, sf_correct, "table_checksums").collect()}
+    for t in ["customer", "orders", "lineitem"]:
+        assert small[t].n_rows == load_table(spark, sf_smoke, t).count()
+        assert small[t].checksum != big[t].checksum, t
+        assert small[t].checksum != 0, t
