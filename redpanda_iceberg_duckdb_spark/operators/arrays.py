@@ -138,3 +138,60 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("wmin").alias("max_fp"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "embedding_quantization_audit",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         (SELECT max(abs(cast(x AS double)
+                 - (mn + round((cast(x AS double) - mn) / s) * s)))
+          FROM unnest(embedding) AS t(x)) AS max_err
+  FROM (SELECT label, embedding,
+               cast(list_min(embedding) AS double) AS mn,
+               (cast(list_max(embedding) AS double)
+                - cast(list_min(embedding) AS double)) / 255.0 AS s
+        FROM embeddings)
+  WHERE s > 0),
+n AS (SELECT label, cast(floor(max_err * 1e9) AS bigint) AS err_ns FROM q)
+SELECT label, count(*) AS n_vectors,
+       round(sum(err_ns) * 1.0 / count(*) / 1e9, 6) AS avg_max_abs_err,
+       max(err_ns) AS worst_err_ns
+FROM n GROUP BY label ORDER BY label""",
+    tags=("similarity", "array", "quantization"),
+)
+def embedding_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (256-level) per-vector min/max quantization error audit — the
+    check a pipeline runs before shipping compressed embeddings: quantize
+    each float32 to round((x-min)/scale), dequantize, and report the worst
+    absolute reconstruction error per vector, aggregated per label.
+
+    Determinism: float32 widens to double exactly; quantize/dequantize are
+    identical IEEE expressions in both engines; the per-vector max is
+    order-free; and cross-vector aggregation happens on floor-scaled
+    integer nanounits (exact sums, order-independent), with the single
+    quotient rounded at 6 dp. Plan: one scan, all per-vector work in
+    whole-stage-codegen higher-order functions (no explode — the array
+    never leaves its row), one small aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    base = (emb.select("label", "embedding", mn.alias("mn"),
+                       ((mx - mn) / F.lit(255.0)).alias("s"))
+            .filter(F.col("s") > 0))
+    err = F.transform(
+        "embedding",
+        lambda x: F.abs(x.cast("double")
+                        - (F.col("mn")
+                           + F.round((x.cast("double") - F.col("mn"))
+                                     / F.col("s"), 0) * F.col("s"))))
+    per_vec = base.select(
+        "label",
+        F.floor(F.array_max(err) * F.lit(1e9)).cast("bigint").alias("err_ns"))
+    return (per_vec.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.sum("err_ns") / F.count(F.lit(1)) / F.lit(1e9), 6)
+                  .alias("avg_max_abs_err"),
+                 F.max("err_ns").alias("worst_err_ns"))
+            .orderBy("label"))

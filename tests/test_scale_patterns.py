@@ -109,3 +109,22 @@ def test_checksum_detects_any_row_difference(spark, sf_smoke, sf_correct):
         assert small[t].n_rows == load_table(spark, sf_smoke, t).count()
         assert small[t].checksum != big[t].checksum, t
         assert small[t].checksum != 0, t
+
+
+def test_quantization_audit_no_explode_and_bounded_error(spark, sf_smoke):
+    """The per-vector work stays in higher-order functions (no Generate in
+    the plan) and int8 reconstruction error is bounded by scale/2 =
+    (max-min)/510 — the quantizer's contract."""
+    from pyspark.sql import functions as F2
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    df = _q(spark, sf_smoke, "embedding_quantization_audit")
+    assert "Generate" not in plans.physical_plan(df)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    worst_scale = emb.select(
+        ((F2.array_max("embedding").cast("double")
+          - F2.array_min("embedding").cast("double")) / 255.0).alias("s")
+    ).agg(F2.max("s")).collect()[0][0]
+    for r in df.collect():
+        assert r.worst_err_ns / 1e9 <= worst_scale / 2 + 1e-9, r
