@@ -93,7 +93,7 @@ _PENDING_NEXT_WINDOW = [
     "cluster_best_survivors",
     "session_stats", "value_distribution_drift", "ewma_hourly_counts",
     "source_vocab_overlap", "table_checksums", "rollup_chain_monthly",
-    "embedding_quantization_audit",
+    "embedding_quantization_audit", "sliding_distinct_users_24h",
 ]
 
 

@@ -212,3 +212,46 @@ def ewma_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "hour", "n_events",
                 (wsum / (F.lit(1.0) - F.pow(F.lit(0.5), size))).alias("ewma"))
             .orderBy("event_type", "hour"))
+
+
+@register(
+    "sliding_distinct_users_24h",
+    oracle="""
+WITH p AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id
+           FROM events),
+hours AS (SELECT DISTINCT hour FROM p)
+SELECT h.hour,
+       count(DISTINCT p.user_id) AS n_users_24h
+FROM hours h
+JOIN p ON p.hour BETWEEN h.hour - INTERVAL 23 HOUR AND h.hour
+GROUP BY h.hour
+ORDER BY h.hour""",
+    tags=("timeseries", "window", "distinct"),
+)
+def sliding_distinct_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-24-hour distinct users per hour (the sliding-DAU
+    metric). COUNT(DISTINCT) OVER a sliding frame does not exist in either
+    engine; the naive range join of every hour against every (hour, user)
+    pair is O(|hours| * |pairs|). The scale shape used here: reduce events
+    to distinct (hour, user) pairs once, then EXPLODE each pair into the
+    <= 24 window endpoints it covers — a bounded 24x fan-out of the
+    hour-level rollup (not of raw events) that turns the range join into a
+    plain hash aggregate. The oracle cross-checks with the literal range
+    join, proving the expansion covers exactly the right windows."""
+    e = load_table(spark, sf_dir, "events")
+    p = (e.select(F.date_trunc("hour", "ts").alias("hour"), "user_id")
+         .distinct())
+    hours = p.select("hour").distinct()
+    max_hour = hours.agg(F.max("hour").alias("mx"))
+    covered = (p.select(
+        F.explode(F.expr("sequence(0, 23)")).alias("k"), "hour", "user_id")
+        .select(F.expr("hour + make_interval(0, 0, 0, 0, k)")
+                .alias("target_hour"), "user_id"))
+    in_range = (covered.join(F.broadcast(max_hour))
+                .filter(F.col("target_hour") <= F.col("mx"))
+                .drop("mx"))
+    observed = in_range.join(hours.withColumnRenamed("hour", "target_hour"),
+                             "target_hour", "left_semi")
+    return (observed.groupBy(F.col("target_hour").alias("hour"))
+            .agg(F.countDistinct("user_id").alias("n_users_24h"))
+            .orderBy("hour"))
