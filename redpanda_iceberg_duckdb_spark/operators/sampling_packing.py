@@ -188,3 +188,38 @@ def zorder_write(df: DataFrame, out_path: str, x: str, y: str, *,
      .sortWithinPartitions("_zkey")
      .drop("_zkey")
      .write.mode("overwrite").parquet(out_path))
+
+
+@register(
+    "chunk_documents_sliding",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, unnest(range(0, len(toks), 12)) AS start, toks FROM t)
+SELECT doc_id, cast(start // 12 AS int) AS chunk_idx,
+       len(toks[start + 1 : start + 16]) AS n_tokens,
+       md5(array_to_string(toks[start + 1 : start + 16], ' ')) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_idx""",
+    tags=("curation", "chunking"),
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document's token stream into
+    overlapping context windows (size 16, stride 12 on this short-doc test
+    corpus; production uses e.g. 2048/1536 — the plan is size-independent).
+    This is the preprocessing step that turns documents into training
+    samples; the md5 per chunk is what a downstream chunk-level dedup keys
+    on. Explode fans each doc out to ceil(n_tokens/stride) rows — bounded,
+    data-local, no shuffle at all until the final sort; at 100 TB this runs
+    entirely map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    c = t.select(
+        "doc_id", "toks",
+        F.explode(F.expr("sequence(0, size(toks) - 1, 12)")).alias("start"))
+    chunk = F.slice("toks", F.col("start") + 1, 16)
+    return (c.select(
+                "doc_id",
+                (F.col("start") / 12).cast("int").alias("chunk_idx"),
+                F.size(chunk).alias("n_tokens"),
+                F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_idx"))
