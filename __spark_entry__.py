@@ -94,7 +94,7 @@ _PENDING_NEXT_WINDOW = [
     "session_stats", "value_distribution_drift", "ewma_hourly_counts",
     "source_vocab_overlap", "table_checksums", "rollup_chain_monthly",
     "embedding_quantization_audit", "sliding_distinct_users_24h",
-    "chunk_documents_sliding",
+    "chunk_documents_sliding", "chunk_dedup_groups",
 ]
 
 

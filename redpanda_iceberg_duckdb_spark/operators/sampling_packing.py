@@ -223,3 +223,43 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(chunk).alias("n_tokens"),
                 F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
             .orderBy("doc_id", "chunk_idx"))
+
+
+@register(
+    "chunk_dedup_groups",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, unnest(range(0, len(toks), 12)) AS start, toks FROM t),
+h AS (SELECT doc_id,
+             md5(array_to_string(toks[start + 1 : start + 16], ' '))
+                 AS chunk_md5
+      FROM c)
+SELECT chunk_md5, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       cast(min(doc_id) AS bigint) AS first_doc_id
+FROM h GROUP BY chunk_md5 HAVING count(*) > 1
+ORDER BY n_occurrences DESC, chunk_md5""",
+    tags=("curation", "chunking", "dedup"),
+)
+def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplicate groups: the cross-document repeated context
+    windows that chunk-level dedup removes before training (document-level
+    dedup misses these — boilerplate shared by otherwise-distinct docs).
+    One hash aggregate over the chunk fingerprints; survivors keep the
+    lowest doc_id. Composes directly with chunk_documents_sliding."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    c = t.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, size(toks) - 1, 12)")).alias("start"),
+        "toks")
+    h = c.select(
+        "doc_id",
+        F.md5(F.array_join(
+            F.slice("toks", F.col("start") + 1, 16), " ")).alias("chunk_md5"))
+    return (h.groupBy("chunk_md5")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc_id"))
+            .filter(F.col("n_occurrences") > 1)
+            .orderBy(F.desc("n_occurrences"), "chunk_md5"))
