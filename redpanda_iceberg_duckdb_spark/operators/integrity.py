@@ -74,3 +74,49 @@ def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("table_name")
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+SELECT 'lineitem->orders' AS relationship,
+       (SELECT count(*) FROM lineitem) AS n_child,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders->customer' AS relationship,
+       (SELECT count(*) FROM orders) AS n_child,
+       (SELECT count(*) FROM orders od
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = od.o_custkey)) AS n_orphans
+ORDER BY relationship""",
+    tags=("integrity", "quality"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit over the fact chain (lineitem -> orders ->
+    customer): child rows whose parent key is missing — the ingest-QA gate
+    before any join-based pipeline trusts its dimensions. Each relationship
+    is one left-anti join counting survivors; the anti join shuffles only
+    keys (child side projected to its FK column first), and the parent side
+    broadcasts when it fits. Zero orphans is the expected steady state; the
+    operator exists to prove it cheaply at every ingest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def audit(name: str, child: DataFrame, fk: str,
+              parent: DataFrame, pk: str) -> DataFrame:
+        keys = child.select(F.col(fk).alias("k"))
+        orphans = keys.join(parent.select(F.col(pk).alias("k")),
+                            "k", "left_anti")
+        return (keys.agg(F.count(F.lit(1)).alias("n_child"))
+                .join(F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("n_orphans"))))
+                .select(F.lit(name).alias("relationship"),
+                        "n_child", "n_orphans"))
+
+    return (audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+            .unionAll(audit("orders->customer", orders, "o_custkey",
+                            cust, "c_custkey"))
+            .orderBy("relationship"))
