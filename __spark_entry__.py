@@ -95,7 +95,7 @@ _PENDING_NEXT_WINDOW = [
     "source_vocab_overlap", "table_checksums", "rollup_chain_monthly",
     "embedding_quantization_audit", "sliding_distinct_users_24h",
     "chunk_documents_sliding", "chunk_dedup_groups",
-    "referential_integrity_audit",
+    "referential_integrity_audit", "keyset_pagination_orders",
 ]
 
 

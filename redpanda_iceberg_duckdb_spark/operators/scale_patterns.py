@@ -156,3 +156,39 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("n") / F.sum("n").over(W.partitionBy()), 6)
                 .alias("share"))
             .orderBy("digit"))
+
+
+@register(
+    "keyset_pagination_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 20""",
+    tags=("scale", "pagination"),
+)
+def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 of orders sorted by (o_totalprice DESC, o_orderkey) fetched by
+    KEYSET, not OFFSET: derive the page-1 cursor (last row in sort order =
+    min of struct(price, -key) over the top-20 — a tiny TakeOrdered), then
+    apply the seek predicate `price < cp OR (price = cp AND key > ck)` and
+    TakeOrdered the next 20. OFFSET N scans and sorts N+k rows every page —
+    O(N) per page, unusable deep into 100 TB; the keyset plan is two
+    TakeOrderedAndProjects regardless of page depth. The oracle states the
+    semantic contract with the literal OFFSET form, so the equivalence is
+    what the gate checks (ties at the page boundary included)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    page1 = (orders.select(*cols)
+             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20))
+    cur = page1.agg(
+        F.min(F.struct(F.col("o_totalprice").alias("p"),
+                       (-F.col("o_orderkey")).alias("nk"))).alias("c"))
+    cursor = cur.select(F.col("c.p").alias("cp"),
+                        (-F.col("c.nk")).alias("ck"))
+    after = (orders.join(F.broadcast(cursor))
+             .filter((F.col("o_totalprice") < F.col("cp"))
+                     | ((F.col("o_totalprice") == F.col("cp"))
+                        & (F.col("o_orderkey") > F.col("ck")))))
+    return (after.select(*cols)
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20))

@@ -128,3 +128,11 @@ def test_quantization_audit_no_explode_and_bounded_error(spark, sf_smoke):
     ).agg(F2.max("s")).collect()[0][0]
     for r in df.collect():
         assert r.worst_err_ns / 1e9 <= worst_scale / 2 + 1e-9, r
+
+
+def test_keyset_pagination_uses_take_ordered(spark, sf_smoke):
+    """Both page fetches plan as TakeOrderedAndProject — no global sort,
+    no offset scan."""
+    from redpanda_iceberg_duckdb_spark import plans
+    df = _q(spark, sf_smoke, "keyset_pagination_orders")
+    assert plans.has_take_ordered(df)
