@@ -100,3 +100,48 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("n_chars").alias("min_chars"),
                  F.max("n_chars").alias("max_chars"))
             .orderBy("bucket"))
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+WITH qi AS (
+  SELECT event_type,
+         cast(date_trunc('day', ts) AS timestamp) AS day,
+         cast(floor(value / 100.0) AS int) AS value_band,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type,
+       count(*) AS n_groups,
+       cast(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS bigint)
+           AS n_small_groups,
+       cast(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS bigint)
+           AS n_rows_at_risk,
+       round(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+           AS at_risk_share
+FROM qi GROUP BY event_type ORDER BY event_type""",
+    tags=("corpus", "privacy", "quality"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen (k=5) over the quasi-identifier tuple
+    (event_type, day, value band): how many QI groups are small enough to
+    re-identify someone, and what share of rows sits in them — the release
+    gate a privacy pipeline runs before publishing "anonymized" analytics.
+    Two cheap aggregates (QI rollup, then per-type summary); value bands are
+    integer-floored at an exact power-of-ten edge so banding is
+    engine-independent."""
+    e = load_table(spark, sf_dir, "events")
+    qi = (e.groupBy("event_type",
+                    F.date_trunc("day", "ts").alias("day"),
+                    F.floor(F.col("value") / 100.0).cast("int")
+                    .alias("value_band"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    small = F.when(F.col("n") < 5, F.col("n")).otherwise(0)
+    return (qi.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+                  .alias("n_small_groups"),
+                 F.sum(small).alias("n_rows_at_risk"),
+                 F.round(F.sum(small) / F.sum("n"), 6)
+                  .alias("at_risk_share"))
+            .orderBy("event_type"))
