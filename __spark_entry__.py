@@ -96,7 +96,7 @@ _PENDING_NEXT_WINDOW = [
     "embedding_quantization_audit", "sliding_distinct_users_24h",
     "chunk_documents_sliding", "chunk_dedup_groups",
     "referential_integrity_audit", "keyset_pagination_orders",
-    "k_anonymity_audit",
+    "k_anonymity_audit", "leakage_safe_splits",
 ]
 
 

@@ -19,7 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.hashing import md5_mod_duck, md5_mod_spark
 from ..registry import register
+from ..tables import load_table
 from .shingles import _TG_CTE_DUCK, _JACCARD_VERIFY_DUCK
 from .text import _QUALITY_EXPR_DUCK
 
@@ -162,3 +164,60 @@ def cluster_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (-best.getField("neg_id")).alias("best_doc_id"),
                  best.getField("q").alias("best_quality"))
             .orderBy("cluster_id"))
+
+
+@register(
+    "leakage_safe_splits",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+{_JACCARD_VERIFY_DUCK.format(cand_filter="")},
+edges AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+und AS (SELECT d1 a, d2 b FROM edges UNION ALL SELECT d2, d1 FROM edges),
+comp AS (
+  WITH RECURSIVE walk(node, comp) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT und.a, walk.comp FROM und JOIN walk ON und.b = walk.node
+  )
+  SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, d.source,
+         coalesce(comp.comp, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id),
+split AS (
+  SELECT doc_id, source,
+         CASE WHEN {md5_mod_duck("cast(cluster_id AS varchar)", 10)} <= 7
+              THEN 'train'
+              WHEN {md5_mod_duck("cast(cluster_id AS varchar)", 10)} = 8
+              THEN 'val' ELSE 'test' END AS split
+  FROM assigned)
+SELECT source, split, count(*) AS n_docs
+FROM split GROUP BY source, split ORDER BY source, split""",
+    tags=("dedup", "curation", "split"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split (80/10/10 by deterministic hash):
+    every document inherits its near-dup CLUSTER's split assignment, so two
+    near-duplicates can never land on opposite sides of the train/test
+    boundary — the leakage-prevention step document-level hash splitting
+    silently gets wrong. Singleton docs (no near-dup) hash on their own id.
+    The hash is the cross-engine md5-u64 (functions/hashing.py) of the
+    cluster id, so assignment is reproducible anywhere, shard-independent,
+    and stable under re-runs — the properties a split function must have at
+    100 TB (no RNG, no global sort, no state)."""
+    from .dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    comps = connected_components(
+        minhash_lsh_pairs(spark, sf_dir).select("d1", "d2"))
+    assigned = (d.select("doc_id", "source")
+                .join(comps, d.doc_id == comps.node, "left")
+                .select("doc_id", "source",
+                        F.coalesce("comp", "doc_id").alias("cluster_id")))
+    bucket = F.expr(md5_mod_spark("cast(cluster_id as string)", 10))
+    split = (F.when(bucket <= 7, "train")
+             .when(bucket == 8, "val").otherwise("test"))
+    return (assigned.select("source", split.alias("split"))
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source", "split"))

@@ -136,3 +136,23 @@ def test_keyset_pagination_uses_take_ordered(spark, sf_smoke):
     from redpanda_iceberg_duckdb_spark import plans
     df = _q(spark, sf_smoke, "keyset_pagination_orders")
     assert plans.has_take_ordered(df)
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark, sf_smoke):
+    """The leakage invariant itself: every verified near-dup pair lands in
+    the SAME split (both docs share a cluster, clusters are atomic)."""
+    from pyspark.sql import functions as F2
+    from redpanda_iceberg_duckdb_spark.functions.hashing import md5_mod_spark
+    from redpanda_iceberg_duckdb_spark.operators.clusters import (
+        connected_components,
+    )
+    from redpanda_iceberg_duckdb_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf_smoke).select("d1", "d2")
+    comps = connected_components(pairs)
+    bucket = F2.expr(md5_mod_spark("cast(comp as string)", 10))
+    doc_split = comps.select(F2.col("node").alias("doc"),
+                             bucket.alias("b")).collect()
+    split_of = {r.doc: r.b for r in doc_split}
+    for p in pairs.collect():
+        assert split_of[p.d1] == split_of[p.d2], p
