@@ -61,7 +61,16 @@ def configure_session(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.set(_NANOS_AS_LONG, "true")
+        # Size the shuffle to the session's actual parallelism instead of the
+        # 200-partition default — on the driver's small local session that
+        # default means ~25 near-empty tasks per core per exchange. AQE
+        # coalesces most of it, but the scheduler overhead is real; on a
+        # cluster defaultParallelism ~= 2-3x cores, which is the right start.
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(max(spark.sparkContext.defaultParallelism, 8)))
     except Exception:  # pragma: no cover - config may be locked down
         pass
     return spark
