@@ -97,7 +97,7 @@ _PENDING_NEXT_WINDOW = [
     "chunk_documents_sliding", "chunk_dedup_groups",
     "referential_integrity_audit", "keyset_pagination_orders",
     "k_anonymity_audit", "leakage_safe_splits",
-    "winsorized_stats_by_type",
+    "winsorized_stats_by_type", "token_cooccurrence_lift",
 ]
 
 

@@ -222,3 +222,59 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("nv_a") + F.col("nv_b")
                                - F.col("n_shared")), 6).alias("jaccard"))
             .orderBy("source_a", "source_b"))
+
+
+@register(
+    "token_cooccurrence_lift",
+    oracle="""
+WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tc AS (SELECT tok, count(*) AS n FROM dt GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2),
+lifted AS (
+  SELECT p.tok_a, p.tok_b, p.n_ab,
+         round(p.n_ab * nd.n_docs * 1.0 / (ta.n * tb.n), 6) AS lift
+  FROM pairs p
+  JOIN tc ta ON ta.tok = p.tok_a
+  JOIN tc tb ON tb.tok = p.tok_b
+  CROSS JOIN nd)
+SELECT tok_a, tok_b, n_ab, lift
+FROM lifted
+ORDER BY lift DESC, tok_a, tok_b
+LIMIT 20""",
+    tags=("lexicon", "association"),
+)
+def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token pairs by co-occurrence lift — association mining
+    (P(a,b) / P(a)P(b)) with the lift kept as an EXACT integer rational
+    (n_ab * N / (n_a * n_b)): no logarithms, so no libm divergence between
+    engines; ties break on the token pair. Work is vocabulary-shaped: the
+    corpus reduces to distinct (doc, token) once, the pair join fans out
+    per-doc (bounded by tokens-per-doc squared, not corpus size), and
+    everything downstream runs on vocabulary-sized tables. The final top-20
+    is a TakeOrdered, not a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .distinct())
+    n_docs = d.select("doc_id").distinct().count()
+    tc = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    a = dt.select("doc_id", F.col("tok").alias("tok_a"))
+    b = dt.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (a.join(b, "doc_id")
+             .filter(F.col("tok_a") < F.col("tok_b"))
+             .groupBy("tok_a", "tok_b")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    ta = tc.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    tb = tc.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(ta), "tok_a")
+            .join(F.broadcast(tb), "tok_b")
+            .select("tok_a", "tok_b", "n_ab",
+                    F.round(F.col("n_ab") * F.lit(n_docs)
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("lift"))
+            .orderBy(F.desc("lift"), "tok_a", "tok_b")
+            .limit(20))
