@@ -98,6 +98,7 @@ _PENDING_NEXT_WINDOW = [
     "referential_integrity_audit", "keyset_pagination_orders",
     "k_anonymity_audit", "leakage_safe_splits",
     "winsorized_stats_by_type", "token_cooccurrence_lift",
+    "ordered_funnel_users", "rfm_segments",
 ]
 
 

@@ -5,7 +5,7 @@ layers generate, expressed once and verified against the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
@@ -135,3 +135,88 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cohort_day", F.col("day_n").cast("int").alias("day_n"))
             .agg(F.count(F.lit(1)).alias("active_users"))
             .orderBy("cohort_day", "day_n"))
+
+
+@register(
+    "ordered_funnel_users",
+    oracle="""
+WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+v AS (SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t0
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM v) AS n_then_view,
+       (SELECT count(*) FROM p) AS n_then_purchase""",
+    tags=("analytics", "funnel"),
+)
+def ordered_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly ORDERED funnel (signup -> later view -> later purchase):
+    each stage requires an event strictly after the user's previous stage
+    time, unlike presence-based funnels that overcount users who purchased
+    before signing up. Each stage is one semi-join+min over per-user
+    aggregates — the event table is scanned once per stage with the stage
+    filter pushed down, and every intermediate table is one row per user."""
+    e = load_table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    v = (e.filter(F.col("event_type") == "view")
+         .join(s, "user_id").filter(F.col("ts") > F.col("t0"))
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    return (s.agg(F.count(F.lit(1)).alias("n_signup"))
+            .join(F.broadcast(v.agg(F.count(F.lit(1)).alias("n_then_view"))))
+            .join(F.broadcast(
+                p.agg(F.count(F.lit(1)).alias("n_then_purchase")))))
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS recency,
+         count(*) AS frequency,
+         sum(cast(o_totalprice AS decimal(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT custkey,
+         ntile(4) OVER (ORDER BY recency, custkey) AS r,
+         ntile(4) OVER (ORDER BY frequency, custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary, custkey) AS m
+  FROM rfm)
+SELECT r, f, m, count(*) AS n_customers
+FROM scored GROUP BY r, f, m ORDER BY r, f, m""",
+    tags=("analytics", "segmentation"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-score each customer on Recency (last
+    order), Frequency (order count), Monetary (exact decimal spend), then
+    count the population of each of the 64 segments. The three NTILEs run
+    over the per-customer rollup (one row per customer, not per order) with
+    custkey tiebreaks for engine-independent bucket edges. An unpartitioned
+    NTILE is a single-sort bottleneck at extreme cardinality — at 100 TB,
+    score within a hash-bucketed stratum or swap NTILE for percent_rank
+    over pre-aggregated distributions; the rollup-first structure is what
+    keeps either variant cheap."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.max("o_orderdate").alias("recency"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("monetary")))
+    scored = rfm.select(
+        "custkey",
+        F.ntile(4).over(W.orderBy("recency", "custkey")).alias("r"),
+        F.ntile(4).over(W.orderBy("frequency", "custkey")).alias("f"),
+        F.ntile(4).over(W.orderBy("monetary", "custkey")).alias("m"))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("r", "f", "m"))
