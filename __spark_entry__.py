@@ -99,6 +99,7 @@ _PENDING_NEXT_WINDOW = [
     "k_anonymity_audit", "leakage_safe_splits",
     "winsorized_stats_by_type", "token_cooccurrence_lift",
     "ordered_funnel_users", "rfm_segments",
+    "tpch_q4_order_priority", "tpch_q17_small_quantity_revenue",
 ]
 
 

@@ -483,3 +483,86 @@ FROM customer c JOIN LATERAL (
   ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
 WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
 ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= timestamp '1997-01-01'
+  AND o_orderdate < timestamp '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
+    tags=("tpch", "exists", "semi_join"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter that
+    had at least one LATE line. The fixtures carry no l_commitdate /
+    l_receiptdate, so 'late' re-anchors as shipped more than 45 days after
+    the order date — which makes the EXISTS condition CORRELATED on a
+    non-key column (o_orderdate), exactly the shape Catalyst must turn into
+    a left-semi join with a non-equi secondary condition. The quarter
+    predicate is pushed to the orders parquet scan; lineitem ships only
+    (l_orderkey, l_shipdate) into the semi-join shuffle, and duplicate late
+    lines per order are absorbed by the semi-join (no DISTINCT needed)."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    quarter = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    late_line = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (quarter
+            .join(late_line,
+                  (F.col("l_orderkey") == F.col("o_orderkey"))
+                  & (F.col("l_shipdate")
+                     > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+                  "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+SELECT round(cast(sum(cast(l_extendedprice as decimal(12,2))) as double)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND l_quantity < 0.2 * (
+    SELECT cast(sum(cast(l2.l_quantity as decimal(18,2))) as double)
+           / count(*)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    tags=("tpch", "correlated_subquery", "window"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines whose quantity
+    is under 20% of their part's average quantity, for one brand. The
+    correlated per-part AVG decorrelates into a WINDOW aggregate over
+    partitionBy(l_partkey) on the brand-filtered slice — one broadcast join
+    (brand slice of part), ONE shuffle on l_partkey, one fact scan; no
+    second aggregate-and-rejoin pass. Because the join keeps every lineitem
+    of each surviving part, the window average equals the correlated
+    subquery's per-part average exactly. avg = exact-decimal sum / count
+    cast to double, so the 0.2x threshold compare is bit-equal across
+    engines; the headline /7.0 is a true quotient, rounded last."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    w = W.partitionBy("l_partkey")
+    sliced = (t["lineitem"]
+              .join(F.broadcast(t["part"]
+                                .filter(F.col("p_brand") == "Brand#2")
+                                .select("p_partkey")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .withColumn(
+                  "avg_qty",
+                  F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
+                  .cast("double") / F.count(F.lit(1)).over(w)))
+    return (sliced
+            .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+            .agg(F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double") / F.lit(7.0), 2).alias("avg_yearly")))
