@@ -84,7 +84,7 @@ packed AS (
   FROM toks)
 SELECT source, bin_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS bin_tokens
+       cast(sum(n_tokens) AS bigint) AS bin_tokens
 FROM packed GROUP BY source, bin_id
 ORDER BY source, bin_id""",
     tags=("packing", "pipeline", "window"),
