@@ -35,47 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # to the tail (their old green row remains the evidence). Keep this list
 # under ~50 and re-derive it each round.
 _VERIFY_FIRST = [
-    # reference-parity contract + TPC-H + windows: first driver check r02
-    "q1_trade_analytics", "q2_cardinality", "q3_verification_agg",
-    "q4_reaggregation", "q5_topk", "q6_summary_union",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "order_priority_semijoin", "customers_without_orders",
-    "top_customers_by_spend", "nation_order_rollup",
-    "tpch_q10_returned_items", "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue", "tpch_q18_large_orders",
-    "full_outer_daily_activity", "tpch_q7_nation_volume",
-    "tpch_q15_top_supplier", "tpch_q19_disjunctive_predicate",
-    "window_running_total", "window_topk_per_user", "window_event_gaps",
-    "sessionization", "window_distribution_functions",
-    # new in r02
-    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
-    "tpch_q11_important_value", "tpch_q16_supplier_part_counts",
-    "tpch_q20_part_share_suppliers", "tpch_q21_sole_late_supplier",
-    "tpch_q22_idle_rich_customers",
-    # implementation changed in r02
-    "multimodal_byte_features", "approx_aggregates",
-    "cosine_topk_bruteforce", "dedup_clusters",
-    # new pipeline operators in r02
-    "stratified_sample_by_source", "sequence_packing_bins",
-    "morton_zorder_stats", "decontamination_overlap",
-    "doc_repetition_score", "containment_pairs", "ann_ivf_multiprobe",
-    "events_hourly_incremental", "histogram_quantiles",
-    "count_min_heavy_hitters", "range_join_error_proximity",
-    # LSH candidate path refactored in r02 (lsh_candidates extraction)
-    "minhash_lsh_pairs",
-]
-
-# Queries registered late in r02, AFTER the 50-slot window above was already
-# full of higher-stakes entries (the r01-untested reference-parity/TPC-H/
-# window set and the r02-changed implementations). They pass the full local
-# oracle replica (tests/test_operator_oracles.py at sf0.001 + sf0.01) and are
-# queued to head _VERIFY_FIRST in the NEXT round, displacing entries that
-# will by then hold a driver-green CORRECTNESS_r02 row. The window-contract
-# test (tests/test_driver_contract.py) enforces that every tail query is
-# either previously driver-green or explicitly queued here — nothing can be
-# silently unverified.
-_PENDING_NEXT_WINDOW = [
+    # Broken by the r04 testdata regen (timestamp[us] no-tz -> TIMESTAMP_NTZ
+    # broke unix_micros); fixed in session.py/tables.py this round — need a
+    # fresh green row.
+    "window_event_gaps", "sessionization",
+    # The r02 late-registration queue: every name below passes the local
+    # oracle replica (tests/test_operator_oracles.py at sf0.001 + sf0.01) but
+    # has never had a driver CORRECTNESS row. Rotating all 48 in (2 + 48 = 50)
+    # gives every registered query a cumulative driver-green row.
     "tpch_q9_product_profit", "tpch_q12_priority_shipping",
     "lateral_topk_orders",
     "vocab_growth_by_bucket", "token_novelty_ratio",
@@ -101,6 +68,13 @@ _PENDING_NEXT_WINDOW = [
     "ordered_funnel_users", "rfm_segments",
     "tpch_q4_order_priority", "tpch_q17_small_quantity_revenue",
 ]
+
+# Queries registered this round AFTER the 50-slot window filled; each passes
+# the local oracle replica and is queued to head _VERIFY_FIRST next round.
+# The window-contract test (tests/test_driver_contract.py) enforces that
+# every tail query is either previously driver-green or explicitly queued
+# here — nothing can be silently unverified.
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 def _ordered_queries():

@@ -21,6 +21,14 @@ from pyspark.sql import SparkSession
 # truncates ns -> us, so we integer-divide to match).
 _NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
 
+# Driver testdata stores timestamps as parquet timestamp[us] WITHOUT a
+# timezone; Spark 4 infers those as TIMESTAMP_NTZ by default, which breaks
+# unix_micros()/LTZ-only expressions and diverges from the DuckDB oracle's
+# naive-timestamp-as-UTC semantics. Reading them as TIMESTAMP (session tz is
+# pinned UTC) restores identical instants with zero casts, keeping predicate
+# pushdown on ts columns intact.
+_INFER_NTZ = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
 
 def get_spark(app_name: str = "redpanda_iceberg_duckdb_spark", *, cpus: int | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
@@ -40,6 +48,7 @@ def get_spark(app_name: str = "redpanda_iceberg_duckdb_spark", *, cpus: int | No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(_NANOS_AS_LONG, "true")
+        .config(_INFER_NTZ, "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -64,6 +73,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.set(_NANOS_AS_LONG, "true")
+        spark.conf.set(_INFER_NTZ, "false")
         # Size the shuffle to the session's actual parallelism instead of the
         # 200-partition default — on the driver's small local session that
         # default means ~25 near-empty tasks per core per exchange. AQE

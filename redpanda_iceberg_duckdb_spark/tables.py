@@ -28,6 +28,13 @@ def _post_load(name: str, df: DataFrame) -> DataFrame:
     # division (not double division — 1.7e18 ns exceeds 2^53) matches exactly.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Belt-and-braces: if the session rejected inferTimestampNTZ=false
+    # (configure_session swallows locked-config errors), normalize any NTZ
+    # column to TIMESTAMP here. Session tz is UTC, so the instants are
+    # identical to what the DuckDB oracle computes on the same file.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
