@@ -104,11 +104,12 @@ def _drain_to_memory(spark, sdf, name):
 
 
 def _events_stream(spark, sf_dir):
-    """Streaming read of events.parquet: the file stores TIMESTAMP(NANOS), so
-    read ts as long (raw physical type) and convert exactly like tables.py."""
+    """Streaming read of events.parquet. The file stores timestamp[us]
+    (no tz); with inferTimestampNTZ=false (session.py) a declared
+    TimestampType schema reads it directly — same instants as tables.py."""
     raw_schema = T.StructType([
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -116,8 +117,7 @@ def _events_stream(spark, sf_dir):
     ])
     return (spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+            .parquet(sf_dir))
 
 
 def test_streaming_hourly_matches_batch(spark, sf_smoke):
