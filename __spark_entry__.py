@@ -74,7 +74,11 @@ _VERIFY_FIRST = [
 # The window-contract test (tests/test_driver_contract.py) enforces that
 # every tail query is either previously driver-green or explicitly queued
 # here — nothing can be silently unverified.
-_PENDING_NEXT_WINDOW: list[str] = []
+_PENDING_NEXT_WINDOW: list[str] = [
+    # registered in round 6 after the 50-slot window filled with the r02
+    # backlog; each passes the local oracle replica at sf0.001 + sf0.01
+    "minhash_lsh_pairs_dfcap", "curation_end_to_end", "skew_hot_key_join",
+]
 
 
 def _ordered_queries():

@@ -36,5 +36,6 @@ from . import (  # noqa: F401
     timeseries,      # hourly gap-fill / interpolation / moving stats
     robust,          # MAD outliers, chi-square independence
     scale_patterns,  # two-phase distinct, runtime filters, ntile, Benford
+    skewed,          # hot-key join correctness query (AQE skew regime)
     integrity,       # order-independent XOR table checksums
 )

@@ -113,8 +113,11 @@ _B_LIST = ", ".join(str(b) for b in MINHASH_B)
 
 # Shared CTE: trigrams (t) -> minhash signatures -> band keys -> candidate
 # pairs (cand). Reused by minhash_lsh_pairs and containment_pairs oracles.
-_LSH_CAND_CTE_DUCK = f"""
-hs AS (SELECT doc_id, {md5_mod_duck("tg")} AS h FROM t),
+# The shingle source table is templated ({src}) so the df-capped variant can
+# band over the cold-shingle subset while verification stays on full t.
+def _lsh_cand_cte_duck(src: str) -> str:
+    return f"""
+hs AS (SELECT doc_id, {md5_mod_duck("tg")} AS h FROM {src}),
 params AS (SELECT unnest(range({MINHASH_K})) AS k,
                   unnest([{_A_LIST}]) AS a,
                   unnest([{_B_LIST}]) AS b),
@@ -129,11 +132,29 @@ cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
 """
 
 
-def lsh_candidates(tg: DataFrame) -> DataFrame:
+_LSH_CAND_CTE_DUCK = _lsh_cand_cte_duck("t")
+
+
+def lsh_candidates(tg: DataFrame, *, df_cap: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs (d1 < d2) from a (doc_id, tg) shingle
     table: 16 min-aggregates in one groupBy (single shuffle), 4 band keys
     per doc, equi-join on (band, key). The near-linear candidate generator
-    behind minhash_lsh_pairs and containment_pairs."""
+    behind minhash_lsh_pairs and containment_pairs.
+
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    BEFORE signatures are built — the production hardening against hot
+    (stopword-phrase) shingles, which otherwise skew the band join: a
+    shingle shared by a million docs contributes nothing to near-dup
+    discrimination but dominates the signature aggregate's hottest key.
+    Verification downstream still runs on the FULL shingle sets, so exact
+    Jaccard scores are unaffected; only candidate generation ignores the
+    hot shingles."""
+    if df_cap is not None:
+        # tg is distinct per (doc_id, tg), so count(*) per tg IS the doc
+        # frequency. One extra aggregate + equi-join, both on the already-
+        # shuffled tg key — AQE coalesces; no new skew introduced.
+        dfreq = tg.groupBy("tg").agg(F.count(F.lit(1)).alias("df"))
+        tg = tg.join(dfreq.filter(F.col("df") <= df_cap).select("tg"), "tg")
     hs = tg.select("doc_id", F.expr(md5_mod_spark("tg")).alias("h"))
     sig = hs.groupBy("doc_id").agg(*[
         F.min((F.lit(MINHASH_A[k]) * F.col("h") + F.lit(MINHASH_B[k]))
@@ -184,6 +205,37 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint the signature table, the natural materialization point).
     tg = _doc_trigrams(spark, sf_dir).persist()
     cand = lsh_candidates(tg)
+    return _jaccard_verified(tg, cand, 0.5).orderBy("d1", "d2")
+
+
+# Document-frequency cap for the hardened LSH path: shingles shared by more
+# docs than this are excluded from signature building (never from verify).
+_DF_CAP = 64
+
+
+@register(
+    "minhash_lsh_pairs_dfcap",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+tcold AS (SELECT doc_id, tg FROM t
+          QUALIFY count(*) OVER (PARTITION BY tg) <= {_DF_CAP}),
+{_lsh_cand_cte_duck("tcold")},
+{_JACCARD_VERIFY_DUCK.format(
+    cand_filter="JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id")}
+SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""",
+    tags=("dedup", "lsh"),
+)
+def minhash_lsh_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs with the hot-shingle hardening applied: shingles
+    with document frequency > 64 are dropped before signature/banding (the
+    docstring note at the top of this module, now implemented). Exact-Jaccard
+    verification still runs on full shingle sets, so every reported score is
+    identical to the uncapped path's; only candidate RECALL can differ, and
+    tests/test_planted_neardups.py proves the planted near-dup pair set is
+    unchanged. At 100 TB this cap is what keeps the (band, key) join free of
+    the stopword-phrase hot keys that AQE would otherwise have to split."""
+    tg = _doc_trigrams(spark, sf_dir).persist()
+    cand = lsh_candidates(tg, df_cap=_DF_CAP)
     return _jaccard_verified(tg, cand, 0.5).orderBy("d1", "d2")
 
 

@@ -197,3 +197,55 @@ def test_cluster_quality_never_builds_member_x_centroid_matrix(
         assert r.nearest_label != r.label
         assert -1.0 <= r.silhouette <= 1.0
         assert r.intra_d2 > 0 and r.inter_d2 > 0
+
+
+def test_skew_hot_key_join_broadcasts_dim(spark, sf_smoke):
+    """The registered skew query's default plan: the 1000-row dim broadcasts,
+    so the hot-keyed fact is never hash-partitioned by k — skew on the probe
+    side of a broadcast join is harmless."""
+    df = _q(spark, sf_smoke, "skew_hot_key_join")
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_skew_hot_key_join_aqe_split(spark, sf_correct):
+    """The non-broadcastable regime: with broadcast off, AQE's skew-join
+    split must fire on the hot partition (95% of rows on k=0). Thresholds
+    are scaled down to test size; the fact is repartitioned first because
+    AQE splits a skewed reduce partition by MAPPER ranges — a single-mapper
+    shuffle (one parquet file) is unsplittable, while any real multi-file
+    scan has many mappers."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.skewed import (
+        hot_key_fact, weight_dim)
+
+    saved = {k: spark.conf.get(k) for k in [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor"]}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "100KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "100KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                       "2.0")
+        big = (hot_key_fact(spark, sf_correct)
+               .withColumn("_r", F.explode(
+                   F.array(*[F.lit(i) for i in range(32)])))
+               .drop("_r").repartition(16))
+        df = (big.join(weight_dim(spark), "k")
+              .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+        rows = {r.w: r.n for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        # and splitting did not change the answer: 32x the unsplit counts
+        base = {r.w: r.n for r in
+                _q(spark, sf_correct, "skew_hot_key_join").collect()}
+        assert rows == {w: 32 * n for w, n in base.items()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

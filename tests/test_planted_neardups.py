@@ -65,3 +65,59 @@ def test_lsh_edges_equal_exact_jaccard_edges(spark, sf_smoke, sf_correct):
                qs["minhash_lsh_pairs"].fn(spark, sf).collect()}
         assert lsh == exact, (
             f"{sf}: LSH missed {exact - lsh}, extra {lsh - exact}")
+
+
+def _boilerplate_corpus(tmp_path, spark):
+    """100 docs sharing a 30-token boilerplate header (trigram doc-freq 105,
+    far above the 64 cap) + unique random tails, plus 5 planted near-dup
+    clones differing from their originals by one tail token."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(500)]
+    boiler = " ".join(f"b{i}" for i in range(30))
+    rows = []
+    for i in range(100):
+        tail = " ".join(rng.choice(words) for _ in range(40))
+        rows.append((i, f"{boiler} {tail}", "en", f"src{i % 5}", 0))
+    for j in range(5):
+        toks = rows[j][1].split(" ")
+        toks[-1] = "zzclone"
+        rows.append((100 + j, " ".join(toks), "en", f"src{j % 5}", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = tmp_path / "boiler"
+    out.mkdir()
+    df.coalesce(1).write.parquet(str(out / "_tmp"))
+    import glob
+    import shutil
+    part = glob.glob(str(out / "_tmp" / "part-*.parquet"))[0]
+    shutil.copy(part, str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_dfcap_recall_unchanged_on_planted_corpus(spark, tmp_path):
+    """The df-capped LSH path must find the same near-dup pair set as the
+    uncapped path on a corpus where hot (boilerplate) shingles exceed the
+    cap — the hardening drops the hot keys, not the recall."""
+    d = _boilerplate_corpus(tmp_path, spark)
+    qs = all_queries()
+    want = {(j, 100 + j) for j in range(5)}
+    uncapped = {(r.d1, r.d2) for r in qs["minhash_lsh_pairs"].fn(spark, d).collect()}
+    capped_q = qs["minhash_lsh_pairs_dfcap"]
+    capped = {(r.d1, r.d2) for r in capped_q.fn(spark, d).collect()}
+    assert uncapped == want
+    assert capped == want
+    # and the DuckDB oracle agrees on the same planted file
+    run_compare(spark, capped_q, d)
+
+
+def test_dfcap_equals_uncapped_on_fixtures(spark, sf_smoke, sf_correct):
+    """On the driver corpora the capped and uncapped pair sets are identical
+    (no fixture shingle exceeds the cap pathologically enough to matter)."""
+    qs = all_queries()
+    for d in (sf_smoke, sf_correct):
+        a = sorted(map(tuple, qs["minhash_lsh_pairs"].fn(spark, d).collect()))
+        b = sorted(map(tuple, qs["minhash_lsh_pairs_dfcap"].fn(spark, d).collect()))
+        assert a == b
