@@ -29,7 +29,7 @@ from ..registry import register
 from ..tables import load_table
 from .shingles import (  # shared with clusters.py; no registrations there
     _TG_CTE_DUCK, _JACCARD_VERIFY_DUCK,
-    _doc_trigrams, _jaccard_verified, _jaccard_from_shared,
+    _doc_trigrams, _doc_trigram_sets, _jaccard_verified, _jaccard_from_shared,
 )
 
 # ---------------------------------------------------------------- exact dedup
@@ -200,12 +200,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-s^4)^4 ≈ 0.23 at the threshold, ~0.9 at s=0.8 — verification
     restores exactness.
     """
-    # tg feeds the signature build AND the verify step — persist it instead
-    # of recomputing the explode+md5 sub-DAG per consumer (at cluster scale:
-    # checkpoint the signature table, the natural materialization point).
-    tg = _doc_trigrams(spark, sf_dir).persist()
+    tg = _doc_trigrams(spark, sf_dir)
     cand = lsh_candidates(tg)
-    return _jaccard_verified(tg, cand, 0.5).orderBy("d1", "d2")
+    # verify reads candidate docs' shingle SETS map-side from the documents
+    # scan (_doc_trigram_sets) — the exploded tg table feeds signatures only
+    return (_jaccard_verified(tg, cand, 0.5,
+                              doc_sets=_doc_trigram_sets(spark, sf_dir))
+            .orderBy("d1", "d2"))
 
 
 # Document-frequency cap for the hardened LSH path: shingles shared by more
@@ -234,9 +235,12 @@ def minhash_lsh_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_planted_neardups.py proves the planted near-dup pair set is
     unchanged. At 100 TB this cap is what keeps the (band, key) join free of
     the stopword-phrase hot keys that AQE would otherwise have to split."""
+    # persist: tg feeds BOTH the doc-frequency count and the signature build
     tg = _doc_trigrams(spark, sf_dir).persist()
     cand = lsh_candidates(tg, df_cap=_DF_CAP)
-    return _jaccard_verified(tg, cand, 0.5).orderBy("d1", "d2")
+    return (_jaccard_verified(tg, cand, 0.5,
+                              doc_sets=_doc_trigram_sets(spark, sf_dir))
+            .orderBy("d1", "d2"))
 
 
 # ------------------------------------------------------------------- SimHash

@@ -36,23 +36,60 @@ def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
-def _jaccard_verified(tg: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+def _doc_trigram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tgs: distinct-trigram array, n: set size) straight from the
+    documents scan — one map-side pass, no explode, no shuffle. The verify
+    path consumes this instead of the exploded shingle table: re-deriving a
+    candidate doc's shingle SET from its text costs one row of work, while
+    re-assembling it from the exploded table costs a corpus-wide shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tgs = F.array_distinct(F.expr(_TG_ARRAY_SPARK))
+    return (d.select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id", tgs.alias("tgs"))
+            .select("doc_id", "tgs", F.size("tgs").alias("n")))
+
+
+def _jaccard_verified(tg: DataFrame, cand: DataFrame, threshold: float,
+                      doc_sets: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over candidate pairs (d1 < d2): |A∩B| / |A∪B|.
 
-    Cost scales with |cand| x shingles-per-doc, NOT with the all-pairs
-    shared-shingle join: candidates (small after LSH) broadcast onto d1's
-    shingles, then one equi-join on (d2, tg) intersects with d2's shingles.
+    Cost scales with |cand| x shingles-per-doc, NOT with the corpus: each
+    candidate doc's shingle set arrives as ONE array row (``doc_sets``,
+    ideally the map-side scan from _doc_trigram_sets) and the pair join
+    computes size(array_intersect) per candidate — no join ever touches the
+    exploded corpus shingle table, so the verify stage costs the same
+    whether the corpus is 5k docs or 5B (only |candidates| matters). The
+    previous shape (equi-join on (d2, tg)) shuffled every shingle in the
+    corpus. Falls back to assembling doc_sets from ``tg`` (one filtered
+    shuffle) when no scan-side source is available.
     """
-    sz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    d1_shingles = F.broadcast(cand).join(
-        tg.select(F.col("doc_id").alias("d1"), "tg"), "d1")
-    shared = (
-        d1_shingles
-        .join(tg.select(F.col("doc_id").alias("d2"), "tg"), ["d2", "tg"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return _jaccard_from_shared(shared, sz, threshold)
+    if doc_sets is None:
+        docs = (cand.select(F.col("d1").alias("doc_id"))
+                .union(cand.select(F.col("d2").alias("doc_id")))
+                .distinct())
+        doc_sets = (tg.join(F.broadcast(docs), "doc_id")
+                    .groupBy("doc_id")
+                    .agg(F.collect_list("tg").alias("tgs"),
+                         F.count(F.lit(1)).alias("n")))
+    a1 = doc_sets.select(F.col("doc_id").alias("d1"),
+                         F.col("tgs").alias("tgs1"), F.col("n").alias("n1"))
+    # scan(a1) ⋈ broadcast(cand) is map-side (cand is LSH output: a small
+    # fraction of the corpus by construction). The d2 side is map-side
+    # semi-filtered to candidate docs at its scan, so the final pair join
+    # sees two candidate-sized inputs — left un-hinted on purpose: cand
+    # carrying d1 arrays can be wide, and AQE picks broadcast at runtime
+    # when it fits rather than trusting a driver-side hint at 100 TB.
+    left = F.broadcast(cand).join(a1, "d1")
+    d2docs = cand.select(F.col("d2").alias("doc_id")).distinct()
+    a2 = (doc_sets.join(F.broadcast(d2docs), "doc_id")
+          .select(F.col("doc_id").alias("d2"),
+                  F.col("tgs").alias("tgs2"), F.col("n").alias("n2")))
+    c = F.size(F.array_intersect("tgs1", "tgs2"))
+    return (left.join(a2, "d2")
+            .select("d1", "d2",
+                    F.round(c / (F.col("n1") + F.col("n2") - c), 6)
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 def _jaccard_from_shared(shared: DataFrame, sz: DataFrame,
