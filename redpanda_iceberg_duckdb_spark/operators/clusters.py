@@ -33,16 +33,21 @@ def connected_components(edges: DataFrame, *, src: str = "d1", dst: str = "d2",
     Returns (node, component) where component = min node id reachable.
 
     Memory/lineage discipline for long loops: each round persists the new
-    label table, materializes it via the convergence count, then UNPERSISTS
-    the previous round's table (otherwise every round leaks a cached copy).
+    label table, materializes it via the convergence aggregate, then
+    UNPERSISTS the previous round's table (otherwise every round leaks a
+    cached copy).
     Every ``checkpoint_every`` rounds the labels are localCheckpoint'ed to
     truncate lineage — without this, deep graphs grow an O(rounds)-deep plan
     that eventually overwhelms the optimizer and task serialization."""
-    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
+    # persist the caller's edge DAG BEFORE the symmetrize union — its two
+    # branches otherwise each re-execute the (possibly expensive: the whole
+    # LSH pipeline) edge computation once
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    und = (e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))))
     und = und.persist()  # reused every round
     nodes = und.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("comp")).persist()
+    prev_sum = None  # empty graph: first sum is NULL == prev -> break
     for i in range(max_rounds):
         neighbor_min = (
             und.join(labels, und.b == labels.node)
@@ -57,14 +62,21 @@ def connected_components(edges: DataFrame, *, src: str = "d1", dst: str = "d2",
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        # Convergence check without a join: labels only ever DECREASE
+        # (comp' = least(comp, neighbor min) <= comp), so the label sum is
+        # strictly monotone until fixpoint — equal sums <=> no node changed.
+        # One scalar aggregate per round instead of join+filter+count; the
+        # decimal cast keeps the sum exact at any node-id magnitude.
+        label_sum = (new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
+            .collect()[0][0])
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if (i > 0 and label_sum == prev_sum) or label_sum is None:
             break
+        prev_sum = label_sum
     und.unpersist()
+    e.unpersist()
     return labels
 
 
