@@ -306,9 +306,10 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint survives) -> per-source sequence packing — proving the
     stages compose without materialization between them (VERDICT round-2
     task #6). Catalyst sees the whole pipeline: the sample filter runs at
-    the scan, chunking is map-side explode, and only two shuffles remain
-    (chunk_md5 dedup window, source packing window) — exactly the two
-    key-repartitions a 100 TB run needs.
+    the scan, chunking is map-side explode, and the only chunk-sized
+    shuffles are the chunk_md5 dedup window, the source packing window, and
+    the map-side-combinable bin aggregate; the final sort moves bin-level
+    rows only. Shuffle count pinned by tests/test_plans.py.
     """
     from pyspark.sql import Window as W
 

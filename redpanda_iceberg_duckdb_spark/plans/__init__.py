@@ -45,3 +45,15 @@ def scan_read_schema(df: DataFrame, table_path_fragment: str) -> str:
         if "ReadSchema" in line:
             return line.strip()
     return ""
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Shuffle-Exchange line count in the formatted plan (broadcast
+    exchanges excluded) — the metric that decides a plan's fate at 100 TB.
+    NOTE: the formatted explain lists each node twice (tree + details), so
+    this is ~2x the physical shuffle count; use it for ceilings/regressions,
+    not as an absolute."""
+    plan = physical_plan(df)
+    return sum(1 for line in plan.splitlines()
+               if "Exchange" in line and "BroadcastExchange" not in line
+               and "Reused" not in line)

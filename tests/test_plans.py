@@ -249,3 +249,21 @@ def test_skew_hot_key_join_aqe_split(spark, sf_correct):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_shuffle_count_ceilings(spark, sf_smoke):
+    """Pin the shuffle-Exchange count of the heaviest pipeline queries —
+    a regression here is what turns a linear plan into a quadratic one at
+    100 TB long before the local wall-clock notices."""
+    # plans differ when earlier tests left tables cached (InMemoryRelation
+    # replaces the scan): measure from a clean cache
+    spark.catalog.clearCache()
+    # exchange_count double-lists nodes (tree + details): ceilings are ~2x
+    # the physical shuffle count observed when the test was written
+    for name, ceiling in [("minhash_lsh_pairs", 15),
+                          ("curation_end_to_end", 6),
+                          ("dedup_exact_groups", 4),
+                          ("sequence_packing_bins", 4)]:
+        df = _q(spark, sf_smoke, name)
+        got = plans.exchange_count(df)
+        assert got <= ceiling, f"{name}: {got} > {ceiling}"
