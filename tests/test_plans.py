@@ -267,3 +267,39 @@ def test_shuffle_count_ceilings(spark, sf_smoke):
         df = _q(spark, sf_smoke, name)
         got = plans.exchange_count(df)
         assert got <= ceiling, f"{name}: {got} > {ceiling}"
+
+
+def test_runtime_bloom_filter_injection(spark, sf_correct):
+    """Spark's runtime bloom-filter join optimization — the 100 TB lever
+    that row-filters the big probe side with a filter built from the
+    selective build side before the shuffle. Never fires at test scale
+    (applicationSideScanSizeThreshold defaults to 10GB), so thresholds are
+    scaled down; assert the bloom_filter_agg/might_contain pair is injected
+    and the join result is unchanged."""
+    from pyspark.sql import functions as F
+
+    keys = ["spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"]
+    saved = {k: spark.conf.get(k) for k in keys}
+
+    def join_df():
+        o = (spark.read.parquet(f"{sf_correct}/orders.parquet")
+             .filter("o_orderpriority = '1-URGENT'"))
+        li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    base = sorted(map(tuple, join_df().collect()))
+    try:
+        spark.conf.set(keys[0], "-1")
+        spark.conf.set(keys[1], "0")
+        spark.conf.set(keys[2], "100MB")
+        df = join_df()
+        plan = plans.physical_plan(df)
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert sorted(map(tuple, df.collect())) == base
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
