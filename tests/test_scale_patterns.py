@@ -156,3 +156,35 @@ def test_leakage_safe_split_never_straddles_pairs(spark, sf_smoke):
     split_of = {r.doc: r.b for r in doc_split}
     for p in pairs.collect():
         assert split_of[p.d1] == split_of[p.d2], p
+
+
+def test_kmv_sketch_is_mergeable(spark, sf_smoke):
+    """The property that makes KMV a SKETCH: the k smallest hashes of a
+    union equal the k smallest of the union of per-partition k-smallest
+    sets. Split events in two halves, sketch each, merge by min-k, compare
+    to the sketch of the whole — bit-identical."""
+    from pyspark.sql import Window as W, functions as F
+
+    from redpanda_iceberg_duckdb_spark.functions.hashing import md5_mod_spark
+    from redpanda_iceberg_duckdb_spark.operators.sketches import _KMV_K, _M
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke, "events")
+    elem = ("concat(cast(user_id AS string), ':', "
+            "cast(cast(ts AS date) AS string))")
+    uh = e.select("event_type",
+                  F.expr(md5_mod_spark(elem, _M)).alias("h"),
+                  (F.col("event_id") % 2).alias("half"))
+    wt = W.partitionBy("event_type").orderBy("h")
+
+    def topk(df):
+        return (df.select("event_type", "h").distinct()
+                .withColumn("rn", F.row_number().over(wt))
+                .filter(F.col("rn") <= _KMV_K).drop("rn"))
+
+    whole = topk(uh)
+    merged = topk(topk(uh.filter("half = 0"))
+                  .unionAll(topk(uh.filter("half = 1"))))
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
