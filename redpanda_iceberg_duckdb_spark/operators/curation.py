@@ -168,9 +168,9 @@ c AS (SELECT source, doc_id, n_tok,
 SELECT source,
        count(*) FILTER (WHERE 5 * (cum_tok - n_tok) < 4 * tot_tok) AS n_kept,
        count(*) AS n_docs,
-       sum(n_tok) FILTER (WHERE 5 * (cum_tok - n_tok) < 4 * tot_tok)
-           AS tokens_kept,
-       min(tot_tok) AS tot_tokens
+       cast(sum(n_tok) FILTER (WHERE 5 * (cum_tok - n_tok) < 4 * tot_tok)
+            AS bigint) AS tokens_kept,
+       cast(min(tot_tok) AS bigint) AS tot_tokens
 FROM c GROUP BY source ORDER BY source""",
     tags=("curation", "window", "topp"),
 )
@@ -252,7 +252,8 @@ kept AS (
 SELECT source,
        count(*) AS n_after_dedup,
        count(*) FILTER (WHERE stage = '5_kept') AS n_final,
-       sum(n_tok) FILTER (WHERE stage = '5_kept') AS tokens_final
+       cast(sum(n_tok) FILTER (WHERE stage = '5_kept') AS bigint)
+           AS tokens_final
 FROM kept GROUP BY source ORDER BY source""",
     tags=("curation", "dedup", "pipeline"),
 )

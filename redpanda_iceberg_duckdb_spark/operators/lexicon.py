@@ -79,7 +79,8 @@ WITH {_TOK_CTE_DUCK},
 per_doc AS (
   SELECT w.doc_id,
          count(*) AS n_distinct,
-         sum(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END) AS n_new
+         cast(sum(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END)
+             AS bigint) AS n_new
   FROM w JOIN first_seen f USING (tok)
   GROUP BY w.doc_id)
 SELECT doc_id, n_distinct, n_new,
@@ -112,7 +113,8 @@ def token_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS tok
            FROM documents),
 c AS (SELECT source, tok, count(*) AS c FROM w GROUP BY source, tok),
-s AS (SELECT source, sum(c) AS n_tokens, count(*) AS n_distinct,
+s AS (SELECT source, cast(sum(c) AS bigint) AS n_tokens,
+             count(*) AS n_distinct,
              sum(c * ln(c)) AS slc
       FROM c GROUP BY source)
 SELECT source, n_tokens, n_distinct,

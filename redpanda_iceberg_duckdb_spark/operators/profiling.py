@@ -120,7 +120,7 @@ c AS (
          sum(w) OVER (PARTITION BY event_type) AS tot_w
   FROM g)
 SELECT event_type, min(value) AS weighted_median,
-       min(tot_w) AS total_weight
+       cast(min(tot_w) AS bigint) AS total_weight
 FROM c WHERE 2 * cum_w >= tot_w
 GROUP BY event_type ORDER BY event_type""",
     tags=("profiling", "window", "quantile"),

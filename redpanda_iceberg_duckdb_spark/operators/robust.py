@@ -52,8 +52,8 @@ SELECT d.event_type,
        round(m.med, 4) AS median_value,
        round(m.mad, 4) AS mad,
        count(*) AS n,
-       sum(CASE WHEN d.adev > 3 * {_MAD_K} * m.mad THEN 1 ELSE 0 END)
-           AS n_outliers
+       cast(sum(CASE WHEN d.adev > 3 * {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS bigint) AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type, m.med, m.mad
 ORDER BY d.event_type""",

@@ -141,7 +141,7 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_GRID_CTE_DUCK}
 SELECT event_type, hour, n_events,
-       sum(n_events) OVER w AS moving_sum_24h,
+       cast(sum(n_events) OVER w AS bigint) AS moving_sum_24h,
        round(sum(n_events) OVER w * 1.0 / count(*) OVER w, 6)
            AS moving_avg_24h,
        min(n_events) OVER w AS moving_min_24h,

@@ -112,3 +112,42 @@ def test_ntz_fallback_path_matches_default(spark, sf_smoke):
             assert got == rows, n
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def test_no_hugeint_oracle_outputs(spark, sf_smoke):
+    """The driver's value hash is TYPE-sensitive: DuckDB widens sum(BIGINT)
+    to HUGEINT, which hash-mismatches Spark's bigint even when every value
+    is identical (the round-2 sequence_packing_bins red row). Enforce the
+    cast discipline registry-wide at the schema level — no oracle may emit
+    HUGEINT/INT128, and integer/double/string class mismatches vs the Spark
+    schema are errors too."""
+    import duckdb
+
+    from tests.oracle_harness import duckdb_conn
+
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    con = duckdb_conn(sf_smoke)
+    classes = {
+        "BIGINT": "i", "INTEGER": "i", "SMALLINT": "i", "TINYINT": "i",
+        "DOUBLE": "f", "FLOAT": "f", "VARCHAR": "s", "BOOLEAN": "b",
+        "TIMESTAMP": "t", "DATE": "d",
+    }
+    spark_classes = {
+        "bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
+        "double": "f", "float": "f", "string": "s", "boolean": "b",
+        "timestamp": "t", "timestamp_ntz": "t", "date": "d",
+    }
+    bad = []
+    for name, sql in osql.items():
+        rel = con.sql(sql)
+        dtypes = dict(qs[name](spark, sf_smoke).dtypes)
+        for col, dt in zip(rel.columns, [str(t) for t in rel.types]):
+            if dt in ("HUGEINT", "UHUGEINT", "INT128"):
+                bad.append(f"{name}.{col}: {dt}")
+                continue
+            dc, sc = classes.get(dt), spark_classes.get(dtypes.get(col, ""))
+            if dc and sc and dc != sc:
+                bad.append(f"{name}.{col}: duck {dt} vs spark {dtypes.get(col)}")
+    con.close()
+    assert bad == [], bad
