@@ -151,3 +151,55 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("containment"))
             .filter(F.col("containment") >= 0.6)
             .orderBy("d1", "d2"))
+
+
+@register(
+    "containment_closure",
+    oracle=f"""
+WITH RECURSIVE {_TG_CTE_DUCK},
+{_LSH_CAND_CTE_DUCK},
+sz AS (SELECT doc_id, count(*) n FROM t GROUP BY doc_id),
+shared AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+           FROM t a JOIN t b ON a.tg = b.tg AND a.doc_id < b.doc_id
+           JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id
+           GROUP BY 1, 2),
+edges AS (SELECT d1, d2
+          FROM shared JOIN sz s1 ON s1.doc_id = d1
+                      JOIN sz s2 ON s2.doc_id = d2
+          WHERE c * 1.0 / least(s1.n, s2.n) >= 0.6),
+walk(src, dst, hops) AS (
+  SELECT d1, d2, 1 FROM edges
+  UNION ALL
+  SELECT w.src, e.d2, w.hops + 1
+  FROM walk w JOIN edges e ON e.d1 = w.dst)
+SELECT src AS d_src, dst AS d_dst, cast(min(hops) AS int) AS min_hops
+FROM walk GROUP BY src, dst
+ORDER BY d_src, d_dst""",
+    tags=("contamination", "dedup", "recursive"),
+)
+def containment_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the containment DAG via Spark 4's WITH
+    RECURSIVE: if A is near-contained in B and B in C, then (A, C) is a
+    2-hop containment — the lineage chain a curation pipeline follows to
+    collapse nested boilerplate families, which pairwise containment alone
+    misses. The recursion is guaranteed to terminate without set-dedup
+    (Spark supports only UNION ALL in recursive CTEs): every edge goes
+    strictly small-id -> big-id, so the graph is acyclic and every path is
+    finite. min(hops) collapses path multiplicity."""
+    pairs = containment_pairs(spark, sf_dir).select("d1", "d2")
+    pairs.createOrReplaceTempView("_containment_edges")
+    return spark.sql(_CLOSURE_SQL)
+
+
+# Shared by containment_closure and the planted multi-hop unit test (the
+# fixture corpora have no >1-hop chains, so the recursion tail is proven on
+# planted edges in tests/test_scale_patterns.py).
+_CLOSURE_SQL = """
+WITH RECURSIVE walk(src, dst, hops) AS (
+  SELECT d1, d2, 1 FROM _containment_edges
+  UNION ALL
+  SELECT w.src, e.d2, w.hops + 1
+  FROM walk w JOIN _containment_edges e ON e.d1 = w.dst)
+SELECT src AS d_src, dst AS d_dst, cast(min(hops) AS int) AS min_hops
+FROM walk GROUP BY src, dst
+ORDER BY d_src, d_dst"""

@@ -188,3 +188,19 @@ def test_kmv_sketch_is_mergeable(spark, sf_smoke):
     a = sorted(map(tuple, whole.collect()))
     b = sorted(map(tuple, merged.collect()))
     assert a == b
+
+
+def test_containment_closure_multi_hop(spark):
+    """The fixture corpora yield only 1-hop closures, so prove the recursion
+    tail on planted edges: a 3-link chain plus a disjoint edge must produce
+    2-hop and 3-hop transitive pairs with correct min_hops."""
+    from redpanda_iceberg_duckdb_spark.operators.contamination import (
+        _CLOSURE_SQL)
+
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "d1 long, d2 long"
+    ).createOrReplaceTempView("_containment_edges")
+    got = {(r.d_src, r.d_dst): r.min_hops
+           for r in spark.sql(_CLOSURE_SQL).collect()}
+    assert got == {(1, 2): 1, (2, 3): 1, (3, 4): 1, (10, 11): 1,
+                   (1, 3): 2, (2, 4): 2, (1, 4): 3}
