@@ -78,7 +78,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # registered in round 6 after the 50-slot window filled with the r02
     # backlog; each passes the local oracle replica at sf0.001 + sf0.01
     "minhash_lsh_pairs_dfcap", "curation_end_to_end", "skew_hot_key_join",
-    "kmv_set_overlap", "containment_closure",
+    "kmv_set_overlap", "containment_closure", "mixture_resample",
 ]
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.hashing import md5_mod_duck, md5_mod_spark
 from ..registry import register
 from ..tables import load_table
 
@@ -281,3 +282,82 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(final, 1).otherwise(0)).alias("n_final"),
                  F.sum(F.when(final, F.col("n_tok"))).alias("tokens_final"))
             .orderBy("source"))
+
+
+# mixture_resample budget: below the sf0.01 corpus size (500 docs) so the
+# driver-gate run actually drops documents; at sf0.001 (50 docs) every doc
+# is kept — allocation capped by availability, which is the correct
+# semantics when a stratum can't fill its quota.
+_RESAMPLE_BUDGET = 200
+
+
+@register(
+    "mixture_resample",
+    oracle=f"""
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+t AS (SELECT source, n_docs,
+             cast(({_RESAMPLE_BUDGET} * n_docs)
+                  // cast(sum(n_docs) OVER () as bigint) as bigint) AS base,
+             cast(({_RESAMPLE_BUDGET} * n_docs)
+                  % cast(sum(n_docs) OVER () as bigint) as bigint) AS rem
+      FROM c),
+r AS (SELECT source, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rn,
+             {_RESAMPLE_BUDGET} - cast(sum(base) OVER () as bigint)
+                 AS leftover
+      FROM t),
+alloc AS (SELECT source,
+                 base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS n_alloc
+          FROM r),
+ranked AS (SELECT source, doc_id,
+                  cast(row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY {md5_mod_duck("cast(doc_id as varchar)")},
+                               doc_id) AS int) AS sample_rank
+           FROM documents)
+SELECT ranked.source, doc_id, sample_rank
+FROM ranked JOIN alloc ON alloc.source = ranked.source
+WHERE sample_rank <= n_alloc
+ORDER BY ranked.source, sample_rank""",
+    tags=("curation", "sampling"),
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize mixture_allocation's quotas: per source, keep the
+    n_alloc documents with the smallest content-stable hash (ties broken by
+    doc_id) — the deterministic, retry-stable realization of a target data
+    mix, reproducible across engines and partitionings. Keeping hash-rank
+    minima (not 'first n_alloc rows') makes the sample independent of scan
+    order AND monotone under corpus growth: a doc only leaves the sample
+    when a smaller-hash doc arrives in its stratum.
+
+    Scale note: the rank filter compares against a per-group COLUMN quota,
+    so Spark cannot plan WindowGroupLimit; at 100 TB, pre-filter each
+    stratum on hash < (n_alloc / n_docs scaled threshold + slack) before
+    ranking to cap the window input — same result, bounded state."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = W.partitionBy()
+    c = (c.withColumn("total", F.sum("n_docs").over(wall))
+         .withColumn("base",
+                     F.expr(f"({_RESAMPLE_BUDGET} * n_docs) div total"))
+         .withColumn("rem",
+                     (F.lit(_RESAMPLE_BUDGET) * F.col("n_docs"))
+                     % F.col("total")))
+    alloc = (c.withColumn("rn", F.row_number().over(
+                W.partitionBy().orderBy(F.desc("rem"), "source")))
+             .withColumn("leftover",
+                         F.lit(_RESAMPLE_BUDGET) - F.sum("base").over(wall))
+             .select("source",
+                     (F.col("base")
+                      + F.when(F.col("rn") <= F.col("leftover"), 1)
+                      .otherwise(0)).alias("n_alloc")))
+    ranked = d.select(
+        "source", "doc_id",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.expr(md5_mod_spark("cast(doc_id as string)")), "doc_id"))
+        .cast("int").alias("sample_rank"))
+    return (ranked.join(alloc, "source")
+            .filter(F.col("sample_rank") <= F.col("n_alloc"))
+            .select("source", "doc_id", "sample_rank")
+            .orderBy("source", "sample_rank"))
