@@ -263,7 +263,13 @@ def test_shuffle_count_ceilings(spark, sf_smoke):
     for name, ceiling in [("minhash_lsh_pairs", 15),
                           ("curation_end_to_end", 6),
                           ("dedup_exact_groups", 4),
-                          ("sequence_packing_bins", 4)]:
+                          ("sequence_packing_bins", 4),
+                          ("minhash_lsh_pairs_dfcap", 29),
+                          ("mixture_resample", 8),
+                          ("skew_hot_key_join", 4),
+                          # kmv shuffles are all sketch-sized after the
+                          # initial distinct; count is high but benign
+                          ("kmv_set_overlap", 45)]:
         df = _q(spark, sf_smoke, name)
         got = plans.exchange_count(df)
         assert got <= ceiling, f"{name}: {got} > {ceiling}"
