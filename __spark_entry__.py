@@ -79,6 +79,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # backlog; each passes the local oracle replica at sf0.001 + sf0.01
     "minhash_lsh_pairs_dfcap", "curation_end_to_end", "skew_hot_key_join",
     "kmv_set_overlap", "containment_closure", "mixture_resample",
+    "chunk_documents_udtf",
 ]
 
 

@@ -37,5 +37,6 @@ from . import (  # noqa: F401
     robust,          # MAD outliers, chi-square independence
     scale_patterns,  # two-phase distinct, runtime filters, ntile, Benford
     skewed,          # hot-key join correctness query (AQE skew regime)
+    udtf_ops,        # Python UDTF surface (Spark 4 LATERAL table functions)
     integrity,       # order-independent XOR table checksums
 )
