@@ -35,38 +35,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # to the tail (their old green row remains the evidence). Keep this list
 # under ~50 and re-derive it each round.
 _VERIFY_FIRST = [
-    # Broken by the r04 testdata regen (timestamp[us] no-tz -> TIMESTAMP_NTZ
-    # broke unix_micros); fixed in session.py/tables.py this round — need a
-    # fresh green row.
-    "window_event_gaps", "sessionization",
-    # The r02 late-registration queue: every name below passes the local
-    # oracle replica (tests/test_operator_oracles.py at sf0.001 + sf0.01) but
-    # has never had a driver CORRECTNESS row. Rotating all 48 in (2 + 48 = 50)
-    # gives every registered query a cumulative driver-green row.
-    "tpch_q9_product_profit", "tpch_q12_priority_shipping",
-    "lateral_topk_orders",
-    "vocab_growth_by_bucket", "token_novelty_ratio",
-    "token_entropy_by_source", "mode_token_per_source",
-    "profile_orders", "weighted_median_by_type",
-    "mixture_allocation", "quality_filter_funnel", "token_budget_topp",
-    "hash_sample_per_source", "curation_pipeline_stats",
-    "gap_fill_hourly", "hourly_moving_stats",
-    "event_path_trigrams", "event_type_transitions",
-    "cluster_quality_silhouette",
-    "mad_outliers_by_type", "chi2_priority_seasonality",
-    "corr_value_props_by_type", "ols_hourly_trend",
-    "user_concentration_by_type", "range_filter_semijoin",
-    "ntile_value_quartiles", "benford_price_digits",
-    "cluster_best_survivors",
-    "session_stats", "value_distribution_drift", "ewma_hourly_counts",
-    "source_vocab_overlap", "table_checksums", "rollup_chain_monthly",
-    "embedding_quantization_audit", "sliding_distinct_users_24h",
-    "chunk_documents_sliding", "chunk_dedup_groups",
-    "referential_integrity_audit", "keyset_pagination_orders",
-    "k_anonymity_audit", "leakage_safe_splits",
-    "winsorized_stats_by_type", "token_cooccurrence_lift",
-    "ordered_funnel_users", "rfm_segments",
-    "tpch_q4_order_priority", "tpch_q17_small_quantity_revenue",
+    # The round-6 late registrations: each passed the local oracle replica
+    # (sf0.001 + sf0.01) in r6 but has never had a driver CORRECTNESS row.
+    # Green rows here complete cumulative driver coverage of all registered
+    # queries (everything else was green in some r01-r06 window).
+    "minhash_lsh_pairs_dfcap", "curation_end_to_end", "skew_hot_key_join",
+    "kmv_set_overlap", "containment_closure", "mixture_resample",
+    "chunk_documents_udtf",
+    # New in round 7 (registered early enough to ride this window).
+    "streaming_validate_replay", "sentence_chunks_udtf",
+    "snapshot_retention_audit",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
@@ -74,13 +52,7 @@ _VERIFY_FIRST = [
 # The window-contract test (tests/test_driver_contract.py) enforces that
 # every tail query is either previously driver-green or explicitly queued
 # here — nothing can be silently unverified.
-_PENDING_NEXT_WINDOW: list[str] = [
-    # registered in round 6 after the 50-slot window filled with the r02
-    # backlog; each passes the local oracle replica at sf0.001 + sf0.01
-    "minhash_lsh_pairs_dfcap", "curation_end_to_end", "skew_hot_key_join",
-    "kmv_set_overlap", "containment_closure", "mixture_resample",
-    "chunk_documents_udtf",
-]
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 def _ordered_queries():
@@ -95,6 +67,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, q in _ordered_queries().items():
         def wrapped(spark: SparkSession, sf_dir: str, _q=q) -> DataFrame:
             configure_session(spark)
+            # Per-query cache clear: queries that persist intermediates
+            # (LSH signatures, KMV sketches) are bounded within their own
+            # execution instead of leaking storage memory across the
+            # driver's sequential 150-query correctness run.
+            spark.catalog.clearCache()
             return _q.fn(spark, sf_dir)
         out[name] = wrapped
     return out

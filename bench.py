@@ -43,9 +43,14 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         print(f"# {name}: warm {min(runs):.3f}s cold {max(runs):.3f}s "
               f"({n} rows)", file=sys.stderr)
+        # Queries that persist intermediates (LSH signature tables, KMV
+        # sketches) would otherwise leak cached partitions into every later
+        # query's storage memory over the sequential run.
+        spark.catalog.clearCache()
 
     extras = skew_join_demo(spark, sf_dir)
     extras.update(lsh_scaling_demo(spark, sf_dir))
+    extras.update(lsh_dfcap_skew_demo(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -74,13 +79,18 @@ def lsh_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Copy stride derived from the corpus, not a magic constant: doc_ids of
+    # different copies can never collide at any SF (a collision would
+    # silently corrupt the measured scaling — pair counts would stop being
+    # linear in the copy count).
+    stride = (base.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
     tmp = tempfile.mkdtemp(prefix="lsh_scale_")
     try:
         for mult in (1, 2, 3):
             d = os.path.join(tmp, f"x{mult}")
             copies = [
                 base.select(
-                    (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
+                    (F.col("doc_id") + c * stride).alias("doc_id"),
                     F.array_join(
                         F.transform(F.split("text", " "),
                                     lambda w, _c=c: F.concat(w, F.lit(f"_{_c}"))),
@@ -106,6 +116,93 @@ def lsh_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
                 out[f"scaling_{qname}_x{mult}"] = dt
                 print(f"# scaling {qname} x{mult}: {dt}s ({n} rows)",
                       file=sys.stderr)
+                spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def lsh_dfcap_skew_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Measured justification for making the df-capped LSH the headline
+    path: capped vs uncapped wall-clock at x1..x5 corpus replication on a
+    SYNTHETIC corpus with planted ground truth:
+
+    - every doc = 120 doc-unique tokens + a global 180-token hot phrase, so
+      the hot phrase's ~178 trigrams have document frequency = the whole
+      corpus while unrelated-pair Jaccard is pinned at ~178/(120+120+178)
+      = 0.43 — deterministically under the 0.5 verify threshold at EVERY x
+      (a real corpus can't guarantee that: short docs let the hot phrase
+      push unrelated pairs over threshold, changing the answer, not just
+      cost) — while ~60% of each doc's minhash minima come from hot
+      shingles, so ~0.6^4 = 13% of ALL docs share each band's mega-bucket;
+    - every 10th doc gets a planted twin with IDENTICAL text (Jaccard 1.0,
+      so minhash signatures are equal and candidacy is DETERMINISTIC in
+      both paths — partial-overlap twins would make banding recall
+      probabilistic and the equality assert flaky) — the pair set both
+      paths must return, exactly.
+
+    Hot trigrams seize ~half of each doc's minhash minima, so the uncapped
+    path's band mega-buckets grow linearly in corpus size and its
+    verified-then-rejected candidate count quadratically; the df cap drops
+    those shingles before banding. Asserted: identical pair sets = exactly
+    the planted twins. Measured: capped <= uncapped, gap widening with x."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    n = 1000  # originals per copy (+100 twins)
+    hot = " ".join(f"s{k}" for k in range(180))
+    tmp = tempfile.mkdtemp(prefix="lsh_skew_")
+    try:
+        for mult in (1, 2, 3, 4, 5):
+            d = os.path.join(tmp, f"x{mult}")
+            per_copy = []
+            for c in range(mult):
+                orig = spark.range(n).select(
+                    F.col("id").alias("base"), F.lit(0).alias("twin"))
+                twins = spark.range(0, n, 10).select(
+                    F.col("id").alias("base"), F.lit(1).alias("twin"))
+                ids = orig.unionAll(twins).select(
+                    "base", "twin",
+                    # copy-tagged so copies never share a shingle; twins sit
+                    # far above every original id
+                    (F.col("base") + c * n
+                     + F.col("twin") * (10_000_000 + c * n)).alias("doc_id"),
+                    F.lit(c).alias("copy"))
+                text = F.expr(
+                    "array_join(transform(sequence(0, 119), i -> "
+                    "  concat('t', i, '_', base, '_', copy)), ' ')")
+                per_copy.append(ids.select(
+                    "doc_id",
+                    F.concat_ws(" ", text, F.lit(hot)).alias("text"),
+                    F.lit("en").alias("lang"),
+                    F.concat(F.lit("src"), F.col("copy")).alias("source"),
+                    F.length(text).alias("n_chars")))
+            corpus = per_copy[0]
+            for extra in per_copy[1:]:
+                corpus = corpus.unionAll(extra)
+            corpus.write.mode("overwrite").parquet(
+                os.path.join(d, "documents.parquet"))
+            pair_sets = {}
+            for qname in ("minhash_lsh_pairs", "minhash_lsh_pairs_dfcap"):
+                q = all_queries()[qname]
+                if mult == 1:
+                    q.fn(spark, d).count()  # untimed codegen warm-up
+                t0 = time.perf_counter()
+                pair_sets[qname] = {(r["d1"], r["d2"])
+                                    for r in q.fn(spark, d).collect()}
+                dt = round(time.perf_counter() - t0, 3)
+                out[f"skewlsh_{qname}_x{mult}"] = dt
+                print(f"# skewlsh {qname} x{mult}: {dt}s "
+                      f"({len(pair_sets[qname])} pairs)", file=sys.stderr)
+                spark.catalog.clearCache()
+            assert (pair_sets["minhash_lsh_pairs"]
+                    == pair_sets["minhash_lsh_pairs_dfcap"]), \
+                f"df-cap changed the verified pair set at x{mult}"
+            assert len(pair_sets["minhash_lsh_pairs"]) == mult * (n // 10), \
+                f"planted twin recall broken at x{mult}"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -39,4 +39,6 @@ from . import (  # noqa: F401
     skewed,          # hot-key join correctness query (AQE skew regime)
     udtf_ops,        # Python UDTF surface (Spark 4 LATERAL table functions)
     integrity,       # order-independent XOR table checksums
+    replay,          # St5 dead-letter split replayed batch-side (driver-visible)
+    maintenance_audit,  # snapshot-retention keep/expire semantics
 )

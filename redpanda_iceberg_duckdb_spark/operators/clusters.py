@@ -72,7 +72,18 @@ def connected_components(edges: DataFrame, *, src: str = "d1", dst: str = "d2",
             .collect()[0][0])
         labels.unpersist()
         labels = new_labels
-        if (i > 0 and label_sum == prev_sum) or label_sum is None:
+        if label_sum is None:
+            # NULL sum is legitimate ONLY for an empty label table (no
+            # edges). Under non-ANSI mode a decimal(38,0) overflow also
+            # returns NULL — that must fail loudly, not masquerade as
+            # convergence with silently-unconverged labels.
+            if not new_labels.isEmpty():
+                raise ArithmeticError(
+                    "connected_components: label-sum overflowed decimal(38,0)"
+                    " on a non-empty graph; node-id magnitude x node-count "
+                    "exceeds the convergence check's range")
+            break
+        if i > 0 and label_sum == prev_sum:
             break
         prev_sum = label_sum
     und.unpersist()

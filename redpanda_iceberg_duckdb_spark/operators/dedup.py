@@ -187,7 +187,6 @@ WITH {_TG_CTE_DUCK},
 {_JACCARD_VERIFY_DUCK.format(
     cand_filter="JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id")}
 SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""",
-    bench=True,
     tags=("dedup", "lsh"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,6 +223,8 @@ tcold AS (SELECT doc_id, tg FROM t
 {_JACCARD_VERIFY_DUCK.format(
     cand_filter="JOIN cand ON cand.d1 = a.doc_id AND cand.d2 = b.doc_id")}
 SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2""",
+    bench=True,  # r7: headline tracks the production (capped) LSH path;
+                 # the uncapped variant stays registered for correctness
     tags=("dedup", "lsh"),
 )
 def minhash_lsh_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,7 +236,11 @@ def minhash_lsh_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_planted_neardups.py proves the planted near-dup pair set is
     unchanged. At 100 TB this cap is what keeps the (band, key) join free of
     the stopword-phrase hot keys that AQE would otherwise have to split."""
-    # persist: tg feeds BOTH the doc-frequency count and the signature build
+    # persist: tg feeds BOTH the doc-frequency count and the signature build.
+    # It cannot be unpersisted here (the returned DataFrame is lazy and still
+    # depends on it); the leak is bounded per-query — the driver loop
+    # (__spark_entry__.queries wrapper) and bench.py clearCache between
+    # queries.
     tg = _doc_trigrams(spark, sf_dir).persist()
     cand = lsh_candidates(tg, df_cap=_DF_CAP)
     return (_jaccard_verified(tg, cand, 0.5,

@@ -1,0 +1,123 @@
+"""Batch replay of the streaming ingest contract (SURVEY.md section 2.9 St5):
+the schema-enforcement + dead-letter split that streaming/ingest.py applies
+to every micro-batch, exercised as a driver-checkable registered query.
+
+The streaming path itself cannot meet the driver's DuckDB oracle (no Kafka
+broker, and readStream output isn't a deterministic DataFrame expression),
+but the TRANSFORM is identical batch vs streaming — from_json decode, then
+``validate_stream``'s required-field split (streaming/ingest.py:41-51). This
+query replays it over a deterministic corrupted-JSON corpus derived from the
+events table, so the split semantics hold a driver-green CORRECTNESS row
+instead of only a pytest one.
+
+Corruption plan (synthetic but fully deterministic, replicated verbatim in
+the oracle):
+
+- ``event_id % 11 == 0``  -> JSON truncated to 10 chars (malformed payload;
+  the broker-garbage class)
+- ``event_id % 7 == 0``   -> valid JSON missing the required ``user_id``
+  field (the schema-drift class); ``% 77`` rows are claimed by the
+  malformed branch first — precedence is part of the contract
+- otherwise               -> well-formed full payload
+
+Reference parity: the reference rejects schema-mismatched records at the
+broker via the registry (/root/reference/validation/e2e.sh:67-105); this is
+the dead-letter re-expression of that gate.
+
+Scale stance: one scan builds the payloads, from_json decodes JVM-side, and
+the good/bad split is two filters over the same decoded projection — no
+shuffle until the final 3-row aggregate. At 100 TB the identical transform
+runs inside the streaming micro-batch (ingest_kafka_shaped); nothing here
+is driver-resident.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..streaming.ingest import validate_stream
+from ..tables import load_table
+
+_REQUIRED = ["event_id", "user_id", "event_type"]
+
+_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+js AS (
+  SELECT event_id,
+    CASE
+      WHEN event_id % 11 = 0 THEN substring(cast(to_json(struct_pack(
+        event_id := event_id, user_id := user_id,
+        event_type := event_type)) AS varchar), 1, 10)
+      WHEN event_id % 7 = 0 THEN cast(to_json(struct_pack(
+        event_id := event_id, event_type := event_type)) AS varchar)
+      ELSE cast(to_json(struct_pack(
+        event_id := event_id, user_id := user_id,
+        event_type := event_type)) AS varchar)
+    END AS raw
+  FROM base),
+parsed AS (
+  SELECT
+    CASE WHEN json_valid(raw)
+         THEN try_cast(json_extract_string(raw, '$.event_id') AS bigint)
+    END AS p_event_id,
+    CASE WHEN json_valid(raw)
+         THEN try_cast(json_extract_string(raw, '$.user_id') AS bigint)
+    END AS p_user_id,
+    CASE WHEN json_valid(raw)
+         THEN json_extract_string(raw, '$.event_type')
+    END AS p_event_type
+  FROM js),
+cls AS (
+  SELECT
+    CASE
+      WHEN p_event_id IS NOT NULL AND p_user_id IS NOT NULL
+           AND p_event_type IS NOT NULL THEN 'good'
+      WHEN p_event_id IS NULL THEN 'dead_letter_malformed'
+      ELSE 'dead_letter_missing_field'
+    END AS status,
+    p_event_type
+  FROM parsed)
+SELECT status, count(*) AS n,
+       count(DISTINCT p_event_type) AS n_types
+FROM cls GROUP BY status ORDER BY status"""
+
+_SCHEMA = "event_id bigint, user_id bigint, event_type string"
+
+
+@register(
+    "streaming_validate_replay",
+    oracle=_ORACLE,
+    tags=("streaming", "validation", "dead_letter"),
+)
+def streaming_validate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St5 dead-letter split, replayed as a batch over synthetic corruption
+    so the driver's cross-engine gate can check it (module docstring has the
+    corruption plan). The split itself IS streaming/ingest.validate_stream —
+    not a reimplementation — so the green row certifies the code the
+    micro-batch path runs."""
+    e = load_table(spark, sf_dir, "events")
+    base = (e.select("event_id", "user_id", "event_type")
+            .filter(F.col("user_id").isNotNull()
+                    & F.col("event_type").isNotNull()))
+    full = F.to_json(F.struct("event_id", "user_id", "event_type"))
+    raw = (base.select(
+        F.when(F.pmod("event_id", 11) == 0, F.substring(full, 1, 10))
+         .when(F.pmod("event_id", 7) == 0,
+               F.to_json(F.struct("event_id", "event_type")))
+         .otherwise(full).alias("raw")))
+    parsed = raw.select(F.from_json("raw", _SCHEMA).alias("r")).select("r.*")
+    good, bad = validate_stream(parsed, _REQUIRED)
+    tagged = (good.select(F.lit("good").alias("status"), "event_type")
+              .unionAll(bad.select(
+                  F.when(F.col("event_id").isNull(),
+                         F.lit("dead_letter_malformed"))
+                   .otherwise(F.lit("dead_letter_missing_field"))
+                   .alias("status"),
+                  "event_type")))
+    return (tagged.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("event_type").alias("n_types"))
+            .orderBy("status"))

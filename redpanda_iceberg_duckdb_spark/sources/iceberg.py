@@ -63,10 +63,15 @@ def is_available(spark: SparkSession) -> bool:
     Central, but this environment has no DNS/egress (urlopen of
     repo1.maven.org fails with 'Name or service not known'), so the jar
     cannot be pulled and every real-catalog path stays behind this gate.
-    Deployments that place the jar on the classpath (or set
-    spark.jars/spark.jars.packages before session start) light up
-    iceberg_round_trip and tests/test_maintenance.py's jar-gated test
-    unchanged."""
+
+    Local-resolution attempt (round 7, 2026-08-14) — CLOSED as impossible
+    in this sandbox: a filesystem-wide find for `*iceberg*.jar`, the
+    pyspark-bundled jars dir, ~/.m2, ~/.ivy2, and a `pyiceberg` import all
+    came up empty; no egress and no vendored artifact exist. Per-round
+    re-litigating stops here. Deployments that place the jar on the
+    classpath (or set spark.jars/spark.jars.packages before session start)
+    light up iceberg_round_trip and tests/test_maintenance.py's jar-gated
+    test unchanged."""
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
             "org.apache.iceberg.spark.SparkCatalog")

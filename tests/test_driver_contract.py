@@ -84,30 +84,39 @@ def test_verify_first_window_contract():
     assert pending <= set(names[50:]), pending - set(names[50:])
 
 
-def test_ntz_fallback_path_matches_default(spark, sf_smoke):
+def test_ntz_fallback_path_matches_default(spark, sf_smoke, monkeypatch):
     """The r04 testdata regen silently switched parquet timestamps to
     no-timezone (Spark: TIMESTAMP_NTZ), crashing every unix_micros() query
     for two rounds. Guard both defenses: with inferTimestampNTZ re-enabled
     (simulating a session whose reader config we could not set), the
     _post_load NTZ->TIMESTAMP cast in tables.py must still produce identical
-    results for the previously-broken queries."""
+    results for the previously-broken queries.
+
+    configure_session (called by load_table inside every query) would flip
+    the reader conf back to false, so without intervention the re-run would
+    exercise the reader fix, not the cast fallback. Monkeypatching it to a
+    no-op pins NTZ inference ON for the whole query execution — the parquet
+    scan genuinely produces timestamp_ntz and only the _post_load cast can
+    restore the semantics."""
+    from redpanda_iceberg_duckdb_spark import tables
     from redpanda_iceberg_duckdb_spark.registry import all_queries
 
     qs = all_queries()
+    names = ("window_event_gaps", "sessionization", "events_hourly")
     want = {n: sorted(map(tuple, qs[n].fn(spark, sf_smoke).collect()))
-            for n in ("window_event_gaps", "sessionization", "events_hourly")}
+            for n in names}
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    monkeypatch.setattr(tables, "configure_session", lambda s: s)
     try:
-        # configure_session (called inside each query) flips the conf back;
-        # assert the cast fallback alone also works by pinning it on.
-        from redpanda_iceberg_duckdb_spark import session as sess
-        from redpanda_iceberg_duckdb_spark import tables
-
         df = spark.read.parquet(f"{sf_smoke}/events.parquet")
         assert dict(df.dtypes)["ts"] == "timestamp_ntz"  # precondition real
         norm = tables._post_load("events", df)
         assert dict(norm.dtypes)["ts"] == "timestamp"
         for n, rows in want.items():
+            # conf is still NTZ=true here (no-op configure_session) — the
+            # queries below run on the cast-fallback path end to end.
+            assert spark.conf.get(
+                "spark.sql.parquet.inferTimestampNTZ.enabled") == "true"
             got = sorted(map(tuple, qs[n].fn(spark, sf_smoke).collect()))
             assert got == rows, n
     finally:

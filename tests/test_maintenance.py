@@ -104,3 +104,37 @@ def test_read_evolving_merges_added_column(spark, tmp_path):
     df = read_evolving(spark, os_dir)
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+def test_retention_audit_matches_expire_snapshots(spark, sf_smoke, tmp_path):
+    """snapshot_retention_audit's keep/expire classification and the real
+    filesystem job must agree: build an on-disk v{version} fixture from the
+    SAME manifest the query derives (one version per order month), run
+    expire_snapshots at keep=2 and keep=0, and assert the deleted set equals
+    the query's 'expire' set for each policy."""
+    import os
+    import shutil
+
+    from redpanda_iceberg_duckdb_spark.maintenance import expire_snapshots
+    from redpanda_iceberg_duckdb_spark.operators.maintenance_audit import (
+        snapshot_retention_audit,
+    )
+
+    audit = {r["version"]: (r["status"], r["status_keep0"])
+             for r in snapshot_retention_audit(spark, sf_smoke).collect()}
+    assert len(audit) > 3  # enough versions for both policies to differ
+
+    def build_fixture(base: str) -> None:
+        os.makedirs(base)
+        for v in audit:
+            os.makedirs(os.path.join(base, f"v{v}"))
+        with open(os.path.join(base, "_CURRENT"), "w") as f:
+            f.write(f"v{max(audit)}")
+
+    for keep, col in ((2, 0), (0, 1)):
+        base = str(tmp_path / f"snaps_keep{keep}")
+        build_fixture(base)
+        victims = expire_snapshots(base, keep=keep)
+        deleted = {int(os.path.basename(d)[1:]) for d in victims}
+        expected = {v for v, st in audit.items() if st[col] == "expire"}
+        assert deleted == expected, (keep, deleted ^ expected)
+        shutil.rmtree(base)

@@ -249,8 +249,10 @@ def test_iceberg_round_trip_when_jar_present(spark, tmp_path):
         is_available, iceberg_round_trip)
 
     if not is_available(spark):
-        pytest.skip("iceberg-spark runtime jar absent (no Maven egress in "
-                    "this environment — see sources/iceberg.py:is_available)")
+        pytest.skip("iceberg-spark runtime jar absent (no Maven egress; "
+                    "local resolution also exhausted 2026-08-14: no jar on "
+                    "disk, no m2/ivy cache, no pyiceberg — see "
+                    "sources/iceberg.py:is_available)")
     out = iceberg_round_trip(spark, warehouse=str(tmp_path / "wh"))
     assert out["rows"] == 200 and out["snapshots"] >= 2
 
