@@ -45,6 +45,8 @@ _VERIFY_FIRST = [
     # New in round 7 (registered early enough to ride this window).
     "streaming_validate_replay", "sentence_chunks_udtf",
     "snapshot_retention_audit",
+    "late_data_drop_replay", "stream_dedup_replay", "semdedup_survivors",
+    "shared_ngram_span_pairs", "l_diversity_audit",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -41,4 +41,7 @@ from . import (  # noqa: F401
     integrity,       # order-independent XOR table checksums
     replay,          # St5 dead-letter split replayed batch-side (driver-visible)
     maintenance_audit,  # snapshot-retention keep/expire semantics
+    stream_replay,   # St4 watermark-drop + keyed-TTL-dedup batch replays
+    semdedup,        # SemDeDup per-cluster embedding dedup (arXiv:2303.09540)
+    spans,           # exact shared-substring spans (arXiv:2107.06499)
 )

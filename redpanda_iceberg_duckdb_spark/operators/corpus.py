@@ -145,3 +145,48 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(small) / F.sum("n"), 6)
                   .alias("at_risk_share"))
             .orderBy("event_type"))
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+WITH qi AS (
+  SELECT event_type,
+         cast(date_trunc('day', ts) AS timestamp) AS day,
+         cast(floor(value / 100.0) AS int) AS value_band,
+         count(*) AS n,
+         count(DISTINCT user_id) AS l_div
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type,
+       count(*) AS n_groups,
+       cast(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS bigint)
+           AS n_low_diversity,
+       cast(sum(CASE WHEN l_div < 3 THEN n ELSE 0 END) AS bigint)
+           AS n_rows_exposed,
+       min(CASE WHEN l_div < 3 THEN l_div END) AS worst_l
+FROM qi GROUP BY event_type ORDER BY event_type""",
+    tags=("corpus", "privacy", "quality"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity screen (l=3) over the same quasi-identifier tuple as
+    k_anonymity_audit: a QI group is exposed when its SENSITIVE attribute
+    (here user_id) takes fewer than 3 distinct values — k-anonymity's known
+    blind spot (a large group is still a leak if everyone in it shares the
+    sensitive value). Same two-aggregate shape as the k-anon audit; the
+    distinct count rides the existing QI shuffle, so the added cost at
+    100 TB is one partial-distinct in the same exchange."""
+    e = load_table(spark, sf_dir, "events")
+    qi = (e.groupBy("event_type",
+                    F.date_trunc("day", "ts").alias("day"),
+                    F.floor(F.col("value") / 100.0).cast("int")
+                    .alias("value_band"))
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.countDistinct("user_id").alias("l_div")))
+    low = F.col("l_div") < 3
+    return (qi.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum(F.when(low, 1).otherwise(0)).alias("n_low_diversity"),
+                 F.sum(F.when(low, F.col("n")).otherwise(0))
+                  .alias("n_rows_exposed"),
+                 F.min(F.when(low, F.col("l_div"))).alias("worst_l"))
+            .orderBy("event_type"))

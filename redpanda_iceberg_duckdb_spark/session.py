@@ -66,21 +66,32 @@ def configure_session(spark: SparkSession) -> SparkSession:
 
     Static configs (driver memory, master) can't change here; the ones that
     matter for oracle parity (timezone) and plan quality (AQE) can.
+
+    Every ``spark.conf.set`` — even to the current value — bumps the session
+    state and drops Spark's parsed/analyzed-plan and codegen caches, which
+    measurably slowed repeated loads (r06 bench drift: events_hourly +43%).
+    So set only confs whose current value actually differs; repeat calls on a
+    configured session are then pure reads and plan caches survive.
     """
     try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        spark.conf.set(_NANOS_AS_LONG, "true")
-        spark.conf.set(_INFER_NTZ, "false")
-        # Size the shuffle to the session's actual parallelism instead of the
-        # 200-partition default — on the driver's small local session that
-        # default means ~25 near-empty tasks per core per exchange. AQE
-        # coalesces most of it, but the scheduler overhead is real; on a
-        # cluster defaultParallelism ~= 2-3x cores, which is the right start.
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(max(spark.sparkContext.defaultParallelism, 8)))
+        wanted = {
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            _NANOS_AS_LONG: "true",
+            _INFER_NTZ: "false",
+            # Size the shuffle to the session's actual parallelism instead of
+            # the 200-partition default — on the driver's small local session
+            # that default means ~25 near-empty tasks per core per exchange.
+            # AQE coalesces most of it, but the scheduler overhead is real; on
+            # a cluster defaultParallelism ~= 2-3x cores, the right start.
+            "spark.sql.shuffle.partitions":
+                str(max(spark.sparkContext.defaultParallelism, 8)),
+        }
+        for key, value in wanted.items():
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
     except Exception:  # pragma: no cover - config may be locked down
         pass
     return spark

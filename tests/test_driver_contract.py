@@ -123,6 +123,39 @@ def test_ntz_fallback_path_matches_default(spark, sf_smoke, monkeypatch):
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+def test_configure_session_is_set_free_when_configured(spark):
+    """Every spark.conf.set — even writing the current value back — bumps the
+    session state and drops Spark's plan/codegen caches. That churn (one
+    configure_session per load_table per query) was the r06 bench drift:
+    events_hourly ran 1.4 s instead of 0.3 s at sf0.1. Pin the fix: on an
+    already-configured session, configure_session must perform ZERO set
+    calls, so repeated loads leave plan caches intact."""
+    from redpanda_iceberg_duckdb_spark.session import configure_session
+
+    configure_session(spark)  # ensure configured
+    calls = []
+    orig_set = spark.conf.set
+
+    class CountingConf:
+        def __getattr__(self, item):
+            return getattr(spark.conf, item)
+
+        def set(self, k, v):
+            calls.append(k)
+            return orig_set(k, v)
+
+    class Wrapper:
+        def __getattr__(self, item):
+            return getattr(spark, item)
+
+        @property
+        def conf(self):
+            return CountingConf()
+
+    configure_session(Wrapper())
+    assert calls == [], calls
+
+
 def test_no_hugeint_oracle_outputs(spark, sf_smoke):
     """The driver's value hash is TYPE-sensitive: DuckDB widens sum(BIGINT)
     to HUGEINT, which hash-mismatches Spark's bigint even when every value
