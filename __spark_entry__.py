@@ -47,6 +47,8 @@ _VERIFY_FIRST = [
     "snapshot_retention_audit",
     "late_data_drop_replay", "stream_dedup_replay", "semdedup_survivors",
     "shared_ngram_span_pairs", "l_diversity_audit",
+    "merge_upsert_replay", "scd2_history_replay", "stream_outer_join_replay",
+    "bpe_pair_frequencies",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -44,4 +44,5 @@ from . import (  # noqa: F401
     stream_replay,   # St4 watermark-drop + keyed-TTL-dedup batch replays
     semdedup,        # SemDeDup per-cluster embedding dedup (arXiv:2303.09540)
     spans,           # exact shared-substring spans (arXiv:2107.06499)
+    merge_replay,    # MERGE upsert / SCD2 / outer interval join replays
 )

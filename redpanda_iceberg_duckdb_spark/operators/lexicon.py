@@ -280,3 +280,38 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("lift"))
             .orderBy(F.desc("lift"), "tok_a", "tok_b")
             .limit(20))
+
+
+@register(
+    "bpe_pair_frequencies",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+pairs AS (
+  SELECT substring(w, i + 1, 2) AS pair
+  FROM words, unnest(range(greatest(length(w) - 1, 0))) r(i)
+  WHERE length(w) >= 2)
+SELECT pair, count(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 30""",
+    tags=("lexicon", "tokenizer", "bpe"),
+)
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistic one BPE training iteration maximizes: corpus-wide
+    frequencies of adjacent character pairs within words (Sennrich et al.
+    2016, arXiv:1508.07909), top 30. The merge step picks the argmax; at
+    scale the whole tokenizer-training loop is this hash-aggregate per
+    iteration — explode words, slide a 2-char window JVM-side, one shuffle
+    keyed by pair with map-side combine (pair vocabulary is tiny, so the
+    reduce side is trivially small). Ties at the cutoff are broken by pair
+    text, so the top-30 slice is engine-deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    pairs = (words.filter(F.length("w") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, length(w) - 1), "
+                 "i -> substring(w, i, 2))")).alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(30))

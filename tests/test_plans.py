@@ -260,13 +260,20 @@ def test_shuffle_count_ceilings(spark, sf_smoke):
     spark.catalog.clearCache()
     # exchange_count double-lists nodes (tree + details): ceilings are ~2x
     # the physical shuffle count observed when the test was written
-    for name, ceiling in [("minhash_lsh_pairs", 15),
+    # minhash ceilings are +2 vs r06: load_table_spread adds one explicit
+    # doc_id repartition before shingling (r7 — parallelizes the explode
+    # over the single-row-group testdata; see tables.load_table_spread)
+    for name, ceiling in [("minhash_lsh_pairs", 17),
                           ("curation_end_to_end", 6),
                           ("dedup_exact_groups", 4),
                           ("sequence_packing_bins", 4),
-                          ("minhash_lsh_pairs_dfcap", 29),
+                          ("minhash_lsh_pairs_dfcap", 31),
                           ("mixture_resample", 8),
                           ("skew_hot_key_join", 4),
+                          ("shared_ngram_span_pairs", 14),
+                          ("semdedup_survivors", 4),
+                          ("merge_upsert_replay", 10),
+                          ("late_data_drop_replay", 6),
                           # kmv shuffles are all sketch-sized after the
                           # initial distinct; count is high but benign
                           ("kmv_set_overlap", 45)]:
