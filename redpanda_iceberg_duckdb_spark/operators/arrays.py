@@ -109,8 +109,10 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc as count/min/max of distinct fingerprints.
 
     All window work is per-doc (partitioned), hashes are the cross-engine
-    md5 u64 — no global state, embarrassingly parallel."""
-    d = load_table(spark, sf_dir, "documents")
+    md5 u64 — no global state, embarrassingly parallel. Spread: the per-gram
+    md5 is the CPU-heavy step (see tables.load_table_spread)."""
+    from ..tables import load_table_spread
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     from pyspark.sql import Window as W
 
     grams = (
@@ -120,7 +122,13 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(0, size(ws) - 3), i -> "
             "concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) "
             "else array() end").alias("tgs"))
-        .select("doc_id", F.posexplode("tgs").alias("i", "tg"))
+        # posexplode_outer: the non-outer Generate makes Catalyst infer
+        # size(tgs)>0 AND isnotnull(tgs) and push it to the SCAN, where it
+        # re-evaluates the whole trigram transform twice per row on the
+        # pre-spread (single-split) side. The outer variant infers nothing;
+        # the null rows it adds are filtered AFTER the explode for pennies.
+        .select("doc_id", F.posexplode_outer("tgs").alias("i", "tg"))
+        .filter(F.col("tg").isNotNull())
         .select("doc_id", "i", F.expr(md5_mod_spark("tg")).alias("h"))
     )
     wf = (W.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3))

@@ -98,8 +98,12 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram stream keeps repeats — _doc_trigrams dedups, so it builds its
     own explode.)"""
     d = load_table(spark, sf_dir, "documents")
+    # explode_outer + post-filter: avoids the inferred Generate predicate
+    # re-running the trigram transform at the scan (see shingles).
     t = (d.select("doc_id", F.split("text", " ").alias("ws"))
-         .select("doc_id", F.explode(F.expr(_TG_ARRAY_SPARK)).alias("tg")))
+         .select("doc_id",
+                 F.explode_outer(F.expr(_TG_ARRAY_SPARK)).alias("tg"))
+         .filter(F.col("tg").isNotNull()))
     return (t.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
                  F.countDistinct("tg").alias("n_distinct"),

@@ -65,10 +65,13 @@ def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     bg = (d.select(F.split("text", " ").alias("ws"))
-          .select(F.explode(F.expr(
+          .select(F.explode_outer(F.expr(
               "case when size(ws) >= 2 then transform(sequence(0, size(ws)-2),"
               " i -> concat_ws(' ', ws[i], ws[i+1])) else array() end"))
-              .alias("bigram")))
+              .alias("bigram"))
+          # outer + filter: keeps the inferred Generate predicate (which
+          # would re-run the transform at the scan) out of the plan
+          .filter(F.col("bigram").isNotNull()))
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     w = W.orderBy(F.desc("n"), F.asc("bigram"))
     return (counts.select("bigram", "n", F.row_number().over(w).alias("rnk"))

@@ -26,7 +26,7 @@ from ..functions.hashing import (
     md5_mod_spark, md5_mod_duck,
 )
 from ..registry import register
-from ..tables import load_table
+from ..tables import load_table, load_table_spread
 from .shingles import (  # shared with clusters.py; no registrations there
     _TG_CTE_DUCK, _JACCARD_VERIFY_DUCK,
     _doc_trigrams, _doc_trigram_sets, _jaccard_verified, _jaccard_from_shared,
@@ -272,11 +272,15 @@ sh AS (SELECT doc_id,
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit term-frequency-weighted SimHash per document. Fully parallel:
-    explode tokens -> per-(doc, bit) signed sums -> recombine bits."""
-    load_table(spark, sf_dir, "documents")
+    explode tokens -> per-(doc, bit) signed sums -> recombine bits. The
+    per-token md5 runs over the spread view (tables.load_table_spread) so
+    the hash work parallelizes despite the single-split testdata."""
+    load_table_spread(spark, sf_dir, "documents", "doc_id") \
+        .createOrReplaceTempView("documents_spread")
     return spark.sql(f"""
 WITH tok AS (SELECT doc_id, tok, count(*) c FROM
-               (SELECT doc_id, explode(split(text, ' ')) tok FROM documents)
+               (SELECT doc_id, explode(split(text, ' ')) tok
+                FROM documents_spread)
              GROUP BY doc_id, tok),
 th AS (SELECT doc_id, c, {md5_mod_spark("tok", 4_294_967_296)} AS h FROM tok),
 bitsum AS (SELECT doc_id, k, sum(c * (2 * ((h >> k) & 1) - 1)) AS s
@@ -306,11 +310,14 @@ ORDER BY d1, d2""",
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-banding (4 bands of 8 bits — any doc pair
     within Hamming distance <=6 that shares a byte band becomes a candidate)
-    then exact Hamming filter. Same LSH shape as MinHash: no all-pairs scan."""
-    load_table(spark, sf_dir, "documents")
+    then exact Hamming filter. Same LSH shape as MinHash: no all-pairs scan.
+    Token hashing runs over the spread view (tables.load_table_spread)."""
+    load_table_spread(spark, sf_dir, "documents", "doc_id") \
+        .createOrReplaceTempView("documents_spread")
     return spark.sql(f"""
 WITH tok AS (SELECT doc_id, tok, count(*) c FROM
-               (SELECT doc_id, explode(split(text, ' ')) tok FROM documents)
+               (SELECT doc_id, explode(split(text, ' ')) tok
+                FROM documents_spread)
              GROUP BY doc_id, tok),
 th AS (SELECT doc_id, c, {md5_mod_spark("tok", 4_294_967_296)} AS h FROM tok),
 bitsum AS (SELECT doc_id, k, sum(c * (2 * ((h >> k) & 1) - 1)) AS s

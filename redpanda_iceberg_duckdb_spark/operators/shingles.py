@@ -34,8 +34,14 @@ def _doc_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata would otherwise serialize it on one core (see
     # tables.load_table_spread).
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    # explode_outer + post-filter: a non-outer explode makes Catalyst infer
+    # size(tgs)>0/isnotnull and push it to the scan, re-evaluating the full
+    # trigram transform twice per row on the pre-spread single-split side
+    # (measured ~3x the whole explode cost at sf0.1).
     return (d.select("doc_id", F.split("text", " ").alias("ws"))
-            .select("doc_id", F.explode(F.expr(_TG_ARRAY_SPARK)).alias("tg"))
+            .select("doc_id",
+                    F.explode_outer(F.expr(_TG_ARRAY_SPARK)).alias("tg"))
+            .filter(F.col("tg").isNotNull())
             .distinct())
 
 

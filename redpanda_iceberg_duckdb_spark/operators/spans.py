@@ -71,9 +71,13 @@ def shared_ngram_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Not persisted: the explode lineage is recomputed per consumer, but it
     # is pure map-side codegen — measured at sf0.1, caching it costs more
     # (materialize + memory-scan) than recomputing.
+    # posexplode_outer + post-filter: see shingles._doc_trigrams — avoids
+    # the inferred Generate predicate re-running the transform at the scan.
     pos = (d.select("doc_id", F.split("text", " ").alias("ws"))
            .select("doc_id",
-                   F.posexplode(F.expr(_TG_ARRAY_SPARK)).alias("p", "tg")))
+                   F.posexplode_outer(F.expr(_TG_ARRAY_SPARK))
+                    .alias("p", "tg"))
+           .filter(F.col("tg").isNotNull()))
     hot = (pos.groupBy("tg")
            .agg(F.countDistinct("doc_id").alias("ndocs"))
            .filter(F.col("ndocs") > _DF_CAP)
