@@ -48,7 +48,13 @@ _VERIFY_FIRST = [
     "late_data_drop_replay", "stream_dedup_replay", "semdedup_survivors",
     "shared_ngram_span_pairs", "l_diversity_audit",
     "merge_upsert_replay", "scd2_history_replay", "stream_outer_join_replay",
-    "bpe_pair_frequencies",
+    "bpe_pair_frequencies", "ann_ivf_recall_at_k",
+    # Implementation changed in r7 after their last green row (spread +
+    # outer-explode plan fixes) — re-verify even though r01-r06 rows exist.
+    "winnow_fingerprints", "simhash_signatures", "simhash_near_dup_pairs",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "dedup_clusters",
+    "cluster_best_survivors", "decontamination_overlap", "containment_pairs",
+    "doc_repetition_score", "bigram_frequencies", "leakage_safe_splits",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

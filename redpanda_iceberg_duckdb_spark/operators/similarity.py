@@ -449,3 +449,89 @@ def cluster_quality_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.greatest("inter", "intra"), 6)
                     .alias("silhouette"))
             .orderBy("label"))
+
+
+@register(
+    "ann_ivf_recall_at_k",
+    oracle=f"""
+WITH q AS (SELECT vec_id qid, label qlabel, embedding qe FROM embeddings
+           WHERE vec_id % 100 = 0 AND vec_id < 6400),
+{_NORMS_DUCK},
+pairs_x AS (SELECT qid, vec_id cid, qe, embedding ce
+            FROM q, embeddings WHERE vec_id <> qid),
+dots_x AS (SELECT qid, cid,
+                  cast(sum(cast(floor(cast(x AS double) * cast(y AS double)
+                                      * {_SCALE}) AS bigint)) AS double) AS dot
+           FROM (SELECT qid, cid, unnest(qe) x, unnest(ce) y FROM pairs_x)
+           GROUP BY qid, cid),
+exact5 AS (SELECT qid, cid FROM
+             (SELECT d.qid, d.cid,
+                     row_number() OVER (PARTITION BY d.qid
+                       ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6) DESC,
+                                d.cid) rank
+              FROM dots_x d JOIN norms nq ON nq.vec_id = d.qid
+                            JOIN norms nc ON nc.vec_id = d.cid)
+           WHERE rank <= 5),
+pairs_i AS (SELECT qid, e.vec_id cid, qe, e.embedding ce
+            FROM q JOIN embeddings e
+              ON e.label = q.qlabel AND e.vec_id <> q.qid),
+dots_i AS (SELECT qid, cid,
+                  cast(sum(cast(floor(cast(x AS double) * cast(y AS double)
+                                      * {_SCALE}) AS bigint)) AS double) AS dot
+           FROM (SELECT qid, cid, unnest(qe) x, unnest(ce) y FROM pairs_i)
+           GROUP BY qid, cid),
+ivf5 AS (SELECT qid, cid FROM
+           (SELECT d.qid, d.cid,
+                   row_number() OVER (PARTITION BY d.qid
+                     ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6) DESC,
+                              d.cid) rank
+            FROM dots_i d JOIN norms nq ON nq.vec_id = d.qid
+                          JOIN norms nc ON nc.vec_id = d.cid)
+         WHERE rank <= 5),
+hits AS (SELECT i.qid, count(*) AS n_hits
+         FROM ivf5 i JOIN exact5 x ON x.qid = i.qid AND x.cid = i.cid
+         GROUP BY i.qid)
+SELECT q.qid, cast(coalesce(h.n_hits, 0) AS bigint) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+FROM q LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid""",
+    tags=("similarity", "ann", "evaluation"),
+)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation harness for the ANN index AS a query: per-query
+    recall@5 of IVF nprobe=1 against exact brute-force ground truth, both
+    computed in one plan. This is the measurement a pipeline runs before
+    trusting an approximate index at scale — and the quantity the nprobe
+    dial (ann_ivf_multiprobe) trades cost against.
+
+    Scale stance: ground truth is O(|Q| x N) with the fixed-size query set
+    broadcast (numpy mapInPandas batches, same as cosine_topk_bruteforce);
+    the IVF side is the pruned equi-join on the cell label. Both top-5
+    ranks order by 6-dp-rounded similarity with cid tiebreak, so the
+    intersection is engine-identical. In production the exact side runs on
+    a SAMPLE of queries; here the query set is already the fixed 1% probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = _norms(emb)
+    q = (emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 6400))
+         .select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+                 F.col("embedding").alias("qe")))
+    cand = emb.select(F.col("vec_id").alias("cid"),
+                      F.col("embedding").alias("ce"))
+    pairs_x = cand.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+    exact5 = (_ranked_topk(_sims_from_dots(_numpy_pair_dots(pairs_x), norms), 5)
+              .select("qid", "cid"))
+    pairs_i = (emb.select(F.col("vec_id").alias("cid"), F.col("label"),
+                          F.col("embedding").alias("ce"))
+               .join(F.broadcast(q), (F.col("label") == F.col("qlabel"))
+                     & (F.col("cid") != F.col("qid"))))
+    dots_i = pairs_i.select("qid", "cid",
+                            dot_int64("qe", "ce").cast("double").alias("dot"))
+    ivf5 = _ranked_topk(_sims_from_dots(dots_i, norms), 5).select("qid", "cid")
+    hits = (ivf5.join(exact5, ["qid", "cid"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (q.select("qid").join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 6)
+                     .alias("recall_at_5"))
+            .orderBy("qid"))
