@@ -48,7 +48,7 @@ _VERIFY_FIRST = [
     "late_data_drop_replay", "stream_dedup_replay", "semdedup_survivors",
     "shared_ngram_span_pairs", "l_diversity_audit",
     "merge_upsert_replay", "scd2_history_replay", "stream_outer_join_replay",
-    "bpe_pair_frequencies", "ann_ivf_recall_at_k",
+    "bpe_pair_frequencies", "ann_ivf_recall_at_k", "lsh_recall_vs_exact",
     # Implementation changed in r7 after their last green row (spread +
     # outer-explode plan fixes) — re-verify even though r01-r06 rows exist.
     "winnow_fingerprints", "simhash_signatures", "simhash_near_dup_pairs",

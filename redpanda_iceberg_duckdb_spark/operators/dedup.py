@@ -335,3 +335,43 @@ cand AS (SELECT DISTINCT x.doc_id d1, x.simhash s1, y.doc_id d2, y.simhash s2
 SELECT d1, d2, cast(bit_count(s1 ^ s2) AS int) AS hamming
 FROM cand WHERE bit_count(s1 ^ s2) <= 6
 ORDER BY d1, d2""")
+
+
+@register(
+    "lsh_recall_vs_exact",
+    oracle=f"""
+WITH {_TG_CTE_DUCK},
+{_JACCARD_VERIFY_DUCK.format(cand_filter="")},
+exact AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+{_LSH_CAND_CTE_DUCK},
+hits AS (SELECT e.d1, e.d2 FROM exact e
+         JOIN cand c ON c.d1 = e.d1 AND c.d2 = e.d2)
+SELECT cast((SELECT count(*) FROM exact) AS bigint) AS n_exact_pairs,
+       cast((SELECT count(*) FROM hits) AS bigint) AS n_lsh_found,
+       round(CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1.0
+                  ELSE (SELECT count(*) FROM hits) * 1.0
+                       / (SELECT count(*) FROM exact) END, 6) AS recall""",
+    tags=("dedup", "lsh", "evaluation"),
+)
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH index's evaluation harness as a query: candidate recall of
+    MinHash banding against the exact all-pairs Jaccard >= 0.5 ground truth
+    — the number that justifies replacing the quadratic baseline with the
+    banded index (companion to ann_ivf_recall_at_k on the embedding side).
+
+    Scale stance: ground truth is the documented-quadratic exactness
+    baseline, so in production this runs on a SAMPLED stratum while the LSH
+    side indexes the full corpus; here both run on the fixture corpus where
+    tests already prove the sets coincide. One row out; both pair sets
+    reduce through a single count aggregate each."""
+    exact = (ngram_jaccard_pairs(spark, sf_dir)
+             .select("d1", "d2"))
+    cand = lsh_candidates(_doc_trigrams(spark, sf_dir)).select("d1", "d2")
+    hits = exact.join(cand, ["d1", "d2"])
+    return (exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_lsh_found")))
+            .select("n_exact_pairs", "n_lsh_found",
+                    F.round(F.when(F.col("n_exact_pairs") == 0, 1.0)
+                            .otherwise(F.col("n_lsh_found")
+                                       / F.col("n_exact_pairs")), 6)
+                     .alias("recall")))
