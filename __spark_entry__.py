@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "shared_ngram_span_pairs", "l_diversity_audit",
     "merge_upsert_replay", "scd2_history_replay", "stream_outer_join_replay",
     "bpe_pair_frequencies", "ann_ivf_recall_at_k", "lsh_recall_vs_exact",
+    "utf8_byte_audit", "uuid_from_int_audit",
     # Implementation changed in r7 after their last green row (spread +
     # outer-explode plan fixes) — re-verify even though r01-r06 rows exist.
     "winnow_fingerprints", "simhash_signatures", "simhash_near_dup_pairs",

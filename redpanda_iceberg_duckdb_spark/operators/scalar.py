@@ -322,3 +322,103 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n") / F.col("total"), 6).alias("share"))
             .orderBy(F.desc("n"), F.asc("user_id"))
             .limit(10))
+
+
+@register(
+    "utf8_byte_audit",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(strlen(text)) AS bigint) AS n_utf8_bytes,
+       cast(sum(length(text)) AS bigint) AS n_chars,
+       cast(sum(CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0 END)
+            AS bigint) AS n_multibyte_docs,
+       cast(sum(CASE WHEN decode(encode(text)) = text THEN 1 ELSE 0 END)
+            AS bigint) AS n_roundtrip_ok
+FROM documents GROUP BY source ORDER BY source""",
+    tags=("scalar", "encoding"),
+)
+def utf8_byte_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 F6 (UTF-8 encode/decode) as a driver-checkable query:
+    per source, UTF-8 byte vs codepoint totals, multibyte-document count,
+    and an encode->decode roundtrip identity check — the wire-size/charset
+    audit the Kafka payload path (sources/kafka.py encode_keyed_json)
+    relies on. Single scan, one aggregate; encode/decode run JVM-side per
+    row, no shuffle beyond the per-source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    enc = F.encode("text", "UTF-8")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.octet_length("text")).alias("n_utf8_bytes"),
+                 F.sum(F.length("text")).alias("n_chars"),
+                 F.sum(F.when(F.octet_length("text") > F.length("text"), 1)
+                       .otherwise(0)).alias("n_multibyte_docs"),
+                 F.sum(F.when(F.decode(enc, "UTF-8") == F.col("text"), 1)
+                       .otherwise(0)).alias("n_roundtrip_ok"))
+            .orderBy("source"))
+
+
+# UUIDv4-from-int bit layout (SURVEY §2.8 F8): 32 lowercase hex chars of the
+# 128-bit integer, version nibble (char 13) forced to '4', variant nibble
+# (char 17) forced to (n & 3) | 8 — exactly what Python's
+# uuid.UUID(int=i, version=4) does (generator.py:44). The nibble remap uses
+# a hex-char table lookup so both engines share one construction.
+_HEXTAB = "0123456789abcdef"
+
+
+def _uuid_from_int_spark(col: str) -> str:
+    h = f"lower(lpad(hex({col}), 32, '0'))"
+    vn = (f"substr('{_HEXTAB}', "
+          f"((instr('{_HEXTAB}', substr({h}, 17, 1)) - 1) % 4) + 9, 1)")
+    return (f"concat(substr({h}, 1, 8), '-', substr({h}, 9, 4), '-4', "
+            f"substr({h}, 14, 3), '-', {vn}, substr({h}, 18, 3), '-', "
+            f"substr({h}, 21, 12))")
+
+
+def _uuid_from_int_duck(col: str) -> str:
+    h = f"printf('%032x', {col})"
+    vn = (f"substr('{_HEXTAB}', "
+          f"((strpos('{_HEXTAB}', substr({h}, 17, 1)) - 1) % 4) + 9, 1)")
+    return (f"substr({h}, 1, 8) || '-' || substr({h}, 9, 4) || '-4' || "
+            f"substr({h}, 14, 3) || '-' || {vn} || substr({h}, 18, 3) || "
+            f"'-' || substr({h}, 21, 12)")
+
+
+@register(
+    "uuid_from_int_audit",
+    oracle=f"""
+WITH u AS (SELECT event_type, {_uuid_from_int_duck('event_id')} AS uid
+           FROM events)
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT uid) AS n_distinct,
+       min(uid) AS min_uuid, max(uid) AS max_uuid,
+       cast(sum(CASE WHEN substr(uid, 15, 1) = '4'
+                      AND substr(uid, 20, 1) IN ('8','9','a','b')
+                     THEN 1 ELSE 0 END) AS bigint) AS n_layout_ok
+FROM u GROUP BY event_type ORDER BY event_type""",
+    tags=("scalar", "uuid"),
+)
+def uuid_from_int_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference producer's deterministic trade_id layout
+    (uuid.UUID(int=i, version=4), /root/reference/redpanda/producer.py via
+    generator.py:44) expressed as pure SQL over event ids and certified
+    cross-engine: distinctness is preserved (the id is injective for
+    ints whose bits avoid the forced nibbles — true for all sub-2^63 ids),
+    and every produced string carries the version-4 / RFC-variant nibbles.
+    tests/test_generator.py ties this same layout bit-for-bit to Python's
+    uuid module; one scan + one aggregate here."""
+    e = load_table(spark, sf_dir, "events")
+    uid = F.expr(_uuid_from_int_spark("event_id"))
+    # dashed string positions: version char lands at 15, variant at 20
+    return (e.select("event_type", uid.alias("uid"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("uid").alias("n_distinct"),
+                 F.min("uid").alias("min_uuid"),
+                 F.max("uid").alias("max_uuid"),
+                 F.sum(F.when((F.substring("uid", 15, 1) == "4")
+                              & F.substring("uid", 20, 1).isin(
+                                  "8", "9", "a", "b"), 1)
+                       .otherwise(0)).alias("n_layout_ok"))
+            .orderBy("event_type"))

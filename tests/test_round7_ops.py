@@ -233,3 +233,25 @@ def test_bpe_pair_counts_exact(spark, tmp_path):
     got = {r.pair: r.n for r in q.fn(spark, str(out)).collect()}
     assert got == {"ab": 3, "ba": 1, "bc": 1}
     run_compare(spark, q, str(out))
+
+
+def test_uuid_sql_layout_matches_python_uuid(spark):
+    """The SQL construction in uuid_from_int_audit must equal Python's
+    uuid.UUID(int=i, version=4) byte-for-byte — the reference producer's
+    trade_id contract — across nibble edge cases (variant nibble 0..f,
+    multi-word ints)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.scalar import (
+        _uuid_from_int_spark)
+
+    ints = [0, 1, 15, 42, 65535, 2**31, 2**52 + 12345, 98765432109876,
+            *range(4090, 4112)]
+    df = spark.createDataFrame([(i,) for i in ints], "event_id long")
+    got = {r.event_id: r.uid for r in df.select(
+        "event_id",
+        F.expr(_uuid_from_int_spark("event_id")).alias("uid")).collect()}
+    for i in ints:
+        assert got[i] == str(_uuid.UUID(int=i, version=4)), i
