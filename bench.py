@@ -51,6 +51,20 @@ def main() -> None:
     extras = skew_join_demo(spark, sf_dir)
     extras.update(lsh_scaling_demo(spark, sf_dir))
     extras.update(lsh_dfcap_skew_demo(spark, sf_dir))
+    # Round-7 heavy operators tracked per round without inflating the
+    # headline series (which older rounds are compared against).
+    for name in ["shared_ngram_span_pairs", "semdedup_survivors",
+                 "winnow_fingerprints", "simhash_near_dup_pairs",
+                 "ann_ivf_recall_at_k", "dedup_clusters"]:
+        q = all_queries()[name]
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        extras[name] = round(min(runs), 3)
+        print(f"# extra {name}: warm {min(runs):.3f}s", file=sys.stderr)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
