@@ -45,4 +45,6 @@ from . import (  # noqa: F401
     semdedup,        # SemDeDup per-cluster embedding dedup (arXiv:2303.09540)
     spans,           # exact shared-substring spans (arXiv:2107.06499)
     merge_replay,    # MERGE upsert / SCD2 / outer interval join replays
+    ranking,         # BM25 retrieval + inverted-index postings
+    graphrank,       # integer-scaled PageRank + triangle counting
 )

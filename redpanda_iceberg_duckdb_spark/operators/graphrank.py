@@ -1,0 +1,161 @@
+"""Distributed graph analytics over engine-native tables: integer-scaled
+PageRank on the customer↔supplier trade graph and triangle counting on the
+near-duplicate candidate graph.
+
+Why integer-scaled PageRank: floating-point PageRank is NOT cross-engine
+reproducible (partial-sum order changes the low bits, and rank ORDERING can
+flip on near-ties), so the recurrence here is defined over scaled BIGINTs —
+
+    r_0(v)   = 1_000_000
+    r_{t+1}(v) = 150_000  +  Σ_{u→v} (85 · (r_t(u) div outdeg(u))) div 100
+
+(i.e. damping 0.85, teleport 0.15, scale 10^6, floor division at each
+step). Both engines implement the exact same integer recurrence, so ranks
+match bit-for-bit — the determinism trick that makes an iterative graph
+algorithm driver-checkable. Floor-division loss is bounded by outdeg · 1
+ulp-of-int per node per round — irrelevant at scale 10^6.
+
+Scale stance (100 TB):
+- PageRank's per-iteration cost is ONE equi-join (edges ⋈ ranks on src,
+  both sides hash-partitioned on the same key — co-partitioned after the
+  first iteration) plus one groupBy(dst) with map-side partial sums. The
+  edge table is built once and persisted; iterations reuse it. Fixed
+  iteration count (5) keeps the oracle expressible as an unrolled CTE
+  chain and the lineage linear — production would loop to convergence with
+  localCheckpoint every ~10 rounds (the clusters.py pattern).
+- The graph is made symmetric (c→s and s→c), so there are no dangling
+  nodes and no rank-mass correction term.
+- Triangle counting joins the candidate edge list against itself twice —
+  cost is Σ_v deg(v)², the standard bound; the input is the LSH candidate
+  graph (near-linear in corpus size, see dedup.py), NOT an all-pairs
+  product. Wedges are enumerated from the lower-degree endpoint ordering
+  (d1 < d2 everywhere) so each triangle is counted exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .dedup import _LSH_CAND_CTE_DUCK, lsh_candidates
+from .shingles import _TG_CTE_DUCK, _doc_trigrams
+
+_SCALE = 1_000_000
+_TELEPORT = 150_000     # 0.15 * SCALE
+_ITER = 5
+_TOPN = 20
+
+
+def _pr_oracle() -> str:
+    ctes = [f"""
+eraw AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT 2 * c AS src, 2 * s + 1 AS dst FROM eraw
+      UNION ALL
+      SELECT 2 * s + 1 AS src, 2 * c AS dst FROM eraw),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+p0 AS (SELECT src AS node, cast({_SCALE} AS bigint) AS r FROM deg)"""]
+    for t in range(1, _ITER + 1):
+        ctes.append(f"""
+p{t} AS (SELECT e.dst AS node,
+               cast({_TELEPORT} + sum((85 * (p.r // d.outdeg)) // 100)
+                    AS bigint) AS r
+        FROM e JOIN p{t-1} p ON e.src = p.node
+               JOIN deg d ON d.src = e.src
+        GROUP BY e.dst)""")
+    return f"""
+WITH {','.join(ctes)},
+ranked AS (SELECT node, r,
+                  row_number() OVER (ORDER BY r DESC, node) AS rn
+           FROM p{_ITER})
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS key, r AS rank_scaled, rn
+FROM ranked WHERE rn <= {_TOPN} ORDER BY rn"""
+
+
+@register(
+    "pagerank_trade_graph",
+    oracle=_pr_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by 5-iteration integer-scaled PageRank over the
+    symmetric customer↔supplier graph (an edge per distinct
+    customer-buys-from-supplier relation in orders ⋈ lineitem). Module
+    docstring has the integer recurrence and the per-iteration
+    join/partitioning layout."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eraw = (o.join(li, o.o_orderkey == li.l_orderkey)
+            .select("o_custkey", "l_suppkey").distinct())
+    e = (eraw.select((F.col("o_custkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+         .unionAll(eraw.select((F.col("l_suppkey") * 2 + 1).alias("src"),
+                               (F.col("o_custkey") * 2).alias("dst"))))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges ⋈ outdeg once; persisted because all ITER iterations reuse it.
+    ew = e.join(deg, "src").persist()
+    r = deg.select(F.col("src").alias("node"),
+                   F.lit(_SCALE).cast("bigint").alias("r"))
+    for _ in range(_ITER):
+        r = (ew.join(r, ew.src == r.node)
+             .select(F.col("dst"),
+                     F.expr("(85 * (r div outdeg)) div 100").alias("contrib"))
+             .groupBy("dst")
+             .agg((F.lit(_TELEPORT) + F.sum("contrib"))
+                  .cast("bigint").alias("r"))
+             .select(F.col("dst").alias("node"), "r"))
+    ranked = r.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("r"), "node")))
+    return (ranked.filter(F.col("rn") <= _TOPN)
+            .select(F.when(F.col("node") % 2 == 0, "customer")
+                     .otherwise("supplier").alias("kind"),
+                    F.expr("node div 2").alias("key"),
+                    F.col("r").alias("rank_scaled"), "rn")
+            .orderBy("rn"))
+
+
+_TRI_ORACLE = f"""
+WITH {_TG_CTE_DUCK},
+{_LSH_CAND_CTE_DUCK},
+tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+        FROM cand e1
+        JOIN cand e2 ON e2.d1 = e1.d2
+        JOIN cand e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+per_node AS (
+    SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY node)
+SELECT node AS doc_id, n_triangles
+FROM per_node ORDER BY n_triangles DESC, doc_id"""
+
+
+@register(
+    "triangle_count_neardup",
+    oracle=_TRI_ORACLE,
+    tags=("graph", "dedup", "triangles"),
+)
+def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle membership count in the MinHash-LSH candidate
+    graph — triangle density separates true duplicate CLUSTERS (cliques →
+    many triangles) from chance band collisions (isolated edges → none),
+    the cheap structural screen before exact-Jaccard verification. Edges
+    are oriented d1 < d2, so each triangle (a<b<c) is produced exactly
+    once by the wedge join. Cost is two self-equi-joins on the candidate
+    list; candidates are near-linear in corpus size (see dedup.py), so no
+    all-pairs product exists anywhere in the plan."""
+    tg = _doc_trigrams(spark, sf_dir)
+    cand = lsh_candidates(tg).persist()
+    e2 = cand.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    e3 = cand.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    tri = (cand.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+           .join(e2, "b")
+           .join(e3, ["a", "c"]))
+    nodes = (tri.select(F.col("a").alias("node"))
+             .unionAll(tri.select(F.col("b").alias("node")))
+             .unionAll(tri.select(F.col("c").alias("node"))))
+    return (nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+            .select(F.col("node").alias("doc_id"), "n_triangles")
+            .orderBy(F.desc("n_triangles"), "doc_id"))
