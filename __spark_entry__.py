@@ -50,6 +50,10 @@ _VERIFY_FIRST = [
     "merge_upsert_replay", "scd2_history_replay", "stream_outer_join_replay",
     "bpe_pair_frequencies", "ann_ivf_recall_at_k", "lsh_recall_vs_exact",
     "utf8_byte_audit", "uuid_from_int_audit",
+    # Second round-7 batch (this session), never driver-checked.
+    "bm25_topk_docs", "inverted_index_postings", "pagerank_trade_graph",
+    "triangle_count_neardup", "bloom_ngram_decontamination",
+    "unigram_logprob_quality", "cdc_chunk_stats",
     # Implementation changed in r7 after their last green row (spread +
     # outer-explode plan fixes) — re-verify even though r01-r06 rows exist.
     "winnow_fingerprints", "simhash_signatures", "simhash_near_dup_pairs",

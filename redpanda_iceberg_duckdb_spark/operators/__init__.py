@@ -47,4 +47,5 @@ from . import (  # noqa: F401
     merge_replay,    # MERGE upsert / SCD2 / outer interval join replays
     ranking,         # BM25 retrieval + inverted-index postings
     graphrank,       # integer-scaled PageRank + triangle counting
+    content_chunking,  # content-defined (rolling-hash) chunk boundaries
 )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from ..functions.hashing import md5_mod_duck, md5_mod_spark
 from ..registry import register
 from ..tables import load_table
 from .dedup import _LSH_CAND_CTE_DUCK, lsh_candidates
@@ -207,3 +208,85 @@ WITH RECURSIVE walk(src, dst, hops) AS (
 SELECT src AS d_src, dst AS d_dst, cast(min(hops) AS int) AS min_hops
 FROM walk GROUP BY src, dst
 ORDER BY d_src, d_dst"""
+
+
+# --- Bloom-filter decontamination -----------------------------------------
+
+_BLOOM_M = 65_536   # bits
+_BLOOM_K = 3        # hash positions per shingle
+
+_BLOOM_ORACLE = f"""
+WITH {{tg_cte}},
+bench_tg AS (SELECT DISTINCT tg FROM t WHERE {{bench}}),
+js AS (SELECT unnest(range({_BLOOM_K})) AS j),
+bits AS (SELECT DISTINCT
+            {{pos_duck}} AS pos
+         FROM bench_tg, js),
+ctg AS (SELECT DISTINCT tg FROM t WHERE NOT ({{bench}})),
+probe AS (SELECT tg, j, {{pos_duck}} AS pos FROM ctg, js),
+hits AS (SELECT tg FROM probe JOIN bits USING (pos)
+         GROUP BY tg HAVING count(*) = {_BLOOM_K}),
+corp AS (SELECT t.doc_id, t.tg, (h.tg IS NOT NULL) AS hit
+         FROM t LEFT JOIN hits h ON t.tg = h.tg
+         WHERE NOT ({{bench}})),
+per_doc AS (SELECT doc_id, count(*) AS n_trigrams,
+                   cast(sum(cast(hit AS int)) AS bigint) AS n_hit
+            FROM corp GROUP BY doc_id)
+SELECT doc_id, n_trigrams, n_hit,
+       round(n_hit * 1.0 / n_trigrams, 6) AS bloom_overlap
+FROM per_doc WHERE n_hit * 1.0 / n_trigrams >= 0.05
+ORDER BY doc_id"""
+
+
+@register(
+    "bloom_ngram_decontamination",
+    oracle=_BLOOM_ORACLE.format(
+        tg_cte=_TG_CTE_DUCK.strip(),
+        bench=_BENCH_PRED,
+        pos_duck=md5_mod_duck("tg || ':' || cast(j AS varchar)", _BLOOM_M)),
+    tags=("contamination", "bloom", "sketch"),
+)
+def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of the
+    exact shingle join: the benchmark's trigrams are folded into a
+    65536-bit / k=3 Bloom bit-set, corpus trigrams are flagged when ALL k
+    md5-derived positions are set, and docs with >= 5% flagged trigrams
+    are reported. Semantics are DEFINED as Bloom semantics — false
+    positives are part of the contract and both engines compute the
+    identical deterministic bit-set, so the result is still exact to the
+    oracle.
+
+    Why this exists next to decontamination_overlap (the exact join): at
+    100 TB the benchmark n-gram set can reach billions of entries — too
+    big to broadcast as strings — while its Bloom image is a fixed
+    m/8-byte array PER EXECUTOR regardless of benchmark cardinality; probe
+    cost is k hashes per corpus shingle, map-side. This query keeps the
+    bit-set as a broadcastable distinct-position table to stay
+    oracle-checkable; a pure-Spark deployment would pack it into an actual
+    bitmask via spark.util.sketch.BloomFilter with the same layout
+    decision. FP rate at these parameters: (1 - e^(-kn/m))^k — the 5%
+    doc-level threshold makes individual shingle FPs harmless."""
+    tg = _doc_trigrams(spark, sf_dir).persist()
+    bench_tg = tg.filter(F.expr(_BENCH_PRED)).select("tg").distinct()
+    positions = F.expr(
+        "array(" + ", ".join(
+            md5_mod_spark(f"concat(tg, ':', {j})", _BLOOM_M)
+            for j in range(_BLOOM_K)) + ")")
+    bits = (bench_tg.select(F.explode(positions).alias("pos")).distinct())
+    ctg = tg.filter(~F.expr(_BENCH_PRED)).select("tg").distinct()
+    probe = ctg.select("tg", F.posexplode(positions).alias("j", "pos"))
+    hits = (probe.join(F.broadcast(bits), "pos")
+            .groupBy("tg").agg(F.count(F.lit(1)).alias("k_hit"))
+            .filter(F.col("k_hit") == _BLOOM_K).select("tg"))
+    corp = (tg.filter(~F.expr(_BENCH_PRED))
+            .join(hits.withColumn("hit", F.lit(1)), "tg", "left"))
+    per_doc = (corp.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                    F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint")
+                     .alias("n_hit")))
+    return (per_doc
+            .withColumn("bloom_overlap",
+                        F.round(F.col("n_hit") / F.col("n_trigrams"), 6))
+            .filter(F.col("n_hit") / F.col("n_trigrams") >= 0.05)
+            .select("doc_id", "n_trigrams", "n_hit", "bloom_overlap")
+            .orderBy("doc_id"))

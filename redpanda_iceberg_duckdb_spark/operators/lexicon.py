@@ -315,3 +315,49 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "pair")
             .limit(30))
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle="""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+ct AS (SELECT tok, cast(sum(tf) AS bigint) AS c FROM tf GROUP BY tok),
+tot AS (SELECT cast(sum(c) AS bigint) AS total FROM ct),
+per_doc AS (SELECT tf.doc_id,
+                   cast(sum(tf.tf) AS bigint) AS n_tokens,
+                   sum(tf.tf * ln(ct.c)) AS slc
+            FROM tf JOIN ct USING (tok) GROUP BY tf.doc_id)
+SELECT doc_id, n_tokens,
+       round(slc / n_tokens - ln(total), 6) AS avg_logprob
+FROM per_doc CROSS JOIN tot
+ORDER BY doc_id""",
+    tags=("text", "quality", "language-model"),
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram LM — the cheapest perplexity proxy used as a quality filter
+    (low mean log-prob = off-distribution / noisy docs). Decomposition
+    keeps everything count-shaped: mean = Σ tf·ln(c_tok) / dl − ln(total),
+    so the plan is one tokenize pass, the (doc, tok) tf aggregate, a
+    token-keyed join against the corpus counts (both sides already
+    partitioned by token), and a per-doc sum — no per-token probability
+    column materializes and the corpus total travels as one broadcast
+    scalar. The double Σ tf·ln(c) accumulates over at most a few hundred
+    terms per doc; round(…,6) absorbs the last-ulp ordering noise (same
+    policy as token_entropy_by_source)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    ct = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("c"))
+    tot = ct.agg(F.sum("c").cast("bigint").alias("total"))
+    per_doc = (tf.join(ct, "tok")
+               .groupBy("doc_id")
+               .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
+                    F.sum(F.col("tf") * F.log("c")).alias("slc")))
+    return (per_doc.crossJoin(F.broadcast(tot))
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("slc") / F.col("n_tokens")
+                            - F.log("total"), 6).alias("avg_logprob"))
+            .orderBy("doc_id"))

@@ -1,0 +1,188 @@
+"""Planted-fixture semantics tests for the second round-7 operator batch
+(ranking, graph analytics, Bloom decontamination, unigram-LM quality,
+content-defined chunking): each test constructs a corpus where the correct
+answer is known by construction or by an independent pure-Python replica,
+runs the registered query on it, and re-proves Spark-vs-DuckDB parity on
+the same file via run_compare."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import math
+import random
+import shutil
+
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+from .oracle_harness import run_compare
+
+
+def _write_single(df, out_dir, name):
+    df.coalesce(1).write.parquet(str(out_dir / f"_tmp_{name}"))
+    part = glob.glob(str(out_dir / f"_tmp_{name}" / "part-*.parquet"))[0]
+    shutil.copy(part, str(out_dir / f"{name}.parquet"))
+
+
+def _docs_dir(spark, tmp_path, docs, name="docs"):
+    rows = [(i, text, "en", "t", len(text)) for i, text in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = tmp_path / name
+    out.mkdir()
+    _write_single(df, out, "documents")
+    return str(out)
+
+
+# ----------------------------------------------------------------- ranking
+
+def test_bm25_rare_term_doc_ranks_first(spark, tmp_path):
+    """The doc stuffed with the corpus's rarest token must take rank 1:
+    its term has the highest idf and the doc's tf dominates."""
+    common = " ".join(f"c{i}" for i in range(10))
+    docs = [common for _ in range(10)]
+    docs.append("needle needle needle c0")
+    d = _docs_dir(spark, tmp_path, docs)
+    q = all_queries()["bm25_topk_docs"]
+    rows = q.fn(spark, d).collect()
+    by_id = {r.doc_id: r.bm25 for r in rows}
+    assert 10 in by_id
+    assert by_id[10] == max(by_id.values())
+    run_compare(spark, q, d)
+
+
+def test_inverted_index_postings_exact(spark, tmp_path):
+    docs = ["a b", "a", "b b"]
+    d = _docs_dir(spark, tmp_path, docs)
+    q = all_queries()["inverted_index_postings"]
+    rows = {r.tok: r for r in q.fn(spark, d).collect()}
+    assert rows["a"].df == 2 and rows["a"].total_tf == 2
+    assert rows["a"].first_postings == "0|1"
+    assert rows["b"].df == 2 and rows["b"].total_tf == 3
+    assert rows["b"].first_postings == "0|2"
+    run_compare(spark, q, d)
+
+
+# ------------------------------------------------------------------- graph
+
+def test_pagerank_hub_supplier_outranks_leaf(spark, tmp_path):
+    """Supplier 7 trades with 4 customers, supplier 8 with one; after any
+    number of iterations the hub's rank strictly exceeds the leaf's."""
+    orders = [(k, c) for k, c in enumerate([1, 2, 3, 4, 1])]
+    # orders 0-3 -> supplier 7 (custkeys 1..4), order 4 -> supplier 8 (cust 1)
+    lineitem = [(0, 7), (1, 7), (2, 7), (3, 7), (4, 8)]
+    odf = spark.createDataFrame(orders, "o_orderkey long, o_custkey long")
+    ldf = spark.createDataFrame(lineitem, "l_orderkey long, l_suppkey long")
+    out = tmp_path / "pr"
+    out.mkdir()
+    _write_single(odf, out, "orders")
+    _write_single(ldf, out, "lineitem")
+    q = all_queries()["pagerank_trade_graph"]
+    rows = q.fn(spark, str(out)).collect()
+    ranks = {(r.kind, r.key): r.rank_scaled for r in rows}
+    assert ranks[("supplier", 7)] > ranks[("supplier", 8)]
+    # hub supplier is the single best-connected node -> global rank 1
+    assert rows[0].kind == "supplier" and rows[0].key == 7
+    run_compare(spark, q, str(out))
+
+
+def test_triangle_count_clique_vs_pair(spark, tmp_path):
+    """Three identical docs form an LSH clique -> one triangle touching
+    each member once; a separate identical PAIR contributes no triangle."""
+    clique = " ".join(f"q{i}" for i in range(12))
+    pair = " ".join(f"p{i}" for i in range(12))
+    lone = " ".join(f"x{i}" for i in range(12))
+    docs = [clique, clique, clique, pair, pair, lone]
+    d = _docs_dir(spark, tmp_path, docs)
+    q = all_queries()["triangle_count_neardup"]
+    rows = q.fn(spark, d).collect()
+    assert {(r.doc_id, r.n_triangles) for r in rows} == {(0, 1), (1, 1), (2, 1)}
+    run_compare(spark, q, d)
+
+
+# ---------------------------------------------------- Bloom decontamination
+
+def test_bloom_flags_copied_benchmark_span_only(spark, tmp_path):
+    """doc 0 (doc_id % 25 == 0) is the benchmark; doc 1 copies its text and
+    must be flagged with overlap ~1.0; doc 2 shares no trigram and must be
+    absent (Bloom FPs at 65536 bits / a handful of set trigrams cannot
+    reach the 5% doc threshold here)."""
+    bench = " ".join(f"m{i}" for i in range(20))
+    clean = " ".join(f"z{i}" for i in range(20))
+    docs = [bench, bench, clean]
+    d = _docs_dir(spark, tmp_path, docs)
+    q = all_queries()["bloom_ngram_decontamination"]
+    rows = {r.doc_id: r for r in q.fn(spark, d).collect()}
+    assert set(rows) == {1}
+    assert rows[1].bloom_overlap == 1.0
+    run_compare(spark, q, d)
+
+
+# ------------------------------------------------------- unigram LM quality
+
+def test_unigram_logprob_matches_hand_computation(spark, tmp_path):
+    docs = ["a a a a", "a b"]
+    d = _docs_dir(spark, tmp_path, docs)
+    q = all_queries()["unigram_logprob_quality"]
+    rows = {r.doc_id: r for r in q.fn(spark, d).collect()}
+    # counts: a=5, b=1, total=6
+    assert rows[0].n_tokens == 4
+    assert rows[0].avg_logprob == round(math.log(5) - math.log(6), 6)
+    exp1 = round((math.log(5) + math.log(1)) / 2 - math.log(6), 6)
+    assert abs(rows[1].avg_logprob - exp1) < 1e-9
+    run_compare(spark, q, d)
+
+
+# ------------------------------------------------- content-defined chunking
+
+def _py_cdc_chunks(text: str) -> list[str]:
+    """Independent pure-Python replica of the windowed-polynomial chunker
+    (content_chunking.py constants)."""
+    p = [pow(257, j, 1_000_003) for j in range(8)]
+    b = [i for i in range(8, len(text) + 1)
+         if sum(ord(text[i - 1 - j]) * p[j] for j in range(8))
+         % 1_000_003 % 64 == 0]
+    ends = b if (b and b[-1] == len(text)) else b + [len(text)]
+    out, s = [], 1
+    for e in ends:
+        out.append(text[s - 1:e])
+        s = e + 1
+    return out
+
+
+def test_cdc_chunk_stats_match_python_replica(spark, tmp_path):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [" ".join(rng.choice(vocab) for _ in range(60)) for _ in range(12)]
+    d = _docs_dir(spark, tmp_path, docs)
+    q = all_queries()["cdc_chunk_stats"]
+    rows = {r.doc_id: r for r in q.fn(spark, d).collect()}
+    assert set(rows) == set(range(12))
+    for i, text in enumerate(docs):
+        chunks = _py_cdc_chunks(text)
+        r = rows[i]
+        assert r.n_chunks == len(chunks)
+        assert r.min_chunk_len == min(len(c) for c in chunks)
+        assert r.max_chunk_len == max(len(c) for c in chunks)
+        hashes = {hashlib.md5(c.encode()).hexdigest() for c in chunks}
+        assert r.n_distinct_chunks == len(hashes)
+        # chunks reassemble the document exactly
+        assert "".join(chunks) == text
+    run_compare(spark, q, d)
+
+
+def test_cdc_boundaries_are_edit_local(spark, tmp_path):
+    """The CDC property fixed-size chunking lacks: prepending one character
+    shifts every chunk of a fixed-stride chunker, but content-defined
+    boundaries re-synchronize — the chunk multiset difference between the
+    original and the edited doc is bounded to the neighborhood of the
+    edit, not the whole document."""
+    rng = random.Random(11)
+    text = " ".join(rng.choice("abcdefgh") for _ in range(400))
+    edited = "Q" + text
+    a = _py_cdc_chunks(text)
+    b = _py_cdc_chunks(edited)
+    shared = set(a) & set(b)
+    # all but the first few chunks must survive the edit verbatim
+    assert len(shared) >= len(a) - 3
