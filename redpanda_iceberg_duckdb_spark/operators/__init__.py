@@ -48,4 +48,5 @@ from . import (  # noqa: F401
     ranking,         # BM25 retrieval + inverted-index postings
     graphrank,       # integer-scaled PageRank + triangle counting
     content_chunking,  # content-defined (rolling-hash) chunk boundaries
+    setsim,          # exact set-similarity join via prefix filtering
 )

@@ -186,3 +186,21 @@ def test_cdc_boundaries_are_edit_local(spark, tmp_path):
     shared = set(a) & set(b)
     # all but the first few chunks must survive the edit verbatim
     assert len(shared) >= len(a) - 3
+
+
+# ------------------------------------------------- prefix-filter similarity
+
+def test_ppjoin_threshold_boundary_and_exactness(spark, tmp_path):
+    """Pairs straddling the 0.7 Jaccard threshold: 12 shared trigrams of 14
+    (J = 12/16 = 0.75) is reported; 8 of 14 (J = 8/20 = 0.4) is not. The
+    run_compare leg re-proves the prefix filter against brute force."""
+    base = [f"t{i}" for i in range(16)]          # 14 trigrams
+    near = base[:14] + ["X", "Y"]                # shares 12 trigrams
+    far = base[:10] + ["A", "B", "C", "D", "E", "F"]  # shares 8
+    docs = [" ".join(base), " ".join(near), " ".join(far)]
+    d = _docs_dir(spark, tmp_path, docs)
+    q = all_queries()["ppjoin_exact_pairs"]
+    rows = q.fn(spark, d).collect()
+    assert {(r.d1, r.d2) for r in rows} == {(0, 1)}
+    assert rows[0].jaccard == 0.75
+    run_compare(spark, q, d)
