@@ -49,4 +49,5 @@ from . import (  # noqa: F401
     graphrank,       # integer-scaled PageRank + triangle counting
     content_chunking,  # content-defined (rolling-hash) chunk boundaries
     setsim,          # exact set-similarity join via prefix filtering
+    quantizer,       # k-means Lloyd step + JL projection audit
 )

@@ -316,3 +316,36 @@ def test_runtime_bloom_filter_injection(spark, sf_correct):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_round7b_shuffle_ceilings_and_join_shapes(spark, sf_smoke):
+    """Plan gates for the second round-7 batch. exchange_count double-lists
+    nodes (tree + details), so ceilings are ~2x physical shuffles:
+    - cdc_chunk_stats must stay essentially map-side (spread repartition +
+      final sort only);
+    - pagerank grows linearly with its FIXED 5 iterations — a superlinear
+      blowup (e.g. losing the edge-table reuse) trips the ceiling;
+    - ppjoin/triangles sit on the shingle/LSH machinery and must not
+      regress into corpus-wide extra shuffles."""
+    spark.catalog.clearCache()
+    for name, ceiling in [("cdc_chunk_stats", 4),
+                          ("inverted_index_postings", 8),
+                          ("bm25_topk_docs", 14),
+                          ("unigram_logprob_quality", 18),
+                          ("bloom_ngram_decontamination", 16),
+                          ("ppjoin_exact_pairs", 40),
+                          ("pagerank_trade_graph", 70),
+                          ("triangle_count_neardup", 80)]:
+        # triangle's plan shows the LSH candidate lineage 3x (the persist
+        # is not materialized at explain time), so the static count is high;
+        # at runtime the cached candidates are built once.
+        df = _q(spark, sf_smoke, name)
+        got = plans.exchange_count(df)
+        assert got <= ceiling, f"{name}: {got} > {ceiling}"
+    # The only nested-loop joins anywhere in the batch are 1-row scalar
+    # broadcasts (corpus stats / totals) — never a data x data product.
+    for name in ["ppjoin_exact_pairs", "pagerank_trade_graph",
+                 "triangle_count_neardup", "cdc_chunk_stats",
+                 "bloom_ngram_decontamination", "inverted_index_postings"]:
+        assert "BroadcastNestedLoopJoin" not in plans.physical_plan(
+            _q(spark, sf_smoke, name)), name

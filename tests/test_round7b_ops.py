@@ -204,3 +204,64 @@ def test_ppjoin_threshold_boundary_and_exactness(spark, tmp_path):
     assert {(r.d1, r.d2) for r in rows} == {(0, 1)}
     assert rows[0].jaccard == 0.75
     run_compare(spark, q, d)
+
+
+# --------------------------------------------------- quantizer / projection
+
+def _emb_dir(spark, tmp_path, rows, name="emb"):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / name
+    out.mkdir()
+    _write_single(df, out, "embeddings")
+    return str(out)
+
+
+def test_lloyd_step_moves_mislabeled_vector(spark, tmp_path):
+    """Two tight clusters around orthogonal axes; one vector sits in
+    cluster 1's location but carries label 0 — the Lloyd step must move
+    exactly that vector (cluster pull from the 3-vs-1 majority)."""
+    rows = []
+    for i in range(3):
+        v = [0.0] * 64
+        v[0] = 1.0
+        v[1] = 0.01 * i
+        rows.append((i, v, 0))
+    for i in range(3):
+        v = [0.0] * 64
+        v[7] = 1.0
+        v[8] = 0.01 * i
+        rows.append((10 + i, v, 1))
+    stray = [0.0] * 64
+    stray[7] = 0.9
+    rows.append((20, stray, 0))
+    d = _emb_dir(spark, tmp_path, rows)
+    q = all_queries()["kmeans_lloyd_step"]
+    got = {r.new_label: r for r in q.fn(spark, d).collect()}
+    assert got[1].n_moved_in == 1
+    assert got[0].n_next == 3 and got[0].n_stay == 3
+    assert got[1].n_next == 4
+    run_compare(spark, q, d)
+
+
+def test_jl_identical_vectors_have_zero_distortion(spark, tmp_path):
+    """An identical adjacent pair has cosine 1.0 in BOTH spaces (the sign
+    projection maps equal inputs to equal outputs), so abs_err == 0; a
+    near-orthogonal pair's 64-dim cosine is ~0 and its reported error
+    equals |cos16| up to rounding."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    v = [float(x) for x in rng.uniform(-1, 1, 64).astype(np.float32)]
+    w = [0.0] * 64
+    w[3] = 1.0
+    x = [0.0] * 64
+    x[11] = 1.0
+    rows = [(0, v, 0), (1, v, 0), (20, w, 0), (21, x, 0)]
+    d = _emb_dir(spark, tmp_path, rows, name="jl")
+    q = all_queries()["jl_projection_distortion"]
+    got = {r.qid: r for r in q.fn(spark, d).collect()}
+    assert got[0].cos64 == 1.0 and got[0].cos16 == 1.0
+    assert got[0].abs_err == 0.0
+    assert got[20].cos64 == 0.0
+    assert got[20].abs_err == abs(got[20].cos16)
+    run_compare(spark, q, d)
