@@ -55,7 +55,12 @@ def main() -> None:
     # headline series (which older rounds are compared against).
     for name in ["shared_ngram_span_pairs", "semdedup_survivors",
                  "winnow_fingerprints", "simhash_near_dup_pairs",
-                 "ann_ivf_recall_at_k", "dedup_clusters"]:
+                 "ann_ivf_recall_at_k", "dedup_clusters",
+                 # exact-vs-approx similarity-join trade (same corpus):
+                 # ppjoin is exact (zero misses) at prefix-join cost,
+                 # minhash_lsh_pairs is the probabilistic fast path
+                 "ppjoin_exact_pairs", "pagerank_trade_graph",
+                 "kmeans_lloyd_step", "cdc_chunk_stats"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -106,9 +106,13 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg((F.lit(_TELEPORT) + F.sum("contrib"))
                   .cast("bigint").alias("r"))
              .select(F.col("dst").alias("node"), "r"))
-    ranked = r.withColumn(
+    # Distributed top-k first (TakeOrderedAndProject); the row_number
+    # window then runs over only the _TOPN surviving rows — never a
+    # global single-partition window over all nodes.
+    top = r.orderBy(F.desc("r"), "node").limit(_TOPN)
+    ranked = top.withColumn(
         "rn", F.row_number().over(W.orderBy(F.desc("r"), "node")))
-    return (ranked.filter(F.col("rn") <= _TOPN)
+    return (ranked
             .select(F.when(F.col("node") % 2 == 0, "customer")
                      .otherwise("supplier").alias("kind"),
                     F.expr("node div 2").alias("key"),

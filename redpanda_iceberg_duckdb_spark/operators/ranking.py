@@ -26,7 +26,7 @@ computation and is deterministic in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..tables import load_table
@@ -93,10 +93,10 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", s.alias("s")))
     per_doc = (scored.groupBy("doc_id")
                .agg(F.round(F.sum("s"), 6).alias("bm25")))
-    ranked = per_doc.withColumn(
-        "rn", F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id")))
-    return (ranked.filter(F.col("rn") <= _TOPK)
-            .select("doc_id", "bm25").orderBy("doc_id"))
+    # Distributed top-k (TakeOrderedAndProject), NOT a global row_number
+    # window — an unpartitioned window funnels every doc through one task.
+    return (per_doc.orderBy(F.desc("bm25"), "doc_id").limit(_TOPK)
+            .orderBy("doc_id"))
 
 
 _POSTINGS_ORACLE = """

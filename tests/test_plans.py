@@ -342,6 +342,10 @@ def test_round7b_shuffle_ceilings_and_join_shapes(spark, sf_smoke):
         df = _q(spark, sf_smoke, name)
         got = plans.exchange_count(df)
         assert got <= ceiling, f"{name}: {got} > {ceiling}"
+    # Top-k is distributed TakeOrderedAndProject — never a global
+    # single-partition row_number window over the full score table.
+    assert plans.has_take_ordered(_q(spark, sf_smoke, "bm25_topk_docs"))
+    assert plans.has_take_ordered(_q(spark, sf_smoke, "pagerank_trade_graph"))
     # The only nested-loop joins anywhere in the batch are 1-row scalar
     # broadcasts (corpus stats / totals) — never a data x data product.
     for name in ["ppjoin_exact_pairs", "pagerank_trade_graph",
