@@ -54,7 +54,7 @@ _VERIFY_FIRST = [
     "bm25_topk_docs", "inverted_index_postings", "pagerank_trade_graph",
     "triangle_count_neardup", "bloom_ngram_decontamination",
     "unigram_logprob_quality", "cdc_chunk_stats", "ppjoin_exact_pairs",
-    "kmeans_lloyd_step", "jl_projection_distortion",
+    "kmeans_lloyd_step", "jl_projection_distortion", "kafka_wire_replay",
     # Implementation changed in r7 after their last green row (spread +
     # outer-explode plan fixes) — re-verify even though r01-r06 rows exist.
     "winnow_fingerprints", "simhash_signatures", "simhash_near_dup_pairs",

@@ -121,3 +121,77 @@ def streaming_validate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.countDistinct("event_type").alias("n_types"))
             .orderBy("status"))
+
+
+# --- Kafka wire-codec replay (S1/S2/S7, F2/F3 made driver-visible) --------
+
+_WIRE_ORACLE = f"""
+WITH wire AS (
+  SELECT cast(o_orderkey AS varchar) AS k,
+         to_json(struct_pack(
+             o_orderkey := o_orderkey, o_custkey := o_custkey,
+             o_orderstatus := o_orderstatus,
+             o_orderpriority := o_orderpriority)) AS v,
+         o_orderstatus, o_custkey
+  FROM orders)
+SELECT o_orderstatus AS status,
+       count(*) AS n_msgs,
+       cast(sum(o_custkey) AS bigint) AS sum_custkey,
+       cast(sum(length(k)) AS bigint) AS sum_key_bytes,
+       cast(sum(length(v)) AS bigint) AS sum_value_bytes,
+       bit_xor({{h}}) AS wire_checksum
+FROM wire GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+
+def _wire_oracle() -> str:
+    from ..functions.hashing import md5_mod_duck
+    return _WIRE_ORACLE.format(h=md5_mod_duck("v"))
+
+
+@register(
+    "kafka_wire_replay",
+    oracle=_wire_oracle(),
+    tags=("kafka", "wire", "replay"),
+)
+def kafka_wire_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka producer/consumer wire codec (sources/kafka.py
+    encode_keyed_json -> decode_json_values, the S1/S2/S7 surface) run as
+    a batch replay with a driver oracle: orders rows are encoded to the
+    exact keyed-JSON wire shape the reference's producer emits
+    (/root/reference/redpanda/producer.py:98-100 semantics), decoded back
+    through the real consumer transform, and summarized per order status —
+    message counts, decoded-field sums (proves decode returns the original
+    values), wire byte totals, and an order-independent XOR checksum over
+    the raw value JSON (proves the serialized bytes themselves, not just
+    the round trip: DuckDB reconstructs the identical compact JSON). Only
+    int/string fields ride the wire here — float JSON formatting is
+    engine-specific, and the streaming ingest path (ingest.py) declares
+    its schemas the same way. One scan, codec map-side, one aggregate."""
+    from pyspark.sql import types as T
+
+    from ..functions.hashing import md5_mod_spark
+    from ..sources.kafka import decode_json_values, encode_keyed_json
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    wire = encode_keyed_json(o, "o_orderkey")
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ])
+    parsed = decode_json_values(wire, schema)
+    stats = parsed.select(
+        F.col("data.o_orderstatus").alias("status"),
+        F.col("data.o_custkey").alias("ck"),
+        F.length("_key").alias("key_bytes"),
+        F.length("_raw").alias("value_bytes"),
+        F.expr(md5_mod_spark("_raw")).alias("h"))
+    return (stats.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_msgs"),
+                 F.sum("ck").cast("bigint").alias("sum_custkey"),
+                 F.sum("key_bytes").cast("bigint").alias("sum_key_bytes"),
+                 F.sum("value_bytes").cast("bigint").alias("sum_value_bytes"),
+                 F.expr("bit_xor(h)").alias("wire_checksum"))
+            .orderBy("status"))
