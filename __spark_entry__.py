@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "triangle_count_neardup", "bloom_ngram_decontamination",
     "unigram_logprob_quality", "cdc_chunk_stats", "ppjoin_exact_pairs",
     "kmeans_lloyd_step", "jl_projection_distortion", "kafka_wire_replay",
+    "zipf_fit_by_source", "graph_degree_stats",
     # Implementation changed in r7 after their last green row (spread +
     # outer-explode plan fixes) — re-verify even though r01-r06 rows exist.
     "winnow_fingerprints", "simhash_signatures", "simhash_near_dup_pairs",

@@ -163,3 +163,67 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
             .select(F.col("node").alias("doc_id"), "n_triangles")
             .orderBy(F.desc("n_triangles"), "doc_id"))
+
+
+_DEG_ORACLE = """
+WITH eraw AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+cd AS (SELECT 'customer' AS kind, c AS key, count(*) AS deg
+       FROM eraw GROUP BY c),
+sd AS (SELECT 'supplier' AS kind, s AS key, count(*) AS deg
+       FROM eraw GROUP BY s),
+deg AS (SELECT * FROM cd UNION ALL SELECT * FROM sd),
+rk AS (SELECT kind, deg,
+              row_number() OVER (PARTITION BY kind ORDER BY deg, key) AS rn,
+              count(*) OVER (PARTITION BY kind) AS n
+       FROM deg),
+med AS (SELECT kind, deg AS median_deg FROM rk WHERE rn = (n + 1) // 2)
+SELECT d.kind, cast(count(*) AS bigint) AS n_nodes,
+       cast(min(deg) AS bigint) AS min_deg,
+       cast(max(deg) AS bigint) AS max_deg,
+       round(avg(deg), 6) AS avg_deg,
+       cast(max(m.median_deg) AS bigint) AS median_deg
+FROM deg d JOIN med m ON m.kind = d.kind
+GROUP BY d.kind ORDER BY d.kind"""
+
+
+@register(
+    "graph_degree_stats",
+    oracle=_DEG_ORACLE,
+    tags=("graph", "profile"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the customer↔supplier trade graph — the skew
+    diagnostic read BEFORE choosing a graph-algorithm partitioning (a
+    max/median degree ratio in the hundreds means vertex-cut or hot-key
+    salting; near 1 means plain hash partitioning is fine — see
+    skewed.py). Median is an EXACT rank-based definition (element at
+    ceil(n/2) under (deg, key) order), not an interpolated percentile, so
+    both engines agree on integer output. One distinct-edge aggregate,
+    per-kind degree counts, and a per-kind window for the median — all
+    partitioned by kind, nothing global."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eraw = (o.join(li, o.o_orderkey == li.l_orderkey)
+            .select("o_custkey", "l_suppkey").distinct())
+    cd = (eraw.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("deg"))
+          .select(F.lit("customer").alias("kind"),
+                  F.col("o_custkey").alias("key"), "deg"))
+    sd = (eraw.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+          .select(F.lit("supplier").alias("kind"),
+                  F.col("l_suppkey").alias("key"), "deg"))
+    deg = cd.unionAll(sd)
+    rk = (deg.withColumn("rn", F.row_number().over(
+              W.partitionBy("kind").orderBy("deg", "key")))
+          .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("kind"))))
+    med = (rk.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("kind", F.col("deg").alias("median_deg")))
+    return (deg.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("deg").cast("bigint").alias("min_deg"),
+                 F.max("deg").cast("bigint").alias("max_deg"),
+                 F.round(F.avg("deg"), 6).alias("avg_deg"))
+            .join(med.groupBy("kind")
+                  .agg(F.max("median_deg").cast("bigint")
+                       .alias("median_deg")), "kind")
+            .orderBy("kind"))

@@ -361,3 +361,64 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("slc") / F.col("n_tokens")
                             - F.log("total"), 6).alias("avg_logprob"))
             .orderBy("doc_id"))
+
+
+@register(
+    "zipf_fit_by_source",
+    oracle="""
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+tf AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+rk AS (SELECT source, tok, c,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, tok) AS rank
+       FROM tf),
+xy AS (SELECT source, ln(rank) AS x, ln(c) AS y FROM rk),
+m AS (SELECT source, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy GROUP BY source)
+SELECT source, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       CASE WHEN round(n * syy - sy * sy, 9) = 0 THEN NULL
+            ELSE round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS r2
+FROM m ORDER BY source""",
+    tags=("text", "quality", "zipf"),
+)
+def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(frequency) against
+    ln(rank) over the source's token frequency table. Natural text sits
+    near slope −1; strong deviation flags templated/generated/spam slices
+    before they enter a training mix. Ranks come from a window PARTITIONED
+    by source (parallel across sources, never global); the regression is
+    the same five-sufficient-statistics aggregate as ols_hourly_trend —
+    map-side combinable, one row per source out. Doubles accumulate over
+    at most |vocab| terms per source; round(…,6) absorbs ordering ulp
+    (the repo-wide float policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c")))
+    rk = tf.withColumn("rank", F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("c"), "tok")))
+    xy = rk.select("source", F.log("rank").alias("x"), F.log("c").alias("y"))
+    m = (xy.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Degenerate guard: a constant-frequency source has zero y-variance,
+    # where r2 is 0/0 — Spark's non-ANSI division yields NULL, DuckDB NaN.
+    # Detected on the ROUNDED variance (exact zero is summation-order
+    # dependent at the ulp level) and defined as NULL in both engines.
+    r2 = F.when(F.round(deny, 9) == 0, F.lit(None).cast("double")) \
+          .otherwise(F.round(num * num / (denx * deny), 6))
+    return (m.select("source", "n",
+                     F.round(num / denx, 6).alias("zipf_slope"),
+                     r2.alias("r2"))
+            .orderBy("source"))

@@ -301,3 +301,52 @@ def test_kafka_wire_replay_roundtrip_counts(spark, tmp_path):
     assert got["O"].n_msgs == 5 and got["F"].n_msgs == 5
     assert got["O"].sum_custkey == sum(100 + i for i in range(0, 10, 2))
     run_compare(spark, q, str(out))
+
+
+# ------------------------------------------------------- zipf / degree
+
+def test_zipf_slope_perfect_law_is_minus_one(spark, tmp_path):
+    """A corpus whose token frequencies are exactly c_r = round(K / r)
+    (harmonic) fits slope ~ -1; a uniform-frequency corpus fits slope 0."""
+    toks = []
+    for r in range(1, 9):
+        toks += [f"z{r}"] * round(240 / r)
+    docs = [" ".join(toks)]
+    uni = [" ".join(f"u{i}" for i in range(8)) * 1]
+    rows = [(0, docs[0], "en", "zipfish", len(docs[0])),
+            (1, " ".join(["u0 u1 u2 u3 u4 u5 u6 u7"] * 30), "en", "uniform",
+             301)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = tmp_path / "zipf"
+    out.mkdir()
+    _write_single(df, out, "documents")
+    q = all_queries()["zipf_fit_by_source"]
+    got = {r.source: r for r in q.fn(spark, str(out)).collect()}
+    assert abs(got["zipfish"].zipf_slope + 1.0) < 0.05
+    assert got["zipfish"].r2 > 0.99
+    assert got["uniform"].zipf_slope == 0.0
+    # constant-frequency source: zero y-variance -> r2 defined as NULL
+    assert got["uniform"].r2 is None
+    run_compare(spark, q, str(out))
+
+
+def test_degree_stats_star_graph(spark, tmp_path):
+    """Supplier 7 serves customers 1..4 (degree 4), supplier 8 serves only
+    customer 1; customer degrees are 2,1,1,1 -> medians/min/max exact."""
+    orders = [(k, c) for k, c in enumerate([1, 2, 3, 4, 1])]
+    lineitem = [(0, 7), (1, 7), (2, 7), (3, 7), (4, 8)]
+    odf = spark.createDataFrame(orders, "o_orderkey long, o_custkey long")
+    ldf = spark.createDataFrame(lineitem, "l_orderkey long, l_suppkey long")
+    out = tmp_path / "deg"
+    out.mkdir()
+    _write_single(odf, out, "orders")
+    _write_single(ldf, out, "lineitem")
+    q = all_queries()["graph_degree_stats"]
+    got = {r.kind: r for r in q.fn(spark, str(out)).collect()}
+    assert got["supplier"].n_nodes == 2
+    assert got["supplier"].max_deg == 4 and got["supplier"].min_deg == 1
+    assert got["customer"].n_nodes == 4
+    assert got["customer"].max_deg == 2 and got["customer"].median_deg == 1
+    run_compare(spark, q, str(out))
