@@ -42,7 +42,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
-from ..tables import load_table_spread
 from .shingles import _TG_CTE_DUCK, _doc_trigram_sets, _doc_trigrams
 
 _T_NUM, _T_DEN = 7, 10     # Jaccard threshold t = 0.7, kept as a ratio
