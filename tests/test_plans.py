@@ -334,6 +334,11 @@ def test_round7b_shuffle_ceilings_and_join_shapes(spark, sf_smoke):
                           ("unigram_logprob_quality", 18),
                           ("bloom_ngram_decontamination", 16),
                           ("ppjoin_exact_pairs", 40),
+                          ("kafka_wire_replay", 6),
+                          ("zipf_fit_by_source", 8),
+                          ("graph_degree_stats", 26),
+                          ("jl_projection_distortion", 4),
+                          ("kmeans_lloyd_step", 14),
                           ("pagerank_trade_graph", 70),
                           ("triangle_count_neardup", 80)]:
         # triangle's plan shows the LSH candidate lineage 3x (the persist
@@ -347,9 +352,13 @@ def test_round7b_shuffle_ceilings_and_join_shapes(spark, sf_smoke):
     assert plans.has_take_ordered(_q(spark, sf_smoke, "bm25_topk_docs"))
     assert plans.has_take_ordered(_q(spark, sf_smoke, "pagerank_trade_graph"))
     # The only nested-loop joins anywhere in the batch are 1-row scalar
-    # broadcasts (corpus stats / totals) — never a data x data product.
+    # broadcasts (corpus stats / totals) or the k-means vector-x-centroid
+    # cross (10 broadcast rows — the assignment step IS that product) —
+    # never a data x data nested loop.
     for name in ["ppjoin_exact_pairs", "pagerank_trade_graph",
                  "triangle_count_neardup", "cdc_chunk_stats",
-                 "bloom_ngram_decontamination", "inverted_index_postings"]:
+                 "bloom_ngram_decontamination", "inverted_index_postings",
+                 "kafka_wire_replay", "zipf_fit_by_source",
+                 "graph_degree_stats"]:
         assert "BroadcastNestedLoopJoin" not in plans.physical_plan(
             _q(spark, sf_smoke, name)), name
