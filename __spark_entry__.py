@@ -69,7 +69,12 @@ _VERIFY_FIRST = [
 # The window-contract test (tests/test_driver_contract.py) enforces that
 # every tail query is either previously driver-green or explicitly queued
 # here — nothing can be silently unverified.
-_PENDING_NEXT_WINDOW: list[str] = []
+_PENDING_NEXT_WINDOW: list[str] = [
+    # Registered late in round 7 after the 50-slot window filled (48 pinned
+    # + 2 tail greens); each passes the local oracle replica at
+    # sf0.001+sf0.01 and heads _VERIFY_FIRST next round.
+    "rrf_fusion_topk", "multimodal_frame_dedup", "join_cardinality_audit",
+]
 
 
 def _ordered_queries():

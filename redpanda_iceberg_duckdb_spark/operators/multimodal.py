@@ -155,3 +155,68 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("frame_offsets_csv"),
         F.size("frame_offsets").alias("n_frames"),
     ).orderBy("doc_id")
+
+
+_FRAME_LEN = 16   # bytes per sampled frame window
+_N_FRAMES = 4
+
+_FRAME_DEDUP_ORACLE = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) > 0),
+offs AS (SELECT doc_id, text, n,
+                least(i * greatest(n // {_N_FRAMES}, 1), n - 1) AS off
+         FROM d, unnest(range({_N_FRAMES})) r(i)),
+frames AS (SELECT doc_id, md5(substr(text, off + 1, {_FRAME_LEN}))
+                      AS frame_md5
+           FROM offs),
+agg AS (SELECT frame_md5,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               min(doc_id) AS first_doc
+        FROM frames GROUP BY frame_md5)
+SELECT frame_md5, n_docs, n_occurrences, first_doc
+FROM agg WHERE n_docs > 1
+ORDER BY n_docs DESC, frame_md5"""
+
+
+@register(
+    "multimodal_frame_dedup",
+    oracle=_FRAME_DEDUP_ORACLE,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level cross-document dedup over binary payloads: sample
+    4-frame byte windows per payload at the sample_frame_offsets
+    positions (evenly spaced — the video-keyframe stand-in), hash each
+    frame, and report frames shared by more than one document — the
+    near-storage dedup pass a video/image pipeline runs before feature
+    extraction (identical intro frames, watermarks, rebroadcast content).
+
+    The Spark path slices the BINARY column (substring+md5 on bytes,
+    map-side, whole-stage codegen); the oracle computes the same windows
+    on the source text, which is byte-identical here because the payload
+    is the UTF-8 encoding of ASCII text (multimodal.with_payload). One
+    explode (bounded x4 fan-out), one hash aggregate keyed by frame
+    hash — at 100 TB this is a single shuffle of 16-byte digests, never
+    of payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = with_payload(docs).select(
+        "doc_id", "payload", F.length("payload").alias("n")).filter(
+        F.col("n") > 0)
+    offs = p.select(
+        "doc_id", "payload",
+        F.explode(F.expr(
+            f"transform(sequence(0, {_N_FRAMES - 1}), "
+            f"i -> least(i * greatest(n div {_N_FRAMES}, 1), n - 1))"))
+         .alias("off"))
+    frames = offs.select(
+        "doc_id",
+        F.md5(F.expr(f"substring(payload, off + 1, {_FRAME_LEN})"))
+         .alias("frame_md5"))
+    return (frames.groupBy("frame_md5")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("n_docs") > 1)
+            .select("frame_md5", "n_docs", "n_occurrences", "first_doc")
+            .orderBy(F.desc("n_docs"), "frame_md5"))

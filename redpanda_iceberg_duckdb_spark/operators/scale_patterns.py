@@ -192,3 +192,54 @@ def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (F.col("o_orderkey") > F.col("ck")))))
     return (after.select(*cols)
             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20))
+
+
+@register(
+    "join_cardinality_audit",
+    oracle="""
+WITH so AS (SELECT count(*) AS n_o, count(DISTINCT o_orderkey) AS d_o
+            FROM orders),
+sl AS (SELECT count(*) AS n_l, count(DISTINCT l_orderkey) AS d_l
+       FROM lineitem),
+act AS (SELECT count(*) AS actual
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT cast(n_o AS bigint) AS n_orders, cast(n_l AS bigint) AS n_lineitem,
+       cast(d_o AS bigint) AS d_orders_keys,
+       cast(d_l AS bigint) AS d_lineitem_keys,
+       round(n_o * cast(n_l AS double) / greatest(d_o, d_l), 2)
+           AS est_uniform,
+       cast(actual AS bigint) AS actual_rows,
+       round(n_o * cast(n_l AS double) / greatest(d_o, d_l) / actual, 6)
+           AS est_over_actual
+FROM so, sl, act""",
+    tags=("scale", "optimizer"),
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-based-optimizer sanity check run before committing a join
+    strategy at scale: the textbook uniform-key estimate
+    |R ⋈ S| ≈ |R|·|S| / max(d_R, d_S) against the TRUE join cardinality
+    for orders ⋈ lineitem. est/actual near 1 validates broadcast/shuffle
+    sizing decisions taken from catalog stats; a large ratio means key
+    skew and forecasts exactly the AQE-skew/salting regime (skewed.py).
+    Three scans and one join, all single-row outputs — the estimate side
+    costs two count-distinct aggregates, which is what an ANALYZE TABLE
+    sweep materializes once and reuses across every plan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    so = o.agg(F.count(F.lit(1)).alias("n_o"),
+               F.countDistinct("o_orderkey").alias("d_o"))
+    sl = li.agg(F.count(F.lit(1)).alias("n_l"),
+                F.countDistinct("l_orderkey").alias("d_l"))
+    act = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .agg(F.count(F.lit(1)).alias("actual")))
+    est = (F.col("n_o") * F.col("n_l").cast("double")
+           / F.greatest("d_o", "d_l"))
+    return (so.crossJoin(sl).crossJoin(act)
+            .select(F.col("n_o").cast("bigint").alias("n_orders"),
+                    F.col("n_l").cast("bigint").alias("n_lineitem"),
+                    F.col("d_o").cast("bigint").alias("d_orders_keys"),
+                    F.col("d_l").cast("bigint").alias("d_lineitem_keys"),
+                    F.round(est, 2).alias("est_uniform"),
+                    F.col("actual").cast("bigint").alias("actual_rows"),
+                    F.round(est / F.col("actual"), 6)
+                     .alias("est_over_actual")))

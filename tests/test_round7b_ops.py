@@ -350,3 +350,59 @@ def test_degree_stats_star_graph(spark, tmp_path):
     assert got["customer"].n_nodes == 4
     assert got["customer"].max_deg == 2 and got["customer"].median_deg == 1
     run_compare(spark, q, str(out))
+
+
+# --------------------------------------------- round-8 queued: RRF / frames
+
+def test_rrf_prefers_doc_ranked_well_by_both_systems(spark, tmp_path):
+    """A doc that is #1 in both rankings must take the top fused score;
+    docs ranked by only one system score strictly lower."""
+    # Query terms are the 5 alphabetically-first singletons (r1..r5, all
+    # df=1 — 'r' sorts before 'u'), all in doc 0, which also carries many
+    # common tokens (good unigram quality). doc 1 holds only the u-
+    # singletons (no query terms, poor quality); doc 2 is all common
+    # (top quality, no query terms). Only doc 0 scores in both systems.
+    docs = ["r1 r2 r3 r4 r5 c c c c c c c c c c",
+            "u1 u2 u3 u4 u5 u6",
+            "c c c c c c"]
+    d = _docs_dir(spark, tmp_path, docs)
+    q = all_queries()["rrf_fusion_topk"]
+    rows = q.fn(spark, d).collect()
+    by_id = {r.doc_id: r for r in rows}
+    top = max(rows, key=lambda r: (r.rrf, -r.doc_id))
+    assert top.doc_id == 0
+    assert by_id[0].rrf > by_id[1].rrf and by_id[0].rrf > by_id[2].rrf
+    run_compare(spark, q, d)
+
+
+def test_frame_dedup_flags_shared_frames_only(spark, tmp_path):
+    """Two byte-identical payloads share all four frames; a disjoint
+    payload shares none."""
+    a = "A" * 40 + "B" * 40
+    c = "Z" * 80
+    docs = [a, a, c]
+    d = _docs_dir(spark, tmp_path, docs)
+    q = all_queries()["multimodal_frame_dedup"]
+    rows = q.fn(spark, d).collect()
+    assert len(rows) > 0
+    assert all(r.n_docs == 2 and r.first_doc == 0 for r in rows)
+    run_compare(spark, q, d)
+
+
+def test_join_cardinality_audit_exact_on_known_fixture(spark, tmp_path):
+    """3 orders x multiplicity-2 lineitems: est_uniform == actual == 6 (no
+    skew -> ratio exactly 1)."""
+    orders = [(k, 1) for k in range(3)]
+    lineitem = [(k, 7) for k in range(3) for _ in range(2)]
+    odf = spark.createDataFrame(orders, "o_orderkey long, o_custkey long")
+    ldf = spark.createDataFrame(lineitem, "l_orderkey long, l_suppkey long")
+    out = tmp_path / "card"
+    out.mkdir()
+    _write_single(odf, out, "orders")
+    _write_single(ldf, out, "lineitem")
+    q = all_queries()["join_cardinality_audit"]
+    r = q.fn(spark, str(out)).collect()[0]
+    assert r.n_orders == 3 and r.n_lineitem == 6
+    assert r.actual_rows == 6 and r.est_uniform == 6.0
+    assert r.est_over_actual == 1.0
+    run_compare(spark, q, str(out))
