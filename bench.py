@@ -122,7 +122,12 @@ def lsh_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
                 corpus = corpus.unionAll(extra)
             corpus.write.mode("overwrite").parquet(
                 os.path.join(d, "documents.parquet"))
-            for qname in ("minhash_lsh_pairs", "dedup_clusters"):
+            # ppjoin rides the same replicated corpora: the measured
+            # exact-join scaling curve next to the LSH approximation's —
+            # copy-tagged tokens share nothing across copies, so both
+            # candidate sets grow linearly and the curves are comparable.
+            for qname in ("minhash_lsh_pairs", "dedup_clusters",
+                          "ppjoin_exact_pairs"):
                 q = all_queries()[qname]
                 if mult == 1:
                     # untimed warm-up: first execution pays whole-stage
