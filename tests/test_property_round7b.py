@@ -151,3 +151,34 @@ def test_pagerank_matches_python_integer_recurrence(
            for r in rows]
     assert [(r, n) for r, n, _ in got] == exp
     assert [rn for _, _, rn in got] == list(range(1, len(got) + 1))
+
+
+# ----------------------------------------------- Kafka wire JSON escaping
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+            min_size=0, max_size=30),
+    min_size=1, max_size=5))
+def test_kafka_wire_json_matches_duckdb_on_nasty_strings(spark, strings):
+    """The wire value's JSON escaping (quotes, backslashes, control chars,
+    non-ASCII) must agree byte-for-byte with DuckDB's to_json — the
+    property that makes kafka_wire_replay's raw-bytes checksum leg valid
+    for ANY string payload, not just the plain testdata corpus."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.sources.kafka import encode_keyed_json
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "k long, v string")
+    wire = {r.k: bytes(r.value).decode("utf-8")
+            for r in encode_keyed_json(df, "k").withColumn(
+                "k", F.col("key").cast("string").cast("long")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(strings):
+        dj = con.execute(
+            "select to_json(struct_pack(k := cast(? as bigint), v := ?))",
+            [i, s]).fetchone()[0]
+        assert wire[i] == dj, (s, wire[i], dj)
