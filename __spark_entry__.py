@@ -28,53 +28,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries in dict order,
-# so ordering is a verification-coverage decision: names listed here are the
-# ones that most need a driver-green row THIS round — queries whose
-# implementation changed since their last green row, plus queries that have
-# never had one. Unchanged queries with a green CORRECTNESS_r{N} row rotate
-# to the tail (their old green row remains the evidence). Keep this list
-# under ~50 and re-derive it each round.
+# so ordering is a verification-coverage decision. Since round 8 this list
+# is MECHANICALLY DERIVED, not hand-curated: verification_manifest.json
+# fingerprints every query (defining-module source + one level of intra-
+# package imports + oracle SQL — see verification.py), and the contract
+# test (tests/test_driver_contract.py) FAILS unless every query whose
+# fingerprint mismatches the manifest sits in this window or the pending
+# queue. Regenerate entries with `python tools/regen_manifest.py r{N}`;
+# promote window evidence to green evidence at the start of the next round
+# with `--promote`.
 _VERIFY_FIRST = [
-    # The round-6 late registrations: each passed the local oracle replica
-    # (sf0.001 + sf0.01) in r6 but has never had a driver CORRECTNESS row.
-    # Green rows here complete cumulative driver coverage of all registered
-    # queries (everything else was green in some r01-r06 window).
-    "minhash_lsh_pairs_dfcap", "curation_end_to_end", "skew_hot_key_join",
-    "kmv_set_overlap", "containment_closure", "mixture_resample",
-    "chunk_documents_udtf",
-    # New in round 7 (registered early enough to ride this window).
-    "streaming_validate_replay", "sentence_chunks_udtf",
-    "snapshot_retention_audit",
-    "late_data_drop_replay", "stream_dedup_replay", "semdedup_survivors",
-    "shared_ngram_span_pairs", "l_diversity_audit",
-    "merge_upsert_replay", "scd2_history_replay", "stream_outer_join_replay",
-    "bpe_pair_frequencies", "ann_ivf_recall_at_k", "lsh_recall_vs_exact",
-    "utf8_byte_audit", "uuid_from_int_audit",
-    # Second round-7 batch (this session), never driver-checked.
-    "bm25_topk_docs", "inverted_index_postings", "pagerank_trade_graph",
-    "triangle_count_neardup", "bloom_ngram_decontamination",
-    "unigram_logprob_quality", "cdc_chunk_stats", "ppjoin_exact_pairs",
-    "kmeans_lloyd_step", "jl_projection_distortion", "kafka_wire_replay",
-    "zipf_fit_by_source", "graph_degree_stats",
-    # Implementation changed in r7 after their last green row (spread +
-    # outer-explode plan fixes) — re-verify even though r01-r06 rows exist.
-    "winnow_fingerprints", "simhash_signatures", "simhash_near_dup_pairs",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "dedup_clusters",
-    "cluster_best_survivors", "decontamination_overlap", "containment_pairs",
-    "doc_repetition_score", "bigram_frequencies", "leakage_safe_splits",
+    # Round-7 late registrations — never driver-checked, head the window
+    # (round-7 verdict item 1): green rows here complete cumulative driver
+    # coverage of every registered query.
+    "rrf_fusion_topk", "multimodal_frame_dedup", "join_cardinality_audit",
+    # Fingerprint changed this round (persist->localCheckpoint leak fixes in
+    # dedup/graphrank/setsim/contamination/sketches/tpch_shapes + their
+    # importers; PPJoin broadcast-hint removal). Derived by the manifest —
+    # every name below failed the sha match against its last-green source.
+    "ppjoin_exact_pairs", "pagerank_trade_graph", "triangle_count_neardup",
+    "graph_degree_stats", "minhash_lsh_pairs", "minhash_lsh_pairs_dfcap",
+    "simhash_signatures", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
+    "lsh_recall_vs_exact", "containment_pairs", "containment_closure",
+    "decontamination_overlap", "bloom_ngram_decontamination",
+    "doc_repetition_score", "dedup_exact_groups", "dedup_exact_survivors",
+    "kmv_set_overlap", "fm_distinct_sketch", "hll_lite_distinct",
+    "count_min_heavy_hitters", "histogram_quantiles",
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q11_important_value", "tpch_q12_priority_shipping",
+    "tpch_q16_supplier_part_counts", "tpch_q17_small_quantity_revenue",
+    "tpch_q20_part_share_suppliers", "tpch_q21_sole_late_supplier",
+    "tpch_q22_idle_rich_customers", "fuzzy_part_names",
+    "grouping_sets_orders", "lateral_topk_orders",
+    # New in round 8 (names appended here as each query registers; the
+    # remaining window capacity is 50 - 39 = 11 slots).
+    "pagerank_converged",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
 # the local oracle replica and is queued to head _VERIFY_FIRST next round.
 # The window-contract test (tests/test_driver_contract.py) enforces that
-# every tail query is either previously driver-green or explicitly queued
-# here — nothing can be silently unverified.
-_PENDING_NEXT_WINDOW: list[str] = [
-    # Registered late in round 7 after the 50-slot window filled (48 pinned
-    # + 2 tail greens); each passes the local oracle replica at
-    # sf0.001+sf0.01 and heads _VERIFY_FIRST next round.
-    "rrf_fusion_topk", "multimodal_frame_dedup", "join_cardinality_audit",
-]
+# every tail query is either previously driver-green (with a matching
+# manifest fingerprint) or explicitly queued here — nothing can be silently
+# unverified.
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 def _ordered_queries():

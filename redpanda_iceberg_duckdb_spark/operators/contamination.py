@@ -60,7 +60,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus size."""
     # tg feeds the bench slice, the corpus slice, and the size table —
     # persist it once instead of re-deriving the explode per consumer.
-    tg = _doc_trigrams(spark, sf_dir).persist()
+    tg = _doc_trigrams(spark, sf_dir).localCheckpoint(eager=True)
     bench = tg.filter(F.expr(_BENCH_PRED))
     corp = tg.filter(~F.expr(_BENCH_PRED))
     sz = corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -137,7 +137,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one, which symmetric Jaccard under-scores (|A∩B|/|A∪B| is small when
     sizes differ wildly). Candidates come from the same single-shuffle LSH
     path as minhash_lsh_pairs; only the verify metric differs."""
-    tg = _doc_trigrams(spark, sf_dir).persist()
+    tg = _doc_trigrams(spark, sf_dir).localCheckpoint(eager=True)
     cand = lsh_candidates(tg)
     sz = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     d1_shingles = F.broadcast(cand).join(
@@ -266,7 +266,7 @@ def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmask via spark.util.sketch.BloomFilter with the same layout
     decision. FP rate at these parameters: (1 - e^(-kn/m))^k — the 5%
     doc-level threshold makes individual shingle FPs harmless."""
-    tg = _doc_trigrams(spark, sf_dir).persist()
+    tg = _doc_trigrams(spark, sf_dir).localCheckpoint(eager=True)
     bench_tg = tg.filter(F.expr(_BENCH_PRED)).select("tg").distinct()
     positions = F.expr(
         "array(" + ", ".join(

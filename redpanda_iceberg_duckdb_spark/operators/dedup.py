@@ -169,10 +169,16 @@ def lsh_candidates(tg: DataFrame, *, df_cap: int | None = None) -> DataFrame:
         )
         for b in range(MINHASH_K // 4)
     ])
+    # localCheckpoint, not persist: bands feeds BOTH sides of the self-join
+    # below, so it must be materialized once — but a DataFrame persist()
+    # stays in the session CacheManager forever (this function returns a
+    # lazy plan; there is no safe unpersist point), leaking one cached
+    # band table PER CALL in a long-lived session. localCheckpoint blocks
+    # are released by the ContextCleaner when the plan is GC'd.
     bands = (sig.select("doc_id", F.explode(band_structs).alias("bs"))
              .select("doc_id", F.col("bs.band").alias("band"),
                      F.col("bs.bkey").alias("bkey"))
-             .persist())
+             .localCheckpoint(eager=True))
     x = bands.select(F.col("doc_id").alias("d1"), "band", "bkey")
     y = bands.select(F.col("doc_id").alias("d2"), "band", "bkey")
     return (x.join(y, ["band", "bkey"]).filter(F.col("d1") < F.col("d2"))
@@ -236,12 +242,11 @@ def minhash_lsh_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_planted_neardups.py proves the planted near-dup pair set is
     unchanged. At 100 TB this cap is what keeps the (band, key) join free of
     the stopword-phrase hot keys that AQE would otherwise have to split."""
-    # persist: tg feeds BOTH the doc-frequency count and the signature build.
-    # It cannot be unpersisted here (the returned DataFrame is lazy and still
-    # depends on it); the leak is bounded per-query — the driver loop
-    # (__spark_entry__.queries wrapper) and bench.py clearCache between
-    # queries.
-    tg = _doc_trigrams(spark, sf_dir).persist()
+    # localCheckpoint: tg feeds BOTH the doc-frequency count and the
+    # signature build, so materialize it once — but without the
+    # CacheManager entry a persist() would leak per call (the returned
+    # DataFrame is lazy; no safe unpersist point exists in this function).
+    tg = _doc_trigrams(spark, sf_dir).localCheckpoint(eager=True)
     cand = lsh_candidates(tg, df_cap=_DF_CAP)
     return (_jaccard_verified(tg, cand, 0.5,
                               doc_sets=_doc_trigram_sets(spark, sf_dir))

@@ -99,11 +99,17 @@ def ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = sets.select(F.col("doc_id").alias("d1"),
                      F.col("tgs").alias("tgs1"), F.col("n").alias("n1"))
     d2docs = cand.select(F.col("d2").alias("doc_id")).distinct()
-    a2 = (sets.join(F.broadcast(d2docs), "doc_id")
+    # No broadcast hints here: the candidate-pair set grows with corpus
+    # size (near-linearly under the prefix filter, but unbounded), so a
+    # hard-coded F.broadcast would OOM the driver at scale. These are plain
+    # equi-joins on d1/d2 — AQE converts them to broadcast joins at runtime
+    # whenever the built side is actually under the threshold, which is the
+    # size-gated behavior a 100 TB run needs.
+    a2 = (sets.join(d2docs, "doc_id")
           .select(F.col("doc_id").alias("d2"),
                   F.col("tgs").alias("tgs2"), F.col("n").alias("n2")))
     i = F.size(F.array_intersect("tgs1", "tgs2"))
-    return (F.broadcast(cand).join(a1, "d1").join(a2, "d2")
+    return (cand.join(a1, "d1").join(a2, "d2")
             .withColumn("i", i)
             .filter(_T_DEN * F.col("i")
                     >= _T_NUM * (F.col("n1") + F.col("n2") - F.col("i")))

@@ -391,7 +391,7 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
           .distinct())
     wt = W.partitionBy("event_type").orderBy("h")
     sk = (uh.withColumn("rn", F.row_number().over(wt))
-          .filter(F.col("rn") <= _KMV_K).drop("rn").persist())
+          .filter(F.col("rn") <= _KMV_K).drop("rn").localCheckpoint(eager=True))
     types = sk.select("event_type").distinct()
     pairs = (types.select(F.col("event_type").alias("t1"))
              .join(types.select(F.col("event_type").alias("t2")),
@@ -411,7 +411,7 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("k_used"),
                 F.count("in_both").alias("common_in_k")))
     ud = (e.select("event_type", F.expr(elem).alias("k"))
-          .distinct().persist())
+          .distinct().localCheckpoint(eager=True))
     nu = ud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     ex = (ud.select(F.col("event_type").alias("t1"), "k")
           .join(ud.select(F.col("event_type").alias("t2"), "k"), "k")

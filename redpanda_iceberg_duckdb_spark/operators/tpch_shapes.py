@@ -245,12 +245,14 @@ def tpch_q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     aggregates instead of two scans; the final IN becomes a broadcast
     left-semi join onto the supplier dimension."""
     t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
-    # sp feeds both the per-part rollup and the threshold join — persist the
-    # partial so the fact table is scanned once, not once per consumer.
+    # sp feeds both the per-part rollup and the threshold join —
+    # localCheckpoint the partial so the fact table is scanned once, not
+    # once per consumer (and, unlike persist(), nothing stays in the
+    # CacheManager after the plan is GC'd — no per-call leak).
     sp = (t["lineitem"].groupBy("l_suppkey", "l_partkey")
           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                .alias("s_dec"))
-          .persist())
+          .localCheckpoint(eager=True))
     pt = (sp.groupBy("l_partkey")
           .agg(F.sum("s_dec").alias("p_dec")))
     dominant = (sp.join(pt, "l_partkey")

@@ -53,35 +53,63 @@ def test_bench_emits_single_json_line(tmp_path):
     assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
 
 
-def test_verify_first_window_contract():
-    """Every query needing a driver-green row this round must sit inside the
-    driver's 50-query correctness window, and every tail query must already
-    have a green row from a previous round's CORRECTNESS file."""
+def _load_greens() -> dict[str, set[str]]:
+    """round tag -> set of query names with a green CORRECTNESS row."""
     import json
     import os
 
-    names = list(entry_mod.queries())
-    vf = entry_mod._VERIFY_FIRST
-    assert len(vf) <= 50
-    assert set(vf) <= set(names[:50]), set(vf) - set(names[:50])
-    # tail queries must be covered by some earlier round's green row
-    greens = set()
+    out: dict[str, set[str]] = {}
     for i in range(1, 30):
         p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                          f"CORRECTNESS_r{i:02d}.json")
         if os.path.exists(p):
             with open(p) as f:
                 rows = json.load(f)
-            greens |= {n for n, v in rows.items()
-                       if not v.get("err") and v.get("rows_match")
-                       and v.get("schema_match") and v.get("hash_match")}
+            out[f"r{i:02d}"] = {n for n, v in rows.items()
+                                if not v.get("err") and v.get("rows_match")
+                                and v.get("schema_match")
+                                and v.get("hash_match")}
+    return out
+
+
+def test_verify_first_window_contract():
+    """The must-verify set is DERIVED, not trusted (round-8 verdict item 2):
+    every query whose current source fingerprint mismatches the committed
+    manifest (verification.must_verify) must sit inside the driver's
+    50-query window or the pending queue — a silent edit to a query or one
+    of its helper modules now fails here instead of voiding an old green
+    row unnoticed. Tail queries must hold manifest evidence pointing at a
+    REAL green row whose fingerprint still matches their current source."""
+    from redpanda_iceberg_duckdb_spark.verification import (
+        current_shas, load_manifest, must_verify)
+
+    names = list(entry_mod.queries())
+    vf = entry_mod._VERIFY_FIRST
+    assert len(vf) <= 50
+    assert set(vf) <= set(names[:50]), set(vf) - set(names[:50])
     pending = set(entry_mod._PENDING_NEXT_WINDOW)
-    uncovered = [n for n in names[50:]
-                 if n not in greens and n not in pending]
-    assert uncovered == [], uncovered
-    # the queue is honest: everything in it really is registered and really
-    # is outside the current window
     assert pending <= set(names[50:]), pending - set(names[50:])
+
+    shas = current_shas()
+    manifest = load_manifest()
+    greens = _load_greens()
+
+    # 1. mechanically derived must-verify set is fully windowed/queued
+    mv = must_verify(shas)
+    unwindowed = sorted(mv - set(names[:50]) - pending)
+    assert unwindowed == [], (
+        f"fingerprint changed since last green but outside the verify "
+        f"window — run tools/regen_manifest.py after adding them to "
+        f"_VERIFY_FIRST or _PENDING_NEXT_WINDOW: {unwindowed}")
+
+    # 2. every tail query's manifest evidence is a real green row
+    for n in names[50:]:
+        if n in pending:
+            continue
+        ev = manifest[n]["evidence"]
+        assert manifest[n]["sha"] == shas[n], n  # redundant with (1)
+        assert ev in greens and n in greens[ev], (
+            f"{n}: manifest evidence {ev!r} has no green CORRECTNESS row")
 
 
 def test_ntz_fallback_path_matches_default(spark, sf_smoke, monkeypatch):

@@ -1,0 +1,85 @@
+"""Refresh verification_manifest.json (see verification.py for the design).
+
+Usage:
+    python tools/regen_manifest.py r08            # during round 8 builds
+    python tools/regen_manifest.py r08 --promote  # after CORRECTNESS_r08.json
+
+Build mode: for every query whose current sha mismatches its manifest entry,
+update the entry to {sha: current, evidence: window-<round>} IF the query is
+inside the driver's 50-slot window or the pending queue; otherwise exit
+nonzero listing the queries the builder must add to _VERIFY_FIRST (or queue).
+
+Promote mode: convert "window-rNN" evidence to "rNN" for queries holding a
+green row in CORRECTNESS_rNN.json whose sha is unchanged — run at the start
+of the NEXT round, before editing anything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from redpanda_iceberg_duckdb_spark.verification import (  # noqa: E402
+    current_shas, load_manifest, save_manifest)
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else None
+    promote = "--promote" in sys.argv
+    if not rnd or not rnd.startswith("r"):
+        print(__doc__)
+        return 2
+
+    import __spark_entry__ as entry_mod
+
+    manifest = load_manifest()
+    shas = current_shas()
+    names = list(entry_mod.queries())
+    window = set(names[:50])
+    pending = set(entry_mod._PENDING_NEXT_WINDOW)
+
+    if promote:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), f"CORRECTNESS_{rnd}.json")
+        with open(path) as f:
+            rows = json.load(f)
+        greens = {n for n, v in rows.items()
+                  if not v.get("err") and v.get("rows_match")
+                  and v.get("schema_match") and v.get("hash_match")}
+        n_prom = 0
+        for n, e in manifest.items():
+            if (e.get("evidence", "").startswith("window-") and n in greens
+                    and shas.get(n) == e["sha"]):
+                e["evidence"] = rnd
+                n_prom += 1
+        save_manifest(manifest)
+        print(f"promoted {n_prom} entries to evidence={rnd}")
+        return 0
+
+    blocked = []
+    refreshed = []
+    for n, sha in shas.items():
+        if manifest.get(n, {}).get("sha") == sha:
+            continue
+        if n in window or n in pending:
+            manifest[n] = {"sha": sha, "evidence": f"window-{rnd}"}
+            refreshed.append(n)
+        else:
+            blocked.append(n)
+    if blocked:
+        print("ERROR: changed/new queries outside the verify window and "
+              "pending queue — add them to _VERIFY_FIRST or "
+              "_PENDING_NEXT_WINDOW first:")
+        for n in sorted(blocked):
+            print("  ", n)
+        return 1
+    save_manifest(manifest)
+    print(f"refreshed {len(refreshed)} entries -> evidence=window-{rnd}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
