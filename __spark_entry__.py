@@ -61,9 +61,12 @@ _VERIFY_FIRST = [
     "tpch_q20_part_share_suppliers", "tpch_q21_sole_late_supplier",
     "tpch_q22_idle_rich_customers", "fuzzy_part_names",
     "grouping_sets_orders", "lateral_topk_orders",
-    # New in round 8 (names appended here as each query registers; the
-    # remaining window capacity is 50 - 39 = 11 slots).
-    "pagerank_converged",
+    # New in round 8 (exactly fills the 50-slot window).
+    "pagerank_converged", "kmeans_train_converged", "ann_recall_retrained",
+    "pareto_frontier_parts", "percentile_disc_exact", "entropy_by_source",
+    "ordered_string_agg_parts", "pivot_event_counts",
+    "session_window_replay", "interval_islands_shipping",
+    "asof_forward_tolerance",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
@@ -72,7 +75,13 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = []
+_PENDING_NEXT_WINDOW: list[str] = [
+    # Registered after round 8's 50-slot window filled; each passes the
+    # local oracle replica at sf0.001+sf0.01 and heads _VERIFY_FIRST next
+    # round.
+    "stable_row_ids_two_phase", "range_frame_moving_revenue",
+    "equi_depth_deciles", "bpe_train_merges", "incremental_dedup_new_batch",
+]
 
 
 def _ordered_queries():

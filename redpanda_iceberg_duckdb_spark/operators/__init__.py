@@ -50,4 +50,11 @@ from . import (  # noqa: F401
     content_chunking,  # content-defined (rolling-hash) chunk boundaries
     setsim,          # exact set-similarity join via prefix filtering
     quantizer,       # k-means Lloyd step + JL projection audit
+    quantizer_train,  # k-means to convergence + retrained-index recall
+    frontier,        # Pareto-frontier skyline via bucket-prune-verify
+    exact_stats,     # exact percentiles, token entropy, string_agg, pivot
+    temporal8,       # native session_window, interval islands, forward asof
+    scale8,          # two-phase row ids, RANGE frames, equi-depth bins
+    bpe_train,       # iterative BPE merge learning (ACL 2016)
+    incremental_dedup,  # new-batch-vs-corpus LSH dedup (no old x old work)
 )

@@ -1,0 +1,128 @@
+"""BPE tokenizer TRAINING as a distributed query: the iterative
+merge-learning loop (count adjacent pairs -> adopt the most frequent pair
+as a new token -> rewrite the corpus -> repeat) run for a fixed number of
+merges, returning the learned merge table itself. This is the actual
+algorithm behind GPT-style tokenizers (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016), at word
+granularity over the documents corpus — extending lexicon.py's
+`bpe_pair_frequencies` (one counting pass) to the full training loop.
+
+Determinism (what makes an iterative text-rewriting algorithm
+oracle-checkable):
+- Pair selection is (count DESC, left ASC, right ASC) — total order, no
+  float anywhere.
+- The corpus rewrite is `replace(enc, '<l> <r>', '<merged>')`, and BOTH
+  engines' replace() scans left-to-right consuming non-overlapping
+  matches — exactly greedy BPE application semantics ('a a a' merges to
+  ['a@a', 'a'], never ['a', 'a@a'] or ['a@a', 'a@a']); verified
+  empirically for DuckDB and pinned for Spark by the planted test.
+- Tokens travel wrapped in \\x01 markers ('\\x01tok\\x01'), so a pair
+  pattern can never match inside a longer token and merged tokens are
+  single units for later rounds.
+
+Scale stance (100 TB):
+- Per merge round: ONE shuffle (the pair-count aggregate, map-side
+  combinable), a TakeOrdered(1) for the argmax, ONE scalar row to the
+  driver (the chosen pair — the clusters.py/graphrank.py loop
+  discipline), and a map-side rewrite of the corpus. The corpus is
+  re-derived by replay of the merge prefix rather than persisted — at
+  real scale you would localCheckpoint the encoded corpus each round
+  (same trade the LSH band table makes); here the rewrite chain is 10
+  string ops deep, well inside codegen territory, so replay is cheaper
+  than materializing 10 corpus copies.
+- Production BPE trainers keep (word, count) aggregates instead of raw
+  docs once words repeat; that collapse is exactly `dedup_exact_groups`
+  composed in front — the loop body is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+_N_MERGES = 10
+_M = "\x01"          # token boundary marker
+_C = "@"             # merge connector (display only)
+
+
+def _oracle() -> str:
+    ctes = [f"""
+e0 AS (SELECT doc_id,
+              chr(1) || replace(text, ' ', chr(1) || ' ' || chr(1))
+                     || chr(1) AS enc
+       FROM documents)"""]
+    for t in range(1, _N_MERGES + 1):
+        ctes.append(f"""
+p{t} AS (SELECT a[i] AS l, a[i + 1] AS r, count(*) AS c
+        FROM (SELECT string_split(enc, ' ') AS a FROM e{t-1}) s,
+             unnest(generate_series(1, array_length(s.a) - 1)) AS g(i)
+        GROUP BY 1, 2),
+b{t} AS (SELECT l, r, c FROM p{t} ORDER BY c DESC, l, r LIMIT 1),
+e{t} AS (SELECT doc_id,
+               replace(enc, b.l || ' ' || b.r,
+                       chr(1) || substr(b.l, 2, length(b.l) - 2) || '{_C}'
+                              || substr(b.r, 2, length(b.r) - 2) || chr(1))
+                 AS enc
+        FROM e{t-1}, b{t} b)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {t} AS merge_rank, substr(l, 2, length(l) - 2) AS left_tok,"
+        f" substr(r, 2, length(r) - 2) AS right_tok,"
+        f" cast(c AS bigint) AS pair_count FROM b{t}"
+        for t in range(1, _N_MERGES + 1))
+    return f"WITH {','.join(ctes)}\n{finals}\nORDER BY merge_rank"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_oracle(),
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {_N_MERGES} BPE merges over the documents corpus;
+    returns the merge table (rank, left, right, pair count at adoption
+    time) — module docstring has the determinism and scale analysis. The
+    oracle unrolls the identical loop, so a green row proves every
+    round's pair counts, argmax tie-breaks, and greedy rewrites agree."""
+    d = load_table(spark, sf_dir, "documents")
+    enc = d.select("doc_id", F.expr(
+        "concat(char(1), replace(text, ' ', concat(char(1), ' ', char(1))),"
+        " char(1))").alias("enc"))
+    merges = []
+    for t in range(1, _N_MERGES + 1):
+        a = F.split("enc", " ")
+        # Spark's sequence(1, 0) counts DOWN (unlike DuckDB's empty
+        # generate_series), so single-token docs need the explicit guard.
+        pairs = (enc.select(F.explode(F.expr(
+            "CASE WHEN size(split(enc, ' ')) < 2 THEN "
+            "  array() "
+            "ELSE transform(sequence(1, size(split(enc, ' ')) - 1), "
+            "i -> struct(split(enc, ' ')[i - 1] AS l, "
+            "            split(enc, ' ')[i] AS r)) END")).alias("p"))
+            .select("p.l", "p.r")
+            .groupBy("l", "r").agg(F.count(F.lit(1)).alias("c")))
+        best_rows = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if not best_rows:      # corpus fully merged before _N_MERGES
+            break
+        best = best_rows[0]
+        merges.append((t, best["l"], best["r"], int(best["c"])))
+        pat = f"{best['l']} {best['r']}"
+        inner_l = best["l"][1:-1]
+        inner_r = best["r"][1:-1]
+        rep = f"{_M}{inner_l}{_C}{inner_r}{_M}"
+        enc = enc.select(
+            "doc_id",
+            F.expr(f"replace(enc, {_sql_str(pat)}, {_sql_str(rep)})")
+            .alias("enc"))
+        del a
+    rows = [(t, l[1:-1], r[1:-1], c) for t, l, r, c in merges]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left_tok string, right_tok string, "
+              "pair_count long").orderBy("merge_rank")
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal for text that may contain the \\x01 marker."""
+    body = s.replace("\\", "\\\\").replace("'", "\\'")
+    return "'" + body.replace("\x01", "' || char(1) || '") + "'"

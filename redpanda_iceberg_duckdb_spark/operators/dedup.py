@@ -135,11 +135,14 @@ cand AS (SELECT DISTINCT x.doc_id d1, y.doc_id d2
 _LSH_CAND_CTE_DUCK = _lsh_cand_cte_duck("t")
 
 
-def lsh_candidates(tg: DataFrame, *, df_cap: int | None = None) -> DataFrame:
-    """MinHash-LSH candidate pairs (d1 < d2) from a (doc_id, tg) shingle
+def lsh_bands(tg: DataFrame, *, df_cap: int | None = None) -> DataFrame:
+    """MinHash band table (doc_id, band, bkey) from a (doc_id, tg) shingle
     table: 16 min-aggregates in one groupBy (single shuffle), 4 band keys
-    per doc, equi-join on (band, key). The near-linear candidate generator
-    behind minhash_lsh_pairs and containment_pairs.
+    per doc. Joining this table to itself on (band, bkey) yields the
+    near-linear candidate generator behind minhash_lsh_pairs and
+    containment_pairs (lsh_candidates); joining a FILTERED copy against
+    the full table gives the incremental new-batch-only candidates
+    (incremental_dedup.py) — same signatures, restricted join.
 
     ``df_cap`` drops shingles whose document frequency exceeds the cap
     BEFORE signatures are built — the production hardening against hot
@@ -175,10 +178,16 @@ def lsh_candidates(tg: DataFrame, *, df_cap: int | None = None) -> DataFrame:
     # lazy plan; there is no safe unpersist point), leaking one cached
     # band table PER CALL in a long-lived session. localCheckpoint blocks
     # are released by the ContextCleaner when the plan is GC'd.
-    bands = (sig.select("doc_id", F.explode(band_structs).alias("bs"))
-             .select("doc_id", F.col("bs.band").alias("band"),
-                     F.col("bs.bkey").alias("bkey"))
-             .localCheckpoint(eager=True))
+    return (sig.select("doc_id", F.explode(band_structs).alias("bs"))
+            .select("doc_id", F.col("bs.band").alias("band"),
+                    F.col("bs.bkey").alias("bkey"))
+            .localCheckpoint(eager=True))
+
+
+def lsh_candidates(tg: DataFrame, *, df_cap: int | None = None) -> DataFrame:
+    """MinHash-LSH candidate pairs (d1 < d2) from the band table — see
+    lsh_bands for the signature/banding plan shape."""
+    bands = lsh_bands(tg, df_cap=df_cap)
     x = bands.select(F.col("doc_id").alias("d1"), "band", "bkey")
     y = bands.select(F.col("doc_id").alias("d2"), "band", "bkey")
     return (x.join(y, ["band", "bkey"]).filter(F.col("d1") < F.col("d2"))

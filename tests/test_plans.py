@@ -362,3 +362,41 @@ def test_round7b_shuffle_ceilings_and_join_shapes(spark, sf_smoke):
                  "graph_degree_stats"]:
         assert "BroadcastNestedLoopJoin" not in plans.physical_plan(
             _q(spark, sf_smoke, name)), name
+
+
+def test_round8_shuffle_ceilings_and_plan_shapes(spark, sf_smoke):
+    """Plan gates for the round-8 batch:
+    - pareto_frontier_parts: the exact verify must be a broadcast
+      nested-loop over the pruned SURVIVORS — never a CartesianProduct of
+      the full part table against itself;
+    - stable_row_ids_two_phase: the range exchange that replaces the
+      global sort must be present;
+    - the rest hold shuffle ceilings (exchange_count double-lists nodes,
+      so ceilings are ~2x physical shuffles)."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    qs = all_queries()
+
+    p = plans.physical_plan(qs["pareto_frontier_parts"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p, p[:1200]
+    assert "BroadcastNestedLoopJoin" in p, p[:1200]
+
+    p = plans.physical_plan(
+        qs["stable_row_ids_two_phase"].fn(spark, sf_smoke))
+    assert "rangepartitioning" in p.lower(), p[:1200]
+
+    for name, ceiling in [("percentile_disc_exact", 8),
+                          ("equi_depth_deciles", 12),
+                          ("entropy_by_source", 6),
+                          ("ordered_string_agg_parts", 6),
+                          # pivot plans as two aggregates (pre-agg on
+                          # (day,type), pivot-agg on day) + the output sort
+                          ("pivot_event_counts", 6),
+                          ("session_window_replay", 6),
+                          ("interval_islands_shipping", 6),
+                          ("range_frame_moving_revenue", 6),
+                          ("asof_forward_tolerance", 8)]:
+        n = plans.exchange_count(qs[name].fn(spark, sf_smoke))
+        assert n <= ceiling, f"{name}: {n} exchanges > ceiling {ceiling}"
