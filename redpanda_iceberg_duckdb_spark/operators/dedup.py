@@ -181,7 +181,7 @@ def lsh_bands(tg: DataFrame, *, df_cap: int | None = None) -> DataFrame:
     return (sig.select("doc_id", F.explode(band_structs).alias("bs"))
             .select("doc_id", F.col("bs.band").alias("band"),
                     F.col("bs.bkey").alias("bkey"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
 
 
 def lsh_candidates(tg: DataFrame, *, df_cap: int | None = None) -> DataFrame:
@@ -255,7 +255,7 @@ def minhash_lsh_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature build, so materialize it once — but without the
     # CacheManager entry a persist() would leak per call (the returned
     # DataFrame is lazy; no safe unpersist point exists in this function).
-    tg = _doc_trigrams(spark, sf_dir).localCheckpoint(eager=True)
+    tg = _doc_trigrams(spark, sf_dir).localCheckpoint(eager=False)
     cand = lsh_candidates(tg, df_cap=_DF_CAP)
     return (_jaccard_verified(tg, cand, 0.5,
                               doc_sets=_doc_trigram_sets(spark, sf_dir))
