@@ -57,4 +57,5 @@ from . import (  # noqa: F401
     scale8,          # two-phase row ids, RANGE frames, equi-depth bins
     bpe_train,       # iterative BPE merge learning (ACL 2016)
     incremental_dedup,  # new-batch-vs-corpus LSH dedup (no old x old work)
+    bootstrap_stats,  # Poisson-bootstrap CIs as weight columns, one pass
 )

@@ -47,7 +47,9 @@ _M = "\x01"          # token boundary marker
 _C = "@"             # merge connector (display only)
 
 
-def _oracle() -> str:
+def _merge_ctes() -> str:
+    """The unrolled training chain e0..e{_N_MERGES} / b1..b{_N_MERGES},
+    shared by the merge-table oracle and the encode-stats oracle."""
     ctes = [f"""
 e0 AS (SELECT doc_id,
               chr(1) || replace(text, ' ', chr(1) || ' ' || chr(1))
@@ -66,12 +68,16 @@ e{t} AS (SELECT doc_id,
                               || substr(b.r, 2, length(b.r) - 2) || chr(1))
                  AS enc
         FROM e{t-1}, b{t} b)""")
+    return ",".join(ctes)
+
+
+def _oracle() -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT {t} AS merge_rank, substr(l, 2, length(l) - 2) AS left_tok,"
         f" substr(r, 2, length(r) - 2) AS right_tok,"
         f" cast(c AS bigint) AS pair_count FROM b{t}"
         for t in range(1, _N_MERGES + 1))
-    return f"WITH {','.join(ctes)}\n{finals}\nORDER BY merge_rank"
+    return f"WITH {_merge_ctes()}\n{finals}\nORDER BY merge_rank"
 
 
 @register(
@@ -85,13 +91,22 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     time) — module docstring has the determinism and scale analysis. The
     oracle unrolls the identical loop, so a green row proves every
     round's pair counts, argmax tie-breaks, and greedy rewrites agree."""
+    rows = [(t, l[1:-1], r[1:-1], c)
+            for t, l, r, c in _train(spark, sf_dir)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left_tok string, right_tok string, "
+              "pair_count long").orderBy("merge_rank")
+
+
+def _train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """Run the merge-learning loop; returns [(rank, marked_l, marked_r,
+    count)] with tokens still wrapped in \x01 markers."""
     d = load_table(spark, sf_dir, "documents")
     enc = d.select("doc_id", F.expr(
         "concat(char(1), replace(text, ' ', concat(char(1), ' ', char(1))),"
         " char(1))").alias("enc"))
     merges = []
     for t in range(1, _N_MERGES + 1):
-        a = F.split("enc", " ")
         # Spark's sequence(1, 0) counts DOWN (unlike DuckDB's empty
         # generate_series), so single-token docs need the explicit guard.
         pairs = (enc.select(F.explode(F.expr(
@@ -115,14 +130,58 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"replace(enc, {_sql_str(pat)}, {_sql_str(rep)})")
             .alias("enc"))
-        del a
-    rows = [(t, l[1:-1], r[1:-1], c) for t, l, r, c in merges]
-    return spark.createDataFrame(
-        rows, "merge_rank int, left_tok string, right_tok string, "
-              "pair_count long").orderBy("merge_rank")
+    return merges
 
 
 def _sql_str(s: str) -> str:
     """SQL string literal for text that may contain the \\x01 marker."""
     body = s.replace("\\", "\\\\").replace("'", "\\'")
     return "'" + body.replace("\x01", "' || char(1) || '") + "'"
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=f"""
+WITH {_merge_ctes()},
+before AS (SELECT doc_id, array_length(string_split(enc, ' ')) AS n
+           FROM e0),
+after AS (SELECT doc_id, array_length(string_split(enc, ' ')) AS n
+          FROM e{_N_MERGES})
+SELECT d.source,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(b.n) AS bigint) AS tokens_before,
+       cast(sum(a.n) AS bigint) AS tokens_after,
+       round(sum(a.n) * 1.0 / sum(b.n), 6) AS compression
+FROM documents d
+JOIN before b ON b.doc_id = d.doc_id
+JOIN after a ON a.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source""",
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY pass of the trained tokenizer: run the {_N_MERGES}-merge
+    loop, then measure per-source token counts before/after encoding —
+    the compression-ratio check a tokenizer-training pipeline reads to
+    decide whether the vocabulary fits the corpus (templated sources
+    compress hardest; diverse sources barely move — read next to
+    entropy_by_source). Encoding itself is the chain of greedy replaces,
+    pure map-side; the measurement is one aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    enc0 = d.select("doc_id", "source", F.expr(
+        "concat(char(1), replace(text, ' ', concat(char(1), ' ', char(1))),"
+        " char(1))").alias("enc"))
+    merges = _train(spark, sf_dir)
+    enc = enc0.withColumn("nb", F.size(F.split("enc", " ")))
+    for _, l, r, _c in merges:
+        pat = f"{l} {r}"
+        rep = f"{_M}{l[1:-1]}{_C}{r[1:-1]}{_M}"
+        enc = enc.withColumn("enc", F.expr(
+            f"replace(enc, {_sql_str(pat)}, {_sql_str(rep)})"))
+    sizes = enc.select(
+        "source", "nb", F.size(F.split("enc", " ")).alias("na"))
+    return (sizes.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("nb").cast("bigint").alias("tokens_before"),
+                 F.sum("na").cast("bigint").alias("tokens_after"),
+                 F.round(F.sum("na") / F.sum("nb"), 6).alias("compression"))
+            .orderBy("source"))
