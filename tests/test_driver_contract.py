@@ -42,7 +42,7 @@ def test_bench_emits_single_json_line(tmp_path):
                 "SPARK_GRAFT_CPUS": "8"})
     res = subprocess.run(
         [sys.executable, "bench.py"],
-        env=env, capture_output=True, text=True, cwd="/root/repo", timeout=900)
+        env=env, capture_output=True, text=True, cwd="/root/repo", timeout=1800)
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
     assert len(lines) == 1, res.stdout
