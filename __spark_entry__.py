@@ -81,7 +81,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # round.
     "stable_row_ids_two_phase", "range_frame_moving_revenue",
     "equi_depth_deciles", "bpe_train_merges", "incremental_dedup_new_batch",
-    "bpe_encode_stats", "bootstrap_ci_by_type",
+    "bpe_encode_stats", "bootstrap_ci_by_type", "minhash_estimator_error",
 ]
 
 

@@ -58,4 +58,5 @@ from . import (  # noqa: F401
     bpe_train,       # iterative BPE merge learning (ACL 2016)
     incremental_dedup,  # new-batch-vs-corpus LSH dedup (no old x old work)
     bootstrap_stats,  # Poisson-bootstrap CIs as weight columns, one pass
+    minhash_audit,   # signature-agreement Jaccard estimate vs exact
 )
