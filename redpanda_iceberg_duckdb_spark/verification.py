@@ -26,20 +26,17 @@ row. tools/regen_manifest.py refreshes entries for windowed queries.
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import importlib
 import inspect
 import json
 import os
-import re
 
 _PKG = "redpanda_iceberg_duckdb_spark"
 _MANIFEST_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "verification_manifest.json")
-
-_REL_IMPORT = re.compile(
-    r"^from\s+(\.+)([A-Za-z_][\w.]*)?\s+import\s+(.+)$", re.MULTILINE)
 
 
 def _module_source(modname: str) -> str | None:
@@ -50,22 +47,39 @@ def _module_source(modname: str) -> str | None:
         return None
 
 
-def _resolve_relative(base_mod: str, dots: str, target: str | None,
-                      names: str) -> list[str]:
-    """Resolve `from .target import names` inside base_mod to absolute
-    module names (both `from .x import y` where y is a symbol and where y
-    is a submodule are covered — nonexistent candidates drop out later)."""
-    parts = base_mod.split(".")
-    anchor = parts[: len(parts) - len(dots) + 1] if len(dots) <= len(parts) \
-        else []
-    out = []
-    base = ".".join(anchor + ([target] if target else []))
-    if base:
-        out.append(base)
-        for nm in names.split(","):
-            nm = nm.strip().split(" as ")[0].strip()
-            if nm and nm != "*" and nm.isidentifier():
-                out.append(f"{base}.{nm}")
+def _dep_modules(modname: str, src: str) -> list[str]:
+    """Absolute candidate module names imported by ``src`` (the source of
+    module ``modname``), restricted to this package. Parsed with the ast
+    module (round-8 advice: the old line-regex missed continuation lines of
+    parenthesized imports, and its anchor arithmetic resolved `from .x` to
+    a child of the importing MODULE instead of its package, so no dep ever
+    resolved). Both `from .x import y` with y a symbol and y a submodule
+    are emitted — candidates that aren't real modules drop out in
+    _module_source."""
+    parts = modname.split(".")
+    cands: list[str] = []
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.ImportFrom):
+            if node.level:
+                # `from .x` in pkg.operators.dedup anchors at pkg.operators
+                # (one package climb per extra leading dot).
+                anchor = parts[: len(parts) - node.level]
+                base = ".".join(anchor + ([node.module] if node.module
+                                          else []))
+            else:
+                base = node.module or ""
+            if base:
+                cands.append(base)
+                cands.extend(f"{base}.{a.name}" for a in node.names
+                             if a.name != "*")
+        elif isinstance(node, ast.Import):
+            cands.extend(a.name for a in node.names)
+    seen: set[str] = set()
+    out: list[str] = []
+    for c in cands:
+        if c.startswith(_PKG) and c != modname and c not in seen:
+            seen.add(c)
+            out.append(c)
     return out
 
 
@@ -78,16 +92,11 @@ def query_sha(q) -> str:
     h.update(src.encode())
     h.update(b"\x00")
     h.update((q.oracle or "").encode())
-    seen: set[str] = set()
-    for m in _REL_IMPORT.finditer(src):
-        for cand in _resolve_relative(mod.__name__, m.group(1),
-                                      m.group(2), m.group(3)):
-            if cand.startswith(_PKG) and cand not in seen:
-                seen.add(cand)
-                dep = _module_source(cand)
-                if dep is not None:
-                    h.update(b"\x01" + cand.encode() + b"\x00")
-                    h.update(dep.encode())
+    for cand in _dep_modules(mod.__name__, src):
+        dep = _module_source(cand)
+        if dep is not None:
+            h.update(b"\x01" + cand.encode() + b"\x00")
+            h.update(dep.encode())
     return h.hexdigest()
 
 

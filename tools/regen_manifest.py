@@ -12,6 +12,14 @@ nonzero listing the queries the builder must add to _VERIFY_FIRST (or queue).
 Promote mode: convert "window-rNN" evidence to "rNN" for queries holding a
 green row in CORRECTNESS_rNN.json whose sha is unchanged — run at the start
 of the NEXT round, before editing anything.
+
+Rehash mode (--rehash): recompute every entry's sha in place, KEEPING its
+evidence tag. Only sound immediately after a change to the fingerprint
+ALGORITHM itself (verification.py) on a tree where no query/helper source
+has changed since each entry's evidence — i.e. run it as the very next
+commit after the algorithm edit, before touching any operator module. The
+r09 use: the ast-based dependency resolution fix changed every sha (deps
+now actually contribute) without changing any query's semantics.
 """
 
 from __future__ import annotations
@@ -40,6 +48,16 @@ def main() -> int:
     names = list(entry_mod.queries())
     window = set(names[:50])
     pending = set(entry_mod._PENDING_NEXT_WINDOW)
+
+    if "--rehash" in sys.argv:
+        n_re = 0
+        for n, e in manifest.items():
+            if n in shas and e.get("sha") != shas[n]:
+                e["sha"] = shas[n]
+                n_re += 1
+        save_manifest(manifest)
+        print(f"rehashed {n_re} entries (evidence tags preserved)")
+        return 0
 
     if promote:
         path = os.path.join(os.path.dirname(os.path.dirname(
