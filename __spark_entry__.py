@@ -38,35 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # promote window evidence to green evidence at the start of the next round
 # with `--promote`.
 _VERIFY_FIRST = [
-    # Round-7 late registrations — never driver-checked, head the window
-    # (round-7 verdict item 1): green rows here complete cumulative driver
-    # coverage of every registered query.
-    "rrf_fusion_topk", "multimodal_frame_dedup", "join_cardinality_audit",
-    # Fingerprint changed this round (persist->localCheckpoint leak fixes in
-    # dedup/graphrank/setsim/contamination/sketches/tpch_shapes + their
-    # importers; PPJoin broadcast-hint removal). Derived by the manifest —
-    # every name below failed the sha match against its last-green source.
-    "ppjoin_exact_pairs", "pagerank_trade_graph", "triangle_count_neardup",
-    "graph_degree_stats", "minhash_lsh_pairs", "minhash_lsh_pairs_dfcap",
-    "simhash_signatures", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
-    "lsh_recall_vs_exact", "containment_pairs", "containment_closure",
-    "decontamination_overlap", "bloom_ngram_decontamination",
-    "doc_repetition_score", "dedup_exact_groups", "dedup_exact_survivors",
-    "kmv_set_overlap", "fm_distinct_sketch", "hll_lite_distinct",
-    "count_min_heavy_hitters", "histogram_quantiles",
-    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q11_important_value", "tpch_q12_priority_shipping",
-    "tpch_q16_supplier_part_counts", "tpch_q17_small_quantity_revenue",
-    "tpch_q20_part_share_suppliers", "tpch_q21_sole_late_supplier",
-    "tpch_q22_idle_rich_customers", "fuzzy_part_names",
-    "grouping_sets_orders", "lateral_topk_orders",
-    # New in round 8 (exactly fills the 50-slot window).
-    "pagerank_converged", "kmeans_train_converged", "ann_recall_retrained",
-    "pareto_frontier_parts", "percentile_disc_exact", "entropy_by_source",
-    "ordered_string_agg_parts", "pivot_event_counts",
-    "session_window_replay", "interval_islands_shipping",
-    "asof_forward_tolerance",
+    # Round-8 late registrations — never driver-checked, head the window
+    # (round-8 verdict item 3): green rows here complete cumulative driver
+    # coverage of all 201 pre-round-9 queries.
+    "stable_row_ids_two_phase", "range_frame_moving_revenue",
+    "equi_depth_deciles", "bpe_train_merges", "incremental_dedup_new_batch",
+    "bpe_encode_stats", "bootstrap_ci_by_type", "minhash_estimator_error",
+    # Fingerprint changed this round, derived by verification.must_verify:
+    # graphrank + quantizer_train lazy-localCheckpoint recovery of the r8
+    # pagerank regression (+ train-assignment memoization), and the
+    # data-driven frontier prune rewrite (round-8 verdict items 1-2).
+    "pagerank_trade_graph", "pagerank_converged", "triangle_count_neardup",
+    "graph_degree_stats", "kmeans_train_converged", "ann_recall_retrained",
+    "pareto_frontier_parts",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
@@ -75,14 +59,7 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = [
-    # Registered after round 8's 50-slot window filled; each passes the
-    # local oracle replica at sf0.001+sf0.01 and heads _VERIFY_FIRST next
-    # round.
-    "stable_row_ids_two_phase", "range_frame_moving_revenue",
-    "equi_depth_deciles", "bpe_train_merges", "incremental_dedup_new_batch",
-    "bpe_encode_stats", "bootstrap_ci_by_type", "minhash_estimator_error",
-]
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 def _ordered_queries():

@@ -78,12 +78,23 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Round-8 lesson: BENCH_r08.json came back "parsed": null because the
+    # single stdout line outgrew the driver's tail-capture buffer once the
+    # extras dict hit ~40 entries. The stdout line now carries ONLY the
+    # 16 headline queries + total (a few hundred bytes); the full extras
+    # dict goes to a committed side file and stderr.
+    extras_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_EXTRAS.json")
+    with open(extras_path, "w") as f:
+        json.dump({"sf": sf, "extras": extras}, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"# extras written to {extras_path}: {json.dumps(extras)}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "extras": extras,
         "sf": sf,
     }))
     spark.stop()

@@ -42,7 +42,13 @@ _W_DUCK = ", ".join(
 _M_DUCK = ", ".join(
     f"round(cast(sum(w{b} * v) AS double) / nullif(sum(w{b}), 0), 6)"
     f" AS m{b}" for b in range(_B))
-_MS_DUCK = ", ".join(f"m{b}" for b in range(_B))
+# A replica whose weights all drew 0 for a group has a NULL mean; DuckDB's
+# list_sort and Spark's array_sort place NULLs at OPPOSITE ends, which
+# would shift the rank-based CI bounds (round-8 advice). Coalesce to the
+# group mean so both engines sort identical non-NULL lists (probability
+# ~e^-n per replica — the coalesce is a determinism guarantee, not a
+# statistical correction).
+_MS_DUCK = ", ".join(f"coalesce(m{b}, mean_value)" for b in range(_B))
 
 
 @register(
@@ -87,7 +93,9 @@ def bootstrap_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
                  .alias("mean_value"),
                  F.count(F.lit(1)).alias("n_rows")))
-    ms = F.array_sort(F.array(*[F.col(f"m{b}") for b in range(_B)]))
+    ms = F.array_sort(F.array(*[
+        F.coalesce(F.col(f"m{b}"), F.col("mean_value"))
+        for b in range(_B)]))
     return (reps.select(
         "event_type", F.col("n_rows").cast("bigint").alias("n_rows"),
         "mean_value",

