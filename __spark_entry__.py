@@ -51,6 +51,13 @@ _VERIFY_FIRST = [
     "pagerank_trade_graph", "pagerank_converged", "triangle_count_neardup",
     "graph_degree_stats", "kmeans_train_converged", "ann_recall_retrained",
     "pareto_frontier_parts",
+    # New round-9 registrations + replay.py/bpe_train.py edit fallout:
+    # St6 keyed-produce ordering, F9 seeded-generator parity vs committed
+    # snapshot, skyline composed over a join, BPE at (unique text, count)
+    # granularity (round-8 verdict items 5-7).
+    "kafka_keyed_order_replay", "seeded_trades_parity",
+    "supplier_frontier_over_join", "bpe_train_merges_wordcount",
+    "kafka_wire_replay", "streaming_validate_replay",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -59,4 +59,5 @@ from . import (  # noqa: F401
     incremental_dedup,  # new-batch-vs-corpus LSH dedup (no old x old work)
     bootstrap_stats,  # Poisson-bootstrap CIs as weight columns, one pass
     minhash_audit,   # signature-agreement Jaccard estimate vs exact
+    genparity,       # seeded-generator parity vs committed snapshot (F9/F8)
 )

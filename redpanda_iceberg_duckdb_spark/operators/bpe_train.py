@@ -98,25 +98,47 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
               "pair_count long").orderBy("merge_rank")
 
 
-def _train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+_WRAP = ("concat(char(1), replace(text, ' ', concat(char(1), ' ', char(1))),"
+         " char(1))")
+
+
+def _train(spark: SparkSession, sf_dir: str, *,
+           unique_weighted: bool = False) -> list[tuple[int, str, str, int]]:
     """Run the merge-learning loop; returns [(rank, marked_l, marked_r,
-    count)] with tokens still wrapped in \x01 markers."""
+    count)] with tokens still wrapped in \x01 markers.
+
+    unique_weighted=True trains at (unique text, multiplicity)
+    granularity — the representation real BPE trainers use (Sennrich ACL
+    2016 keeps a word->count dict, not the raw corpus): exact-duplicate
+    texts collapse to ONE row carrying their count, pair counts become
+    multiplicity-weighted sums, and the per-round rewrite cost drops from
+    corpus size to distinct-text vocabulary size. The learned merge table
+    is IDENTICAL by construction (sum of mult over collapsed rows = the
+    per-row count)."""
     d = load_table(spark, sf_dir, "documents")
-    enc = d.select("doc_id", F.expr(
-        "concat(char(1), replace(text, ' ', concat(char(1), ' ', char(1))),"
-        " char(1))").alias("enc"))
+    if unique_weighted:
+        enc = (d.groupBy("text").agg(F.count(F.lit(1)).alias("mult"))
+               .select(F.expr(_WRAP).alias("enc"), "mult"))
+    else:
+        enc = d.select(F.expr(_WRAP).alias("enc"),
+                       F.lit(1).alias("mult"))
+    return _train_encoded(enc)
+
+
+def _train_encoded(enc: DataFrame) -> list[tuple[int, str, str, int]]:
+    """Merge-learning over an (enc, mult) frame (see _train)."""
     merges = []
     for t in range(1, _N_MERGES + 1):
         # Spark's sequence(1, 0) counts DOWN (unlike DuckDB's empty
         # generate_series), so single-token docs need the explicit guard.
-        pairs = (enc.select(F.explode(F.expr(
+        pairs = (enc.select("mult", F.explode(F.expr(
             "CASE WHEN size(split(enc, ' ')) < 2 THEN "
             "  array() "
             "ELSE transform(sequence(1, size(split(enc, ' ')) - 1), "
             "i -> struct(split(enc, ' ')[i - 1] AS l, "
             "            split(enc, ' ')[i] AS r)) END")).alias("p"))
-            .select("p.l", "p.r")
-            .groupBy("l", "r").agg(F.count(F.lit(1)).alias("c")))
+            .select("mult", "p.l", "p.r")
+            .groupBy("l", "r").agg(F.sum("mult").alias("c")))
         best_rows = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
         if not best_rows:      # corpus fully merged before _N_MERGES
             break
@@ -127,10 +149,34 @@ def _train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
         inner_r = best["r"][1:-1]
         rep = f"{_M}{inner_l}{_C}{inner_r}{_M}"
         enc = enc.select(
-            "doc_id",
             F.expr(f"replace(enc, {_sql_str(pat)}, {_sql_str(rep)})")
-            .alias("enc"))
+            .alias("enc"), "mult")
     return merges
+
+
+@register(
+    "bpe_train_merges_wordcount",
+    oracle=_oracle(),
+    tags=("text", "tokenizer", "iterative", "scale-pattern"),
+)
+def bpe_train_merges_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-learning loop at (unique text, multiplicity) granularity
+    (round-8 verdict item 7) — production BPE's representation: collapse
+    exact-duplicate texts to one weighted row BEFORE the loop (the
+    dedup_exact_groups hash-agg composed in front), count pairs as
+    mult-weighted sums, rewrite only distinct texts. At 100 TB this is
+    the difference between rewriting the corpus 10x and rewriting the
+    vocabulary 10x. The oracle is IDENTICAL to bpe_train_merges' unrolled
+    per-document chain, so a green row proves the collapsed loop learns
+    the exact same merge table with the exact same adoption counts —
+    agreement with the plain variant is checked through the shared
+    oracle, and on planted duplicate-heavy corpora by
+    tests/test_round9_ops.py."""
+    rows = [(t, l[1:-1], r[1:-1], c)
+            for t, l, r, c in _train(spark, sf_dir, unique_weighted=True)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left_tok string, right_tok string, "
+              "pair_count long").orderBy("merge_rank")
 
 
 def _sql_str(s: str) -> str:

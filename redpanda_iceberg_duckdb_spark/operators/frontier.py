@@ -143,3 +143,45 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", "p_retailprice",
                     F.col("p_size").cast("bigint").alias("p_size"))
             .orderBy("p_partkey"))
+
+
+@register(
+    "supplier_frontier_over_join",
+    oracle="""
+WITH agg AS (
+  SELECT l_suppkey,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns,
+         sum(cast(floor(l_extendedprice * 100) AS bigint)) AS revenue_cents
+  FROM lineitem GROUP BY l_suppkey)
+SELECT p.l_suppkey, cast(p.n_returns AS bigint) AS n_returns,
+       cast(p.revenue_cents AS bigint) AS revenue_cents
+FROM agg p
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg q
+  WHERE q.n_returns <= p.n_returns AND q.revenue_cents >= p.revenue_cents
+    AND (q.n_returns < p.n_returns OR q.revenue_cents > p.revenue_cents))
+ORDER BY p.l_suppkey""",
+    tags=("frontier", "skyline", "scale-pattern", "join"),
+)
+def supplier_frontier_over_join(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Skyline COMPOSED over an aggregate (round-8 verdict item 6): the
+    (minimize returned-line count, maximize revenue) Pareto frontier of
+    suppliers, where both dimensions are first built by a lineitem
+    aggregation — proving the operator runs on derived frames, not just
+    scanned tables. Revenue is compared in exact integer cents
+    (floor(price*100) of identical IEEE doubles on both engines) and the
+    return count is an integer, so dominance comparisons are float-free.
+    Plan: one map-side-combinable aggregate feeds the same quantile
+    prune-verify pipeline; the prune's one scan is now the supplier
+    aggregate, everything else unchanged — composition is free because
+    pareto_frontier is frame-generic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                .cast("bigint").alias("n_returns"),
+                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint").alias("revenue_cents")))
+    return (pareto_frontier(agg, "n_returns", "revenue_cents")
+            .select("l_suppkey", "n_returns", "revenue_cents")
+            .orderBy("l_suppkey"))

@@ -1,0 +1,110 @@
+"""Round-9 targeted tests: the weighted (unique text, count) BPE variant
+on a planted duplicate-heavy corpus, the keyed-order checker's ability to
+actually DETECT violations, the generator-parity fixture's byte stability,
+and the frontier-over-join survivor bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+
+def test_bpe_wordcount_agrees_on_duplicate_heavy_corpus(spark):
+    """Plant a corpus where exact-duplicate texts dominate (each text
+    repeated 1-7x) and check the weighted loop learns the IDENTICAL merge
+    table — ranks, tokens, and multiplicity-weighted adoption counts —
+    as the plain per-row loop. This is the mult>1 regime the shipped
+    documents fixture doesn't exercise (its 500 texts are distinct)."""
+    from redpanda_iceberg_duckdb_spark.operators.bpe_train import (
+        _WRAP, _train_encoded)
+
+    texts = []
+    for i in range(12):
+        t = f"tok{i % 4} tok{(i * 3) % 5} tok{i % 4} shared tail{i % 3}"
+        texts.extend([t] * (1 + i % 7))
+    d = spark.createDataFrame([(t,) for t in texts], "text string")
+    plain = d.select(F.expr(_WRAP).alias("enc"), F.lit(1).alias("mult"))
+    weighted = (d.groupBy("text").agg(F.count(F.lit(1)).alias("mult"))
+                .select(F.expr(_WRAP).alias("enc"), "mult"))
+    assert _train_encoded(plain) == _train_encoded(weighted)
+
+
+def test_keyed_order_checker_detects_violations(spark):
+    """kafka_keyed_order_replay must not be a tautology: corrupt the
+    per-key sequence assignment (swap two sequence numbers within one
+    key) and the violation counter must fire. Runs the same codec +
+    consumer-side rank check as the registered query."""
+    from pyspark.sql import Window as W, types as T
+
+    from redpanda_iceberg_duckdb_spark.sources.kafka import (
+        decode_json_values, encode_keyed_json)
+
+    rows = [(1, 10), (1, 20), (1, 30), (2, 40), (2, 50)]
+    o = spark.createDataFrame(rows, "o_custkey long, o_orderkey long")
+    seqd = o.withColumn("seq", F.row_number().over(
+        W.partitionBy("o_custkey").orderBy("o_orderkey")))
+    # corrupt: swap seq 1<->3 for key 1 (a producer that reordered)
+    corrupted = seqd.withColumn("seq", F.when(
+        (F.col("o_custkey") == 1) & (F.col("seq") == 1), 3).when(
+        (F.col("o_custkey") == 1) & (F.col("seq") == 3), 1)
+        .otherwise(F.col("seq")))
+    schema = T.StructType([
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+    ])
+    for frame, expect in ((seqd, 0), (corrupted, 2)):
+        decoded = decode_json_values(encode_keyed_json(frame, "o_custkey"),
+                                     schema)
+        violations = (decoded.select(
+            F.col("_key").alias("k"),
+            F.col("data.o_orderkey").alias("ok"),
+            F.col("data.seq").alias("seq"))
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("k").orderBy("ok")))
+            .filter(F.col("seq") != F.col("rn")).count())
+        assert violations == expect
+
+
+def test_f9_fixture_regeneration_is_stable(tmp_path):
+    """tools/gen_f9_fixture.py re-run must produce a table equal to the
+    committed fixture — the generator's determinism contract. Compares
+    logical content (pyarrow table equality), which is what the DuckDB
+    oracle reads."""
+    import pyarrow.parquet as pq
+
+    from redpanda_iceberg_duckdb_spark.generator import generate_trades
+    from tools.gen_f9_fixture import OUT, SCHEMA
+
+    import pyarrow as pa
+
+    rows = generate_trades(20_000, 42)
+    fresh = pa.table({n: [r[n] for r in rows] for n in SCHEMA.names},
+                     schema=SCHEMA)
+    committed = pq.read_table(OUT)
+    assert committed.schema.equals(fresh.schema, check_metadata=False)
+    assert committed.equals(fresh)
+
+
+def test_supplier_frontier_survivors_bounded(spark, sf_smoke):
+    """The composed skyline's prune must prune on the derived frame too:
+    survivors ≪ supplier count (the verify nested-loop input stays
+    broadcast-tiny)."""
+    from redpanda_iceberg_duckdb_spark.operators.frontier import (
+        frontier_survivors)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    agg = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                .cast("bigint").alias("n_returns"),
+                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint").alias("revenue_cents")))
+    n = agg.count()
+    surv = frontier_survivors(agg, "n_returns", "revenue_cents").count()
+    got = sorted(r["l_suppkey"] for r in
+                 all_queries()["supplier_frontier_over_join"]
+                 .fn(spark, sf_smoke).collect())
+    assert surv <= max(16, n // 4), (surv, n)
+    assert len(got) <= surv
