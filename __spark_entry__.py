@@ -58,6 +58,8 @@ _VERIFY_FIRST = [
     "kafka_keyed_order_replay", "seeded_trades_parity",
     "supplier_frontier_over_join", "bpe_train_merges_wordcount",
     "kafka_wire_replay", "streaming_validate_replay",
+    # Pipeline audits composing the engine's own dedup/quantizer machinery.
+    "split_leakage_audit", "embedding_dim_stats",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

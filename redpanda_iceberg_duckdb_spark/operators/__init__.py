@@ -60,4 +60,5 @@ from . import (  # noqa: F401
     bootstrap_stats,  # Poisson-bootstrap CIs as weight columns, one pass
     minhash_audit,   # signature-agreement Jaccard estimate vs exact
     genparity,       # seeded-generator parity vs committed snapshot (F9/F8)
+    pipeline_audit,  # split-leakage near-dup audit + embedding dim stats
 )
