@@ -52,6 +52,8 @@ def main() -> None:
     extras.update(lsh_scaling_demo(spark, sf_dir))
     extras.update(lsh_dfcap_skew_demo(spark, sf_dir))
     extras.update(pagerank_scaling_demo(spark, sf_dir))
+    extras.update(pagerank_hot_vertex_demo(spark, sf_dir))
+    extras.update(bpe_wordcount_demo(spark, sf_dir))
     # Round-7 heavy operators tracked per round without inflating the
     # headline series (which older rounds are compared against).
     for name in ["shared_ngram_span_pairs", "semdedup_survivors",
@@ -216,6 +218,112 @@ def pagerank_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
         print(f"# convergence pagerank_converged x2: "
               f"{out['pagerank_converged_x2']}s", file=sys.stderr)
         spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def pagerank_hot_vertex_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Planted-hot-vertex PageRank skew A/B (round-8 verdict stretch item):
+    add 50k synthetic one-order customers to the trade graph, once with
+    their edges SPREAD uniformly over all suppliers and once ALL pointed at
+    a single supplier (in-degree ~50k vs a median in the hundreds). Both
+    corpora have identical edge counts, so wall(hot) ≈ wall(spread) is the
+    measured claim that the per-iteration groupBy(dst) absorbs a hot vertex
+    via map-side partial sums — each of the 32 tasks pre-aggregates its own
+    contributions to the hot node and the shuffle carries 32 partial rows,
+    not 50k — with no AQE skew-split needed (the skewed side of the
+    iteration JOIN is the src-partitioned edge table, which is NOT skewed;
+    only the agg sees the hot dst)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_extra = 50_000
+    obase = (o.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
+    cbase = (o.agg(F.max("o_custkey")).collect()[0][0] or 0) + 1
+    supps = sorted(r[0] for r in li.select("l_suppkey").distinct().collect())
+    hot = supps[0]
+    tmp = tempfile.mkdtemp(prefix="pr_hot_")
+    try:
+        for label, supp_col in [
+            ("spread", F.expr(
+                f"element_at(array({','.join(map(str, supps))}), "
+                f"cast(id % {len(supps)} as int) + 1)")),
+            ("hot", F.lit(hot)),
+        ]:
+            d = os.path.join(tmp, label)
+            synth_o = spark.range(n_extra).select(
+                (F.col("id") + obase).alias("o_orderkey"),
+                (F.col("id") + cbase).alias("o_custkey"),
+                *[F.lit(None).cast(dict(o.dtypes)[c]).alias(c)
+                  for c in o.columns if c not in ("o_orderkey", "o_custkey")])
+            synth_li = spark.range(n_extra).select(
+                (F.col("id") + obase).alias("l_orderkey"),
+                supp_col.cast("long").alias("l_suppkey"),
+                *[F.lit(None).cast(dict(li.dtypes)[c]).alias(c)
+                  for c in li.columns
+                  if c not in ("l_orderkey", "l_suppkey")])
+            o.unionByName(synth_o.select(*o.columns)).write.mode(
+                "overwrite").parquet(os.path.join(d, "orders.parquet"))
+            li.unionByName(synth_li.select(*li.columns)).write.mode(
+                "overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+            q = all_queries()["pagerank_trade_graph"]
+            q.fn(spark, d).count()      # warm-up: codegen + edge build
+            t0 = time.perf_counter()
+            q.fn(spark, d).count()
+            out[f"pagerank_hotvertex_{label}"] = round(
+                time.perf_counter() - t0, 3)
+            print(f"# pagerank hot-vertex {label}: "
+                  f"{out[f'pagerank_hotvertex_{label}']}s", file=sys.stderr)
+            spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def bpe_wordcount_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Measured payoff of (unique text, count) BPE training: replicate the
+    documents corpus x3 as EXACT duplicates (same texts, new doc_ids) —
+    the regime real web corpora live in — and time the per-row loop vs the
+    weighted loop. The weighted path's per-round pair count and rewrite
+    touch only the distinct texts (1/3 of the rows here), so its wall
+    should sit well under the plain path's; both learn the identical
+    merge table (asserted)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stride = (base.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    tmp = tempfile.mkdtemp(prefix="bpe_wc_")
+    try:
+        d = tmp
+        corpus = base
+        for c in (1, 2):
+            corpus = corpus.unionAll(base.select(
+                (F.col("doc_id") + c * stride).alias("doc_id"),
+                *[col for col in base.columns if col != "doc_id"]))
+        corpus.select(*base.columns).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet"))
+        tables = {}
+        for qname in ("bpe_train_merges", "bpe_train_merges_wordcount"):
+            q = all_queries()[qname]
+            t0 = time.perf_counter()
+            tables[qname] = sorted(map(tuple, q.fn(spark, d).collect()))
+            out[f"bpe_x3dup_{qname}"] = round(time.perf_counter() - t0, 3)
+            print(f"# bpe x3-dup {qname}: {out[f'bpe_x3dup_{qname}']}s",
+                  file=sys.stderr)
+            spark.catalog.clearCache()
+        assert tables["bpe_train_merges"] == \
+            tables["bpe_train_merges_wordcount"], \
+            "weighted BPE learned a different merge table"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
