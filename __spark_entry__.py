@@ -60,6 +60,8 @@ _VERIFY_FIRST = [
     "kafka_wire_replay", "streaming_validate_replay",
     # Pipeline audits composing the engine's own dedup/quantizer machinery.
     "split_leakage_audit", "embedding_dim_stats",
+    # Training-order + retrieval additions.
+    "epoch_shuffle_ranks", "ann_mrr_at_10", "mmr_diverse_topk",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -61,4 +61,6 @@ from . import (  # noqa: F401
     minhash_audit,   # signature-agreement Jaccard estimate vs exact
     genparity,       # seeded-generator parity vs committed snapshot (F9/F8)
     pipeline_audit,  # split-leakage near-dup audit + embedding dim stats
+    training_order,  # deterministic epoch shuffle (two-phase hash ranks)
+    retrieval9,      # MRR@10 (exact integer reciprocals) + greedy MMR
 )
