@@ -62,6 +62,8 @@ _VERIFY_FIRST = [
     "split_leakage_audit", "embedding_dim_stats",
     # Training-order + retrieval additions.
     "epoch_shuffle_ranks", "ann_mrr_at_10", "mmr_diverse_topk",
+    # Data-layout payoff, measured as a query.
+    "file_skipping_audit",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

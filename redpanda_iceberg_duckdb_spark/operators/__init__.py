@@ -63,4 +63,5 @@ from . import (  # noqa: F401
     pipeline_audit,  # split-leakage near-dup audit + embedding dim stats
     training_order,  # deterministic epoch shuffle (two-phase hash ranks)
     retrieval9,      # MRR@10 (exact integer reciprocals) + greedy MMR
+    layout9,         # file-skipping audit: natural vs z-order layouts
 )
