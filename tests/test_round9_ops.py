@@ -87,6 +87,29 @@ def test_f9_fixture_regeneration_is_stable(tmp_path):
     assert committed.equals(fresh)
 
 
+def test_dataset_keyed_caches_do_not_cross_contaminate(spark):
+    """graphrank's edge cache and quantizer_train's assignment cache key on
+    (applicationId, sf_dir) and hold at most ONE entry. Running against two
+    different datasets back-to-back must (a) give each dataset its own
+    correct result — no stale reuse — and (b) leave exactly one cache
+    entry (bounded memory, the deliberate non-leak)."""
+    from redpanda_iceberg_duckdb_spark.operators import graphrank
+
+    qs = all_queries()
+    a = qs["pagerank_trade_graph"].fn(spark, "/root/testdata/sf0.001")
+    rows_a = [tuple(r) for r in a.collect()]
+    assert len(graphrank._EDGE_CACHE) == 1
+    b = qs["pagerank_trade_graph"].fn(spark, "/root/testdata/sf0.01")
+    rows_b = [tuple(r) for r in b.collect()]
+    assert len(graphrank._EDGE_CACHE) == 1   # clear-then-insert, bounded
+    assert rows_a != rows_b                  # no stale cross-dataset reuse
+    # back to the first dataset: rebuilt (not served stale) and identical
+    rows_a2 = [tuple(r) for r in
+               qs["pagerank_trade_graph"].fn(
+                   spark, "/root/testdata/sf0.001").collect()]
+    assert rows_a2 == rows_a
+
+
 def test_supplier_frontier_survivors_bounded(spark, sf_smoke):
     """The composed skyline's prune must prune on the derived frame too:
     survivors ≪ supplier count (the verify nested-loop input stays
