@@ -64,6 +64,8 @@ _VERIFY_FIRST = [
     "epoch_shuffle_ranks", "ann_mrr_at_10", "mmr_diverse_topk",
     # Data-layout payoff, measured as a query.
     "file_skipping_audit",
+    # Mergeable sketch state: sliding-window HLL via register-wise max.
+    "hll_sliding_window_distinct",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -64,4 +64,5 @@ from . import (  # noqa: F401
     training_order,  # deterministic epoch shuffle (two-phase hash ranks)
     retrieval9,      # MRR@10 (exact integer reciprocals) + greedy MMR
     layout9,         # file-skipping audit: natural vs z-order layouts
+    sketches9,       # mergeable sliding-window HLL (register-wise max)
 )
