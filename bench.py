@@ -68,7 +68,13 @@ def main() -> None:
                  "pareto_frontier_parts", "session_window_replay",
                  "percentile_disc_exact", "stable_row_ids_two_phase",
                  "equi_depth_deciles", "range_frame_moving_revenue",
-                 "asof_forward_tolerance", "interval_islands_shipping"]:
+                 "asof_forward_tolerance", "interval_islands_shipping",
+                 # round-9 batch
+                 "supplier_frontier_over_join", "split_leakage_audit",
+                 "epoch_shuffle_ranks", "mmr_diverse_topk",
+                 "hll_sliding_window_distinct", "file_skipping_audit",
+                 "kafka_keyed_order_replay", "ann_mrr_at_10",
+                 "embedding_dim_stats"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
