@@ -66,6 +66,8 @@ _VERIFY_FIRST = [
     "file_skipping_audit",
     # Mergeable sketch state: sliding-window HLL via register-wise max.
     "hll_sliding_window_distinct",
+    # Weighted sampling without replacement (integer-power ES keys).
+    "weighted_sample_no_replacement",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -29,6 +29,30 @@ from ..tables import load_table
 _EPOCHS = (1, 2)
 _N_RANGE_PARTS = 32
 
+# Efraimidis-Spirakis weighted sampling: take the top-k items by key
+# u_i^(1/w_i) with u_i uniform. Transcendentals (ln, pow with fractional
+# exponents) are NOT bit-identical across libm implementations, so the
+# cross-engine trick: restrict weights to {1,2,3,4} and compare
+# u^(L/w) with L = lcm(1..4) = 12 instead — a MONOTONE transform of
+# u^(1/w) (x -> x^12 preserves order on [0,1]) whose exponents are all
+# integers, computed as EXPLICIT multiplication chains (left-assoc
+# products of identical IEEE doubles are deterministic everywhere).
+_ES_L = 12
+_ES_MAX_W = 4
+_ES_K = 50
+_ES_U_MOD = 1_000_000
+
+
+def _u_pow_case(u: str, w: str) -> str:
+    """CASE over w in 1..{_ES_MAX_W} of the explicit product u^(L/w) —
+    identical SQL text on both engines."""
+    arms = []
+    for wv in range(1, _ES_MAX_W + 1):
+        n = _ES_L // wv
+        prod = " * ".join([u] * n)
+        arms.append(f"WHEN {w} = {wv} THEN {prod}")
+    return "CASE " + " ".join(arms) + " END"
+
 
 def _oracle() -> str:
     h = md5_mod_duck(
@@ -83,3 +107,53 @@ def epoch_shuffle_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out.orderBy("epoch", "pos")
+
+
+def _ws_oracle() -> str:
+    h = md5_mod_duck("'ws:' || cast(doc_id AS varchar)", _ES_U_MOD)
+    key = _u_pow_case("u", "w")
+    return f"""
+WITH wdoc AS (
+  SELECT doc_id,
+         least({_ES_MAX_W}, 1 + n_chars // 500) AS w,
+         ({h} + 1) / {_ES_U_MOD}.0 AS u
+  FROM documents),
+keyed AS (SELECT doc_id, w, {key} AS k FROM wdoc),
+ranked AS (SELECT doc_id, w,
+                  row_number() OVER (ORDER BY k DESC, doc_id) AS rank
+           FROM keyed)
+SELECT cast(rank AS bigint) AS rank, doc_id, cast(w AS bigint) AS w
+FROM ranked WHERE rank <= {_ES_K} ORDER BY rank"""
+
+
+@register(
+    "weighted_sample_no_replacement",
+    oracle=_ws_oracle(),
+    tags=("training", "sampling", "scale-pattern"),
+)
+def weighted_sample_no_replacement(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): the top-{_ES_K} documents by key u^(1/w), where w is
+    a 1..{_ES_MAX_W} length-tier weight (longer docs proportionally more
+    likely) and u is a seeded md5 uniform — the quality/length-weighted
+    corpus subsampling step of a training pipeline, reproducible by any
+    worker from the data alone. One map pass to compute keys, one
+    distributed top-k (TakeOrderedAndProject) — never a global sort of N
+    rows. Cross-engine exactness comes from comparing u^(12/w) as
+    explicit integer-exponent product chains (module comment): no ln, no
+    pow, no transcendental anywhere."""
+    h = md5_mod_spark("concat('ws:', cast(doc_id as string))", _ES_U_MOD)
+    key = _u_pow_case("u", "w")
+    wdoc = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr(f"least({_ES_MAX_W}, 1 + n_chars div 500)")
+                    .alias("w"),
+                    F.expr(f"({h} + 1) / {_ES_U_MOD}.0").alias("u")))
+    keyed = wdoc.select("doc_id", "w", F.expr(key).alias("k"))
+    top = keyed.orderBy(F.desc("k"), "doc_id").limit(_ES_K)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("k"), "doc_id")))
+    return (ranked.select(F.col("rank").cast("bigint").alias("rank"),
+                          "doc_id", F.col("w").cast("bigint").alias("w"))
+            .orderBy("rank"))
