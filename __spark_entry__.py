@@ -68,6 +68,8 @@ _VERIFY_FIRST = [
     "hll_sliding_window_distinct",
     # Weighted sampling without replacement (integer-power ES keys).
     "weighted_sample_no_replacement",
+    # Submodular greedy max-coverage selection (unrolled oracle).
+    "greedy_coverage_selection",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

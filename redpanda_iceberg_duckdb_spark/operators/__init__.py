@@ -65,4 +65,5 @@ from . import (  # noqa: F401
     retrieval9,      # MRR@10 (exact integer reciprocals) + greedy MMR
     layout9,         # file-skipping audit: natural vs z-order layouts
     sketches9,       # mergeable sliding-window HLL (register-wise max)
+    coverage9,       # greedy max-coverage data selection (submodular)
 )
