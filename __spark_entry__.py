@@ -70,6 +70,8 @@ _VERIFY_FIRST = [
     "weighted_sample_no_replacement",
     # Submodular greedy max-coverage selection (unrolled oracle).
     "greedy_coverage_selection",
+    # Contrastive-training data prep: hardest cross-label negatives.
+    "hard_negative_mining",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -66,4 +66,5 @@ from . import (  # noqa: F401
     layout9,         # file-skipping audit: natural vs z-order layouts
     sketches9,       # mergeable sliding-window HLL (register-wise max)
     coverage9,       # greedy max-coverage data selection (submodular)
+    contrastive9,    # hard-negative mining with positive-negative margins
 )
