@@ -72,6 +72,8 @@ _VERIFY_FIRST = [
     "greedy_coverage_selection",
     # Contrastive-training data prep: hardest cross-label negatives.
     "hard_negative_mining",
+    # Distributed prefix-sum: concat-then-chunk token block assignment.
+    "token_block_assignment",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

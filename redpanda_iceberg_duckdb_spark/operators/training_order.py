@@ -157,3 +157,69 @@ def weighted_sample_no_replacement(spark: SparkSession, sf_dir: str
     return (ranked.select(F.col("rank").cast("bigint").alias("rank"),
                           "doc_id", F.col("w").cast("bigint").alias("w"))
             .orderBy("rank"))
+
+
+_BLOCK = 2048   # context-length token budget per block
+
+
+@register(
+    "token_block_assignment",
+    oracle=f"""
+WITH d AS (SELECT doc_id, source,
+                  array_length(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY source, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tok_off
+      FROM d),
+b AS (SELECT tok_off // {_BLOCK} AS block_id, doc_id, n_tokens FROM c)
+SELECT cast(block_id AS bigint) AS block_id,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS tokens_started,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY block_id ORDER BY block_id""",
+    tags=("training", "packing", "scale-pattern"),
+)
+def token_block_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk block assignment at document
+    granularity: documents are laid out in (source, doc_id) order and
+    each doc is assigned the {_BLOCK}-token block its global token
+    OFFSET falls in. The offset is a DISTRIBUTED EXCLUSIVE PREFIX SUM —
+    the stable_row_ids_two_phase pattern generalized from counts to
+    sums: range-partition on the order key, per-partition local running
+    sums in parallel, broadcast per-partition totals cumulated into
+    offsets. A naive cumsum window is a single-partition sort (the
+    oracle runs exactly that, proving the two-phase plan equals it);
+    this plan's only exchanges are one range repartition and one
+    O(#partitions) broadcast."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 F.size(F.split("text", " ")).alias("n_tokens"))
+         .repartitionByRange(_N_RANGE_PARTS, "source", "doc_id")
+         .withColumn("pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))  # both phases share one pid view
+    local = d.withColumn("lcum", F.coalesce(
+        F.sum("n_tokens").over(
+            W.partitionBy("pid").orderBy("source", "doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0)))
+    offsets = (d.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal"))
+               .withColumn("poffset", F.coalesce(
+                   F.sum("ptotal").over(
+                       W.orderBy("pid")
+                       .rowsBetween(W.unboundedPreceding, -1)),
+                   F.lit(0)))
+               .select("pid", "poffset"))
+    assigned = (local.join(F.broadcast(offsets), "pid")
+                .select("doc_id", "n_tokens",
+                        F.expr(f"(poffset + lcum) div {_BLOCK}")
+                        .alias("block_id")))
+    return (assigned.groupBy("block_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("tokens_started"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .select(F.col("block_id").cast("bigint").alias("block_id"),
+                    "n_docs", "tokens_started", "first_doc", "last_doc")
+            .orderBy("block_id"))
