@@ -74,7 +74,9 @@ def main() -> None:
                  "epoch_shuffle_ranks", "mmr_diverse_topk",
                  "hll_sliding_window_distinct", "file_skipping_audit",
                  "kafka_keyed_order_replay", "ann_mrr_at_10",
-                 "embedding_dim_stats"]:
+                 "embedding_dim_stats", "weighted_sample_no_replacement",
+                 "greedy_coverage_selection", "hard_negative_mining",
+                 "token_block_assignment"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
