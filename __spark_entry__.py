@@ -74,6 +74,10 @@ _VERIFY_FIRST = [
     "hard_negative_mining",
     # Distributed prefix-sum: concat-then-chunk token block assignment.
     "token_block_assignment",
+    # M4 pixel-bucket downsampling (VLDB 2014): one struct-min/max agg.
+    "m4_downsample_events",
+    # CUPED variance-reduced A/B readout (WSDM 2013): sufficient stats.
+    "cuped_adjusted_metrics",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -67,4 +67,6 @@ from . import (  # noqa: F401
     sketches9,       # mergeable sliding-window HLL (register-wise max)
     coverage9,       # greedy max-coverage data selection (submodular)
     contrastive9,    # hard-negative mining with positive-negative margins
+    m4_downsample,   # M4 pixel-bucket series reduction (VLDB 2014)
+    experiment_stats,  # CUPED variance-reduced A/B readout (WSDM 2013)
 )

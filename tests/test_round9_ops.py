@@ -131,3 +131,64 @@ def test_supplier_frontier_survivors_bounded(spark, sf_smoke):
                  .fn(spark, sf_smoke).collect())
     assert surv <= max(16, n // 4), (surv, n)
     assert len(got) <= surv
+
+
+def test_m4_captures_planted_spikes_within_budget(spark):
+    """M4's contract: per (series, bucket) the emitted v_min/v_max are the
+    true bucket extremes and every selected point exists in the input.
+    Plant a flat series with one extreme spike per bucket and check each
+    spike survives downsampling while output stays <= W rows/series."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.m4_downsample import (
+        _W, m4_downsample_events)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for b in range(_W):
+        for k in range(10):
+            ts = base + dt.timedelta(minutes=b * 60 + k * 5)
+            v = 5.0 if k != 7 else 1000.0 + b  # one spike per hour-bucket
+            rows.append((eid, ts, eid % 3, "s", v, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/m4_fixture/events.parquet")
+    out = m4_downsample_events(spark, "/tmp/m4_fixture").collect()
+    assert len(out) <= _W
+    spikes = sorted(r["v_max"] for r in out)
+    assert spikes == [1000.0 + b for b in range(_W)]
+    assert all(r["v_min"] == 5.0 for r in out)
+    assert all(r["t_first_us"] <= r["t_last_us"] for r in out)
+
+
+def test_cuped_reduces_variance_on_correlated_metric(spark):
+    """CUPED's whole point: when post is strongly predicted by pre, the
+    adjusted variance collapses. Plant post = pre + small noise and check
+    var_adjusted << var_post in both arms, and that theta ~ 1."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.experiment_stats import (
+        cuped_adjusted_metrics)
+
+    pre_t = dt.datetime(2024, 1, 5)
+    post_t = dt.datetime(2024, 1, 25)
+    rows = []
+    eid = 0
+    for u in range(200):
+        pre = float(10 + (u * 37) % 100)             # heterogeneous users
+        noise = float((u * 13) % 7) / 10.0
+        for t, v in ((pre_t, pre), (post_t, pre + noise)):
+            rows.append((eid, t, u, "view", v, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/cuped_fixture/events.parquet")
+    out = {r["arm"]: r for r in
+           cuped_adjusted_metrics(spark, "/tmp/cuped_fixture").collect()}
+    for arm in ("control", "treatment"):
+        assert out[arm]["var_adjusted"] < 0.05 * out[arm]["var_post"]
+    assert abs(out["control"]["theta"] - 1.0) < 0.05
