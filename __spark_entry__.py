@@ -78,6 +78,9 @@ _VERIFY_FIRST = [
     "m4_downsample_events",
     # CUPED variance-reduced A/B readout (WSDM 2013): sufficient stats.
     "cuped_adjusted_metrics",
+    # Join-delta IVM (SIGMOD 1986): state + two broadcast delta joins,
+    # bit-exact vs direct recompute via the decimal-sum discipline.
+    "ivm_join_delta_revenue", "ivm_delta_term_counts",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -69,4 +69,5 @@ from . import (  # noqa: F401
     contrastive9,    # hard-negative mining with positive-negative margins
     m4_downsample,   # M4 pixel-bucket series reduction (VLDB 2014)
     experiment_stats,  # CUPED variance-reduced A/B readout (WSDM 2013)
+    ivm,             # join-delta incremental view maintenance (SIGMOD 1986)
 )

@@ -192,3 +192,50 @@ def test_cuped_reduces_variance_on_correlated_metric(spark):
     for arm in ("control", "treatment"):
         assert out[arm]["var_adjusted"] < 0.05 * out[arm]["var_post"]
     assert abs(out["control"]["theta"] - 1.0) < 0.05
+
+
+def test_ivm_partitions_all_four_quadrants_exactly(spark):
+    """Plant one order/lineitem in each (old/new order x old/new line)
+    quadrant plus a multi-line order straddling the cutoff, and check the
+    incremental decomposition equals the direct join with no term dropped
+    or double-counted (the ΔO⋈ΔL quadrant is the classic double-count)."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.ivm import (
+        ivm_join_delta_revenue)
+
+    old_t = dt.datetime(2000, 6, 1)
+    new_t = dt.datetime(2001, 6, 1)
+    orders = [(1, 10, "F", 0.0, old_t, "1-URGENT"),   # old order
+              (2, 10, "F", 0.0, new_t, "1-URGENT"),   # new order
+              (3, 20, "F", 0.0, old_t, "1-URGENT")]   # old, straddling lines
+    lines = [(1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", old_t),
+             (1, 1, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", new_t),  # late line
+             (2, 1, 1, 1, 1.0, 1000.0, 0.0, 0.0, "N", "O", old_t),
+             (2, 1, 1, 2, 1.0, 2000.0, 0.0, 0.0, "N", "O", new_t),  # ΔO⋈ΔL
+             (3, 1, 1, 1, 1.0, 5.0, 0.10, 0.0, "N", "O", new_t)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string"
+    ).write.mode("overwrite").parquet("/tmp/ivm_fixture/orders.parquet")
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long, l_suppkey long, "
+               "l_linenumber int, l_quantity double, l_extendedprice double, "
+               "l_discount double, l_tax double, l_returnflag string, "
+               "l_linestatus string, l_shipdate timestamp"
+    ).write.mode("overwrite").parquet("/tmp/ivm_fixture/lineitem.parquet")
+    got = {r["c_custkey"]: r["revenue"] for r in
+           ivm_join_delta_revenue(spark, "/tmp/ivm_fixture").collect()}
+    assert got == {10: 3110.0, 20: 4.5}
+
+
+def test_ivm_delta_joins_are_broadcast(spark, sf_smoke):
+    """The scale claim: both delta terms join with the small side
+    broadcast — the big side is never shuffled for maintenance."""
+    from redpanda_iceberg_duckdb_spark.operators.ivm import (
+        ivm_join_delta_revenue)
+
+    plan = ivm_join_delta_revenue(
+        spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
