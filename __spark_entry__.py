@@ -81,6 +81,10 @@ _VERIFY_FIRST = [
     # Join-delta IVM (SIGMOD 1986): state + two broadcast delta joins,
     # bit-exact vs direct recompute via the decimal-sum discipline.
     "ivm_join_delta_revenue", "ivm_delta_term_counts",
+    # Gramian sufficient-stats PCA: one Arrow pass -> d^2 aggregate ->
+    # dimension-bounded driver power iteration (oracle re-runs the same
+    # iteration as a recursive CTE).
+    "embedding_pca_power",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

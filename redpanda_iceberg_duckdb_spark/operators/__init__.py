@@ -70,4 +70,5 @@ from . import (  # noqa: F401
     m4_downsample,   # M4 pixel-bucket series reduction (VLDB 2014)
     experiment_stats,  # CUPED variance-reduced A/B readout (WSDM 2013)
     ivm,             # join-delta incremental view maintenance (SIGMOD 1986)
+    pca_power,       # Gramian sufficient-stats PCA + power iteration
 )

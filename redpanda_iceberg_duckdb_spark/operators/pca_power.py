@@ -1,0 +1,141 @@
+"""Top principal component of the embedding corpus via sufficient-stats
+Gramian + power iteration — the distributed-PCA shape Spark MLlib itself
+uses (RowMatrix.computePrincipalComponents collects the d x d Gramian):
+one Arrow-batched pass over N rows reduces to a DIMENSION-bounded d x d
+matrix; everything after is independent of N.
+
+Scale stance: mapInPandas computes per-batch partials X^T X (numpy, BLAS)
+plus the column-sum vector and row count, emitting at most d^2 + d + 1
+rows per batch — the shuffle carries O(partitions x d^2) tiny rows into
+one hash aggregate, never N x d^2. The driver collects d^2 + d + 1 values
+(a 64 x 64 matrix — bounded by the embedding dimension, NOT the data; the
+same justification as kmeans' broadcast centroids), runs T=40 power
+iterations in numpy (d^2 flops each), and returns the loadings. At 100 TB
+the data pass is the only distributed cost and it is a single scan.
+
+The DuckDB oracle independently rebuilds the covariance (positional
+unnest self-join) and re-runs the SAME T-step iteration as a recursive
+CTE with window normalization — so a green row proves the distributed
+Gramian, the mean-centering, the iteration, the sign convention, and the
+Rayleigh-quotient eigenvalue all agree to 6 decimals. Perturbation note:
+the two engines sum floats in different orders (~1e-15 relative on C);
+the iteration is a fixed deterministic map of C, so output differences
+stay O(T x eps / lambda_1) ~ 1e-12 — far inside the rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+_D = 64
+_T = 40  # fixed iteration count — identical in both engines
+
+
+def _oracle() -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         cast(unnest(embedding) AS double) AS x
+  FROM embeddings),
+nrow AS (SELECT count(*) AS n FROM embeddings),
+mean AS (SELECT i, sum(x) / (SELECT n FROM nrow) AS m FROM flat GROUP BY i),
+smat AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+  FROM flat a JOIN flat b USING (vec_id) GROUP BY a.i, b.i),
+cov AS (
+  SELECT s.i, s.j,
+         s.s / (SELECT n FROM nrow) - ma.m * mb.m AS c
+  FROM smat s JOIN mean ma ON ma.i = s.i JOIN mean mb ON mb.i = s.j),
+it AS (
+  WITH RECURSIVE itr(t, i, v) AS (
+    SELECT 0, i, 1.0 / sqrt({_D}.0) FROM range({_D}) r(i)
+    UNION ALL
+    SELECT * FROM (
+      WITH mv AS (
+        SELECT itr.t + 1 AS t, cov.i AS i, sum(cov.c * itr.v) AS s
+        FROM cov JOIN itr ON itr.i = cov.j
+        GROUP BY itr.t, cov.i)
+      SELECT t, i, s / sqrt(sum(s * s) OVER (PARTITION BY t))
+      FROM mv WHERE t <= {_T})
+  ) SELECT i, v FROM itr WHERE t = {_T}),
+signed AS (
+  SELECT i,
+         CASE WHEN (SELECT v FROM it WHERE i = 0) < 0 THEN -v ELSE v END AS v
+  FROM it),
+lam AS (
+  SELECT sum(a.v * cov.c * b.v) AS l
+  FROM cov JOIN signed a ON a.i = cov.i JOIN signed b ON b.i = cov.j),
+tr AS (SELECT sum(c) AS tr FROM cov WHERE i = j)
+SELECT cast(s.i AS bigint) AS dim, round(s.v, 6) AS loading,
+       round((SELECT l FROM lam), 6) AS eigval,
+       round((SELECT l FROM lam) / (SELECT tr FROM tr), 6) AS explained
+FROM signed s ORDER BY dim"""
+
+
+def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        s = x.T @ x                       # d x d partial second moment
+        csum = x.sum(axis=0)              # d partial column sums
+        i_idx, j_idx = np.meshgrid(np.arange(_D), np.arange(_D),
+                                   indexing="ij")
+        yield pd.DataFrame({
+            "i": np.concatenate([i_idx.ravel(), np.arange(_D), [-1]]),
+            "j": np.concatenate([j_idx.ravel(), np.full(_D, -1), [-1]]),
+            "s": np.concatenate([s.ravel(), csum, [float(len(pdf))]]),
+        })
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_oracle(),
+    tags=("embedding", "pca", "convergence", "scale-pattern"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, loading, eigval, explained) of the corpus' top principal
+    component: Arrow-batched Gramian partials -> one d^2-row aggregate ->
+    driver-side T-step power iteration (sign fixed so loading[0] >= 0),
+    eigenvalue as the Rayleigh quotient, explained = eigval / trace."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    parts = emb.mapInPandas(_gram_partials, "i int, j int, s double")
+    rows = (parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+            .collect())  # d^2 + d + 1 rows — dimension-bounded, not data-
+    s_mat = np.zeros((_D, _D))
+    csum = np.zeros(_D)
+    n = 0.0
+    for r in rows:
+        if r["i"] == -1:
+            n = r["s"]
+        elif r["j"] == -1:
+            csum[r["i"]] = r["s"]
+        else:
+            s_mat[r["i"], r["j"]] = r["s"]
+    m = csum / n
+    cov = s_mat / n - np.outer(m, m)
+    v = np.full(_D, 1.0 / np.sqrt(float(_D)))
+    for _ in range(_T):
+        v = cov @ v
+        v /= np.sqrt(float(v @ v))
+    if v[0] < 0:
+        v = -v
+    lam = float(v @ cov @ v)
+    expl = lam / float(np.trace(cov))
+    out = [(int(i), round(float(v[i]), 6), round(lam, 6), round(expl, 6))
+           for i in range(_D)]
+    return (spark.createDataFrame(
+                out, "dim long, loading double, eigval double, "
+                     "explained double")
+            .orderBy("dim"))

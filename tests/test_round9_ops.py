@@ -239,3 +239,26 @@ def test_ivm_delta_joins_are_broadcast(spark, sf_smoke):
     plan = ivm_join_delta_revenue(
         spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pca_recovers_planted_dominant_direction(spark):
+    """Plant embeddings = t * u + small noise for a fixed unit vector u
+    and check the recovered component aligns with u (|cos| > 0.99) and
+    explains most of the variance — the estimator must actually find the
+    dominant axis, not just converge to something normalized."""
+    import numpy as np
+
+    from redpanda_iceberg_duckdb_spark.operators.pca_power import (
+        _D, embedding_pca_power)
+
+    rng = np.random.RandomState(7)
+    u = rng.randn(_D); u /= np.linalg.norm(u)
+    X = (rng.randn(400, 1) * 3.0) @ u[None, :] + 0.05 * rng.randn(400, _D)
+    rows = [(i, [float(x) for x in X[i]], 0) for i in range(400)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet("/tmp/pca_fixture/embeddings.parquet")
+    out = embedding_pca_power(spark, "/tmp/pca_fixture").collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    assert abs(float(v @ u)) > 0.99
+    assert out[0]["explained"] > 0.9
