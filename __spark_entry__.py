@@ -85,6 +85,10 @@ _VERIFY_FIRST = [
     # dimension-bounded driver power iteration (oracle re-runs the same
     # iteration as a recursive CTE).
     "embedding_pca_power",
+    # One-scan leave-one-source-out ablation; precedence-pair mining;
+    # Theil-Sen robust trend (deterministic lower-median pair).
+    "loo_source_ablation", "event_precedence_support",
+    "theilsen_hourly_trend",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -71,4 +71,7 @@ from . import (  # noqa: F401
     experiment_stats,  # CUPED variance-reduced A/B readout (WSDM 2013)
     ivm,             # join-delta incremental view maintenance (SIGMOD 1986)
     pca_power,       # Gramian sufficient-stats PCA + power iteration
+    ablation,        # leave-one-source-out metric deltas, one scan
+    seqmine,         # first-occurrence precedence support pairs
+    robust_trend,    # Theil-Sen median-of-pairwise-slopes trend
 )

@@ -1,0 +1,85 @@
+"""Theil-Sen robust trend — the median of pairwise slopes (Sen, JASA
+1968), the standard outlier-resistant replacement for the OLS trend
+already shipped in robust.py (ols_hourly_trend): a single wild hour
+moves OLS arbitrarily but shifts the pairwise-slope median by one rank.
+
+Scale stance: the series is FIRST reduced by a hash aggregate to one
+point per (series, hour) — the pair join runs on series-length input,
+never raw events. Pairs form via a self-join co-partitioned by series
+key; for a series of length L that is L^2/2 slope rows, which is the
+estimator's intrinsic cost (Theil-Sen IS quadratic in series length —
+at 100 TB you shard by series, where L stays bounded by the retention
+window, e.g. 720 hourly points/month, while the SERIES dimension is what
+scales out). The median is the deterministic lower order statistic
+(rank ceil(n/2) with a total tie-break on (h1, h2)), so both engines
+select the identical pair; slopes are quotients of exact integer counts
+and hours — bit-identical doubles before the final rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+
+def _oracle() -> str:
+    return """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+slopes AS (
+  SELECT a.event_type,
+         cast(b.c - a.c AS double) / (b.h - a.h) AS slope,
+         a.h AS h1, b.h AS h2
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND b.h > a.h),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, h1, h2) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM slopes)
+SELECT event_type, cast(n AS bigint) AS n_pairs,
+       round(slope, 6) AS ts_slope
+FROM ranked
+WHERE r = (n + 1) // 2
+ORDER BY event_type"""
+
+
+@register(
+    "theilsen_hourly_trend",
+    oracle=_oracle(),
+    tags=("robust", "trend", "scale-pattern"),
+)
+def theilsen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: the Theil-Sen slope of hourly event counts (events
+    per hour per hour) and the pair count it was the median of. The
+    oracle recomputes the full pairwise construction, so a green row
+    proves the hourly reduction, the pair join, and the deterministic
+    median selection agree exactly."""
+    hourly = (load_table(spark, sf_dir, "events")
+              .groupBy("event_type",
+                       F.expr("unix_micros(ts) div 3600000000").alias("h"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    a = hourly.select("event_type", F.col("h").alias("h1"),
+                      F.col("c").alias("c1"))
+    b = hourly.select(F.col("event_type").alias("et2"),
+                      F.col("h").alias("h2"), F.col("c").alias("c2"))
+    slopes = (a.join(b, (a.event_type == F.col("et2"))
+                     & (F.col("h2") > F.col("h1")))
+              .select("event_type",
+                      ((F.col("c2") - F.col("c1")).cast("double")
+                       / (F.col("h2") - F.col("h1"))).alias("slope"),
+                      "h1", "h2"))
+    w = W.partitionBy("event_type")
+    ranked = (slopes
+              .withColumn("r", F.row_number().over(
+                  w.orderBy("slope", "h1", "h2")))
+              .withColumn("n", F.count(F.lit(1)).over(w)))
+    return (ranked.filter(F.expr("r = (n + 1) div 2"))
+            .select("event_type", F.col("n").cast("long").alias("n_pairs"),
+                    F.round("slope", 6).alias("ts_slope"))
+            .orderBy("event_type"))

@@ -262,3 +262,80 @@ def test_pca_recovers_planted_dominant_direction(spark):
     v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
     assert abs(float(v @ u)) > 0.99
     assert out[0]["explained"] > 0.9
+
+
+def test_theilsen_recovers_trend_despite_outlier_hours(spark):
+    """Plant counts c(h) = 5 + 2h with two wildly corrupted hours; the
+    pairwise-slope median must stay at 2/hr (the breakdown property OLS
+    lacks). Counts are planted by emitting that many events in hour h."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.robust_trend import (
+        theilsen_hourly_trend)
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(24):
+        c = 5 + 2 * h
+        if h in (7, 19):
+            c = 500  # corrupted hours
+        for k in range(c):
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=k),
+                         k % 5, "t", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/ts_fixture/events.parquet")
+    out = theilsen_hourly_trend(spark, "/tmp/ts_fixture").collect()
+    assert len(out) == 1 and abs(out[0]["ts_slope"] - 2.0) < 0.3
+
+
+def test_precedence_support_direction_and_strictness(spark):
+    """Plant 10 users who all signup strictly before purchase, plus one
+    user with the two first-times EQUAL: the tie must count in neither
+    direction, so n_a_before_b ('purchase' < 'signup' lexically) is 0 and
+    support = 0 over 11 users-with-both."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.seqmine import (
+        event_precedence_support)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(10):
+        rows.append((eid, t0 + dt.timedelta(minutes=u), u, "signup",
+                     1.0, "{}")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=u, hours=1), u,
+                     "purchase", 1.0, "{}")); eid += 1
+    tie = t0 + dt.timedelta(days=2)
+    rows.append((eid, tie, 99, "signup", 1.0, "{}")); eid += 1
+    rows.append((eid, tie, 99, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/prec_fixture/events.parquet")
+    out = event_precedence_support(spark, "/tmp/prec_fixture").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("purchase", "signup")
+    assert r["n_users_both"] == 11 and r["n_a_before_b"] == 0
+    assert r["support"] == 0.0
+
+
+def test_loo_ablation_matches_direct_recompute(spark, sf_smoke):
+    """The sufficient-stats identity: each source's loo_mean must equal
+    the mean recomputed directly over the corpus minus that source."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.ablation import (
+        _TOKENS_SPARK, loo_source_ablation)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = loo_source_ablation(spark, sf_smoke).collect()
+    for r in out[:3]:
+        direct = (docs.filter(F.col("source") != r["source"])
+                  .agg(F.round(F.avg(F.expr(_TOKENS_SPARK)), 6))
+                  .collect()[0][0])
+        assert abs(direct - r["loo_mean_tokens"]) < 2e-6
