@@ -76,7 +76,12 @@ def main() -> None:
                  "kafka_keyed_order_replay", "ann_mrr_at_10",
                  "embedding_dim_stats", "weighted_sample_no_replacement",
                  "greedy_coverage_selection", "hard_negative_mining",
-                 "token_block_assignment"]:
+                 "token_block_assignment",
+                 # round-9 final batch
+                 "m4_downsample_events", "cuped_adjusted_metrics",
+                 "ivm_join_delta_revenue", "embedding_pca_power",
+                 "loo_source_ablation", "event_precedence_support",
+                 "theilsen_hourly_trend"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
