@@ -89,6 +89,10 @@ _VERIFY_FIRST = [
     # Theil-Sen robust trend (deterministic lower-median pair).
     "loo_source_ablation", "event_precedence_support",
     "theilsen_hourly_trend",
+    # CUSUM via the prefix-min window identity (no recursion/UDF);
+    # quantile normalization onto pooled order statistics (two-phase
+    # global rank, exact integer position mapping).
+    "cusum_changepoint_hourly", "quantile_normalize_by_type",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

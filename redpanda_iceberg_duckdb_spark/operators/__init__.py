@@ -74,4 +74,6 @@ from . import (  # noqa: F401
     ablation,        # leave-one-source-out metric deltas, one scan
     seqmine,         # first-occurrence precedence support pairs
     robust_trend,    # Theil-Sen median-of-pairwise-slopes trend
+    changepoint,     # CUSUM via the prefix-min window identity
+    quantile_norm,   # pooled-order-statistic quantile normalization
 )

@@ -339,3 +339,67 @@ def test_loo_ablation_matches_direct_recompute(spark, sf_smoke):
                   .agg(F.round(F.avg(F.expr(_TOKENS_SPARK)), 6))
                   .collect()[0][0])
         assert abs(direct - r["loo_mean_tokens"]) < 2e-6
+
+
+def test_cusum_alarms_after_level_shift_not_on_flat_series(spark):
+    """Plant a series whose rate triples at hour 24 and an exactly-flat
+    control: the shifted series must alarm shortly after the shift, the
+    flat one never (its CUSUM is identically zero)."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.changepoint import (
+        cusum_changepoint_hourly)
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        for name, c in (("shifted", 10 if h < 24 else 30), ("flat", 10)):
+            for k in range(c):
+                rows.append((eid, base + dt.timedelta(hours=h, seconds=k),
+                             k, name, 1.0, "{}"))
+                eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/cusum_fixture/events.parquet")
+    base_h = int(base.timestamp()) // 3600
+    out = {r["event_type"]: r for r in
+           cusum_changepoint_hourly(spark, "/tmp/cusum_fixture").collect()}
+    assert out["flat"]["alarm_hour"] is None
+    # Detection delay = threshold / drift = (4*sd) / (30 - mu - 0.5*sd)
+    # = 40/5 = 8h with this fixture's pooled mu=20, sd=10.
+    shift_at = out["shifted"]["alarm_hour"] - base_h
+    assert 24 <= shift_at <= 33
+
+
+def test_quantile_norm_aligns_group_distributions(spark):
+    """Plant two groups with the same shape but a +1000 offset: after
+    normalization both groups' value sets map onto the pooled order
+    statistics, group means nearly coincide, and within-group order is
+    preserved (the map is monotone in rank)."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.quantile_norm import (
+        quantile_normalize_by_type)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for g, off in (("lo", 0.0), ("hi", 1000.0)):
+        for k in range(200):
+            rows.append((eid, t0, k, g, off + float(k % 50), "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/qn_fixture/events.parquet")
+    out = quantile_normalize_by_type(spark, "/tmp/qn_fixture").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["event_type"], []).append(r)
+    means = {g: sum(r["norm_value"] for r in rs) / len(rs)
+             for g, rs in by_g.items()}
+    assert abs(means["lo"] - means["hi"]) < 30  # raw gap was 1000
+    for rs in by_g.values():
+        rs = sorted(rs, key=lambda r: (r["value"], r["event_id"]))
+        nv = [r["norm_value"] for r in rs]
+        assert nv == sorted(nv)  # monotone map
