@@ -93,6 +93,9 @@ _VERIFY_FIRST = [
     # quantile normalization onto pooled order statistics (two-phase
     # global rank, exact integer position mapping).
     "cusum_changepoint_hourly", "quantile_normalize_by_type",
+    # Out-of-fold smoothed target encoding: one (key, fold) aggregate,
+    # double marginalization, leakage-free by construction.
+    "target_encoding_oof",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -76,4 +76,5 @@ from . import (  # noqa: F401
     robust_trend,    # Theil-Sen median-of-pairwise-slopes trend
     changepoint,     # CUSUM via the prefix-min window identity
     quantile_norm,   # pooled-order-statistic quantile normalization
+    target_encoding,  # out-of-fold smoothed target encoding
 )

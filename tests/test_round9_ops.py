@@ -403,3 +403,49 @@ def test_quantile_norm_aligns_group_distributions(spark):
         rs = sorted(rs, key=lambda r: (r["value"], r["event_id"]))
         nv = [r["norm_value"] for r in rs]
         assert nv == sorted(nv)  # monotone map
+
+
+def test_target_encoding_excludes_own_fold(spark):
+    """Leakage check by construction: plant a key whose target is 1 ONLY
+    inside fold f's rows; fold f's encoding must not reflect those 1s
+    (it sees s_key - s_{key,f} = 0 beyond the prior), while other folds'
+    encodings do. Verified against a hand-computed expectation."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.target_encoding import (
+        _FOLDS, _SMOOTH, target_encoding_oof)
+    from redpanda_iceberg_duckdb_spark.functions.hashing import md5_mod_spark
+
+    import datetime as dt
+
+    t0 = dt.datetime(2000, 1, 1)
+    # Find orderkeys hashing to fold 0 vs others, then give key 'K' target
+    # 1 exactly on its fold-0 rows.
+    keys = list(range(1, 400))
+    df = spark.createDataFrame([(k,) for k in keys], "o_orderkey long")
+    folds = {r["o_orderkey"]: r["f"] for r in df.select(
+        "o_orderkey",
+        F.expr(md5_mod_spark("concat('fold:', cast(o_orderkey as string))",
+                             _FOLDS)).alias("f")).collect()}
+    rows = []
+    for k in keys:
+        status = "F" if folds[k] == 0 else "O"
+        rows.append((k, 1, status, 10.0, t0, "1-URGENT"))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string"
+    ).write.mode("overwrite").parquet("/tmp/te_fixture/orders.parquet")
+    out = {r["fold"]: r for r in
+           target_encoding_oof(spark, "/tmp/te_fixture").collect()}
+    n0 = out[0]["n_in_fold"]
+    n_tot = len(keys)
+    # Fold 0: numerator has zero real positives — only the prior, whose
+    # fold-free global rate is 0 too (all positives sit in fold 0).
+    assert out[0]["encoding"] == 0.0
+    # Any other fold sees all n0 positives plus a nonzero prior.
+    for f in range(1, _FOLDS):
+        nf = out[f]["n_in_fold"]
+        g_f = n0 / (n_tot - nf)
+        expect = (n0 + _SMOOTH * g_f) / (n_tot - nf + _SMOOTH)
+        assert abs(out[f]["encoding"] - expect) < 1e-6
