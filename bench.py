@@ -81,7 +81,8 @@ def main() -> None:
                  "m4_downsample_events", "cuped_adjusted_metrics",
                  "ivm_join_delta_revenue", "embedding_pca_power",
                  "loo_source_ablation", "event_precedence_support",
-                 "theilsen_hourly_trend"]:
+                 "theilsen_hourly_trend", "cusum_changepoint_hourly",
+                 "quantile_normalize_by_type", "target_encoding_oof"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
