@@ -96,6 +96,8 @@ _VERIFY_FIRST = [
     # Out-of-fold smoothed target encoding: one (key, fold) aggregate,
     # double marginalization, leakage-free by construction.
     "target_encoding_oof",
+    # Exact Mann-Whitney AUC: rank-sum identity over two-phase ranks.
+    "auc_mann_whitney",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

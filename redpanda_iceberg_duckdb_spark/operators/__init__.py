@@ -77,4 +77,5 @@ from . import (  # noqa: F401
     changepoint,     # CUSUM via the prefix-min window identity
     quantile_norm,   # pooled-order-statistic quantile normalization
     target_encoding,  # out-of-fold smoothed target encoding
+    auc_eval,        # exact Mann-Whitney AUC, two-phase ranks
 )

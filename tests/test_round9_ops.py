@@ -449,3 +449,29 @@ def test_target_encoding_excludes_own_fold(spark):
         g_f = n0 / (n_tot - nf)
         expect = (n0 + _SMOOTH * g_f) / (n_tot - nf + _SMOOTH)
         assert abs(out[f]["encoding"] - expect) < 1e-6
+
+
+def test_auc_on_separable_and_random_scores(spark):
+    """AUC sanity on planted data: a perfectly separating score gives
+    exactly 1.0; a perfectly anti-separating score gives exactly 0.0 —
+    the rank-sum algebra's two boundary cases."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.auc_eval import (
+        auc_mann_whitney)
+
+    t0 = dt.datetime(2024, 1, 1)
+    for flip, expect in ((False, 1.0), (True, 0.0)):
+        rows = []
+        for i in range(100):
+            pos = i < 30
+            score = (100.0 + i) if (pos != flip) else float(i)
+            rows.append((i, t0, i, "purchase" if pos else "view",
+                         score, "{}"))
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        ).write.mode("overwrite").parquet("/tmp/auc_fixture/events.parquet")
+        out = auc_mann_whitney(spark, "/tmp/auc_fixture").collect()[0]
+        assert out["n_pos"] == 30 and out["n_neg"] == 70
+        assert out["auc"] == expect
