@@ -82,7 +82,8 @@ def main() -> None:
                  "ivm_join_delta_revenue", "embedding_pca_power",
                  "loo_source_ablation", "event_precedence_support",
                  "theilsen_hourly_trend", "cusum_changepoint_hourly",
-                 "quantile_normalize_by_type", "target_encoding_oof"]:
+                 "quantile_normalize_by_type", "target_encoding_oof",
+                 "auc_mann_whitney"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
