@@ -98,6 +98,8 @@ _VERIFY_FIRST = [
     "target_encoding_oof",
     # Exact Mann-Whitney AUC: rank-sum identity over two-phase ranks.
     "auc_mann_whitney",
+    # Kaplan-Meier product-limit conversion curve with right censoring.
+    "kaplan_meier_conversion",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -78,4 +78,5 @@ from . import (  # noqa: F401
     quantile_norm,   # pooled-order-statistic quantile normalization
     target_encoding,  # out-of-fold smoothed target encoding
     auc_eval,        # exact Mann-Whitney AUC, two-phase ranks
+    survival,        # Kaplan-Meier product-limit curve
 )

@@ -475,3 +475,40 @@ def test_auc_on_separable_and_random_scores(spark):
         out = auc_mann_whitney(spark, "/tmp/auc_fixture").collect()[0]
         assert out["n_pos"] == 30 and out["n_neg"] == 70
         assert out["auc"] == expect
+
+
+def test_kaplan_meier_hand_computed_curve_with_censoring(spark):
+    """Four-user cohort with known KM values: two convert at t=1h
+    (S=0.5); the last converter and the censored user share t=3h, where
+    the censored user is still at risk, so S(3) = 0.5 * (1 - 1/2)."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.survival import (
+        kaplan_meier_conversion)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(u, kind, hours):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(hours=hours), u, kind,
+                     1.0, "{}"))
+        eid += 1
+
+    for u in (0, 1, 2, 3):
+        ev(u, "signup", 0)
+    ev(0, "purchase", 1)
+    ev(1, "purchase", 1.5)   # still hour-bucket 1
+    ev(3, "purchase", 3)
+    ev(9, "view", 2)         # study end at t=2h censors user 2
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/km_fixture/events.parquet")
+    out = [(r["t_hours"], r["n_risk"], r["n_events"], r["n_censored"],
+            r["survival"]) for r in
+           kaplan_meier_conversion(spark, "/tmp/km_fixture").collect()]
+    # NB user 9 has no signup -> not in the cohort; max ts is user 3's
+    # purchase at t=3h, so user 2 censors at hour 3 and — per the standard
+    # KM convention — is still AT RISK at t=3: S(3) = 0.5 * (1 - 1/2).
+    assert out == [(1, 4, 2, 0, 0.5), (3, 2, 1, 1, 0.25)]
