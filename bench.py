@@ -83,7 +83,7 @@ def main() -> None:
                  "loo_source_ablation", "event_precedence_support",
                  "theilsen_hourly_trend", "cusum_changepoint_hourly",
                  "quantile_normalize_by_type", "target_encoding_oof",
-                 "auc_mann_whitney"]:
+                 "auc_mann_whitney", "kaplan_meier_conversion"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
