@@ -100,6 +100,8 @@ _VERIFY_FIRST = [
     "auc_mann_whitney",
     # Kaplan-Meier product-limit conversion curve with right censoring.
     "kaplan_meier_conversion",
+    # MASE seasonal-naive forecast backtest (exact integer error sums).
+    "mase_seasonal_naive",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -79,4 +79,5 @@ from . import (  # noqa: F401
     target_encoding,  # out-of-fold smoothed target encoding
     auc_eval,        # exact Mann-Whitney AUC, two-phase ranks
     survival,        # Kaplan-Meier product-limit curve
+    forecast_eval,   # MASE seasonal-naive backtest
 )

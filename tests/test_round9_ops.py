@@ -512,3 +512,39 @@ def test_kaplan_meier_hand_computed_curve_with_censoring(spark):
     # purchase at t=3h, so user 2 censors at hour 3 and — per the standard
     # KM convention — is still AT RISK at t=3: S(3) = 0.5 * (1 - 1/2).
     assert out == [(1, 4, 2, 0, 0.5), (3, 2, 1, 1, 0.25)]
+
+
+def test_mase_separates_periodic_from_shifted_series(spark):
+    """A perfectly weekly-periodic series forecasts exactly (MASE = 0);
+    the same series with a level shift confined to the holdout week
+    scores far worse than the in-sample naive error (MASE >> 1)."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.forecast_eval import (
+        _SEASON, mase_seasonal_naive)
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    weeks = 4
+    for h in range(weeks * _SEASON):
+        # Week-0-only noise: creates nonzero TRAIN errors (week1 vs week0
+        # pairs) but never appears as the lag of a holdout hour, so the
+        # periodic series' holdout error stays exactly 0 (and the scaling
+        # denominator stays nonzero — MASE is 0/positive, not 0/0).
+        noise = 3 if (h < _SEASON and h % 7 == 0) else 0
+        seasonal = 3 + (h % _SEASON) % 5 + noise
+        last_week = h >= (weeks - 1) * _SEASON
+        for name, c in (("periodic", seasonal),
+                        ("shifted", seasonal + (20 if last_week else 0))):
+            for k in range(c):
+                rows.append((eid, base + dt.timedelta(hours=h, seconds=k),
+                             k, name, 1.0, "{}"))
+                eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet("/tmp/mase_fixture/events.parquet")
+    out = {r["event_type"]: r for r in
+           mase_seasonal_naive(spark, "/tmp/mase_fixture").collect()}
+    assert out["periodic"]["mase"] == 0.0
+    assert out["shifted"]["mase"] > 5.0
