@@ -83,7 +83,8 @@ def main() -> None:
                  "loo_source_ablation", "event_precedence_support",
                  "theilsen_hourly_trend", "cusum_changepoint_hourly",
                  "quantile_normalize_by_type", "target_encoding_oof",
-                 "auc_mann_whitney", "kaplan_meier_conversion"]:
+                 "auc_mann_whitney", "kaplan_meier_conversion",
+                 "mase_seasonal_naive"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
