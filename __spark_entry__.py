@@ -102,6 +102,8 @@ _VERIFY_FIRST = [
     "kaplan_meier_conversion",
     # MASE seasonal-naive forecast backtest (exact integer error sums).
     "mase_seasonal_naive",
+    # IPS/SNIPS counterfactual policy value; one-pass Deequ-style checks.
+    "offpolicy_ips_snips", "data_quality_checks",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

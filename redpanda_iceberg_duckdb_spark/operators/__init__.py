@@ -80,4 +80,6 @@ from . import (  # noqa: F401
     auc_eval,        # exact Mann-Whitney AUC, two-phase ranks
     survival,        # Kaplan-Meier product-limit curve
     forecast_eval,   # MASE seasonal-naive backtest
+    offpolicy,       # IPS/SNIPS counterfactual policy value
+    data_quality,    # one-pass Deequ-style constraint suite
 )

@@ -1,0 +1,114 @@
+"""Declarative data-quality constraint suite (the Deequ shape — Schelter
+et al., VLDB 2018): evaluate a battery of column-level expectations in
+ONE pass over the table and emit a (check, column, pass_fraction,
+violations) report — the pre-ingest gate a 100 TB pipeline runs before
+publishing a batch.
+
+Scale stance: every expectation is an aggregatable predicate, so the
+whole suite compiles to a SINGLE map-side-combinable aggregate over one
+scan (Deequ's core trick) — adding a check adds a column to the
+aggregate, not a pass over the data. The wide one-row result is then
+unpivoted to the report shape driver-side of the aggregate (a constant-
+width stack, not a shuffle). Completeness, domain membership, range,
+positivity, and a referential containment check (orders.o_custkey ⊆
+customer keys, via a broadcast existence join — the one check that
+genuinely needs a second table) are each exact integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+_STATUS_DOMAIN = ("F", "O", "P")
+_PRIO_PREFIXES = ("1-", "2-", "3-", "4-", "5-")
+
+
+def _oracle() -> str:
+    prio = " OR ".join(
+        f"o_orderpriority LIKE '{p}%'" for p in _PRIO_PREFIXES)
+    dom = ", ".join(f"'{s}'" for s in _STATUS_DOMAIN)
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS c_key,
+         sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS c_date,
+         sum(CASE WHEN o_orderstatus IN ({dom}) THEN 1 ELSE 0 END) AS c_dom,
+         sum(CASE WHEN {prio} THEN 1 ELSE 0 END) AS c_prio,
+         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = orders.o_custkey)
+                  THEN 1 ELSE 0 END) AS c_ref
+  FROM orders)
+SELECT * FROM (
+  SELECT 'complete' AS check_name, 'o_orderkey' AS col,
+         cast(n - c_key AS bigint) AS violations,
+         round(cast(c_key AS double) / n, 6) AS pass_fraction FROM agg
+  UNION ALL
+  SELECT 'complete', 'o_orderdate', cast(n - c_date AS bigint),
+         round(cast(c_date AS double) / n, 6) FROM agg
+  UNION ALL
+  SELECT 'in_domain', 'o_orderstatus', cast(n - c_dom AS bigint),
+         round(cast(c_dom AS double) / n, 6) FROM agg
+  UNION ALL
+  SELECT 'prefix_format', 'o_orderpriority', cast(n - c_prio AS bigint),
+         round(cast(c_prio AS double) / n, 6) FROM agg
+  UNION ALL
+  SELECT 'positive', 'o_totalprice', cast(n - c_pos AS bigint),
+         round(cast(c_pos AS double) / n, 6) FROM agg
+  UNION ALL
+  SELECT 'ref_exists', 'o_custkey', cast(n - c_ref AS bigint),
+         round(cast(c_ref AS double) / n, 6) FROM agg)
+ORDER BY check_name, col"""
+
+
+@register(
+    "data_quality_checks",
+    oracle=_oracle(),
+    tags=("quality", "audit", "scale-pattern"),
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check_name, col, violations, pass_fraction) for six expectations
+    over orders, all folded into one aggregate over one scan (plus one
+    broadcast existence join for the referential check). A green row
+    proves every predicate compiles identically in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    with_ref = (orders.join(
+        F.broadcast(cust.withColumn("_ref", F.lit(1))),
+        orders.o_custkey == cust.c_custkey, "left"))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    prio = None
+    for p in _PRIO_PREFIXES:
+        c = F.col("o_orderpriority").startswith(p)
+        prio = c if prio is None else (prio | c)
+    agg = with_ref.agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt(F.col("o_orderkey").isNotNull()).alias("c_key"),
+        cnt(F.col("o_orderdate").isNotNull()).alias("c_date"),
+        cnt(F.col("o_orderstatus").isin(*_STATUS_DOMAIN)).alias("c_dom"),
+        cnt(prio).alias("c_prio"),
+        cnt(F.col("o_totalprice") > 0).alias("c_pos"),
+        cnt(F.col("_ref").isNotNull()).alias("c_ref"))
+    checks = [("complete", "o_orderkey", "c_key"),
+              ("complete", "o_orderdate", "c_date"),
+              ("in_domain", "o_orderstatus", "c_dom"),
+              ("prefix_format", "o_orderpriority", "c_prio"),
+              ("positive", "o_totalprice", "c_pos"),
+              ("ref_exists", "o_custkey", "c_ref")]
+    stack = ", ".join(f"'{name}', '{col}', {c}" for name, col, c in checks)
+    return (agg.select(
+                "n",
+                F.expr(f"stack({len(checks)}, {stack}) "
+                       "AS (check_name, col, passed)"))
+            .select("check_name", "col",
+                    (F.col("n") - F.col("passed")).cast("long")
+                    .alias("violations"),
+                    F.round(F.col("passed").cast("double") / F.col("n"), 6)
+                    .alias("pass_fraction"))
+            .orderBy("check_name", "col"))

@@ -548,3 +548,71 @@ def test_mase_separates_periodic_from_shifted_series(spark):
            mase_seasonal_naive(spark, "/tmp/mase_fixture").collect()}
     assert out["periodic"]["mase"] == 0.0
     assert out["shifted"]["mase"] > 5.0
+
+
+def test_offpolicy_identities_on_planted_rewards(spark):
+    """Make reward 1 exactly on the rows where the target policy agrees
+    with the logged arm: SNIPS must be exactly 1.0 and IPS must equal
+    K * n_match / n — the estimator identities, checked end-to-end
+    through the real hash policies."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.functions.hashing import md5_mod_spark
+    from redpanda_iceberg_duckdb_spark.operators.offpolicy import (
+        _K, offpolicy_ips_snips)
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [(i, i % 40) for i in range(600)], "event_id long, user_id long")
+    a_log = F.expr(md5_mod_spark(
+        "concat('log:', cast(event_id as string))", _K))
+    a_tgt = F.expr(md5_mod_spark(
+        "concat('tgt:', cast(user_id as string))", _K))
+    (base.select(
+        "event_id", F.lit(t0).alias("ts"), "user_id",
+        F.when(a_log == a_tgt, "purchase").otherwise("view")
+        .alias("event_type"),
+        F.lit(1.0).alias("value"), F.lit("{}").alias("props"))
+     .write.mode("overwrite").parquet("/tmp/ops_fixture/events.parquet"))
+    out = offpolicy_ips_snips(spark, "/tmp/ops_fixture").collect()[0]
+    assert out["snips_value"] == 1.0
+    assert out["ips_value"] == round(_K * out["n_match"] / out["n"], 6)
+    assert out["behavior_value"] == round(out["n_match"] / out["n"], 6)
+
+
+def test_data_quality_checks_count_planted_violations(spark):
+    """Corrupt a batch with known defects — null dates, an out-of-domain
+    status, a non-positive price, orphaned custkeys — and check each
+    expectation reports the exact violation count."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.data_quality import (
+        data_quality_checks)
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = []
+    for i in range(20):
+        date = None if i in (3, 7) else t0
+        status = "X" if i == 5 else "F"
+        price = -4.0 if i == 11 else 100.0
+        cust = 999 if i in (0, 1, 2) else 1  # 999 has no customer row
+        orders.append((i, cust, status, price, date, "1-URGENT"))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string"
+    ).write.mode("overwrite").parquet("/tmp/dq_fixture/orders.parquet")
+    spark.createDataFrame([(1, "c", 0, 0.0, "B")],
+                          "c_custkey long, c_name string, c_nationkey int, "
+                          "c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet("/tmp/dq_fixture/customer.parquet")
+    out = {(r["check_name"], r["col"]): r["violations"] for r in
+           data_quality_checks(spark, "/tmp/dq_fixture").collect()}
+    assert out[("complete", "o_orderdate")] == 2
+    assert out[("complete", "o_orderkey")] == 0
+    assert out[("in_domain", "o_orderstatus")] == 1
+    assert out[("positive", "o_totalprice")] == 1
+    assert out[("ref_exists", "o_custkey")] == 3
+    assert out[("prefix_format", "o_orderpriority")] == 0
