@@ -84,7 +84,8 @@ def main() -> None:
                  "theilsen_hourly_trend", "cusum_changepoint_hourly",
                  "quantile_normalize_by_type", "target_encoding_oof",
                  "auc_mann_whitney", "kaplan_meier_conversion",
-                 "mase_seasonal_naive"]:
+                 "mase_seasonal_naive", "offpolicy_ips_snips",
+                 "data_quality_checks"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
