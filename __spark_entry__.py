@@ -38,72 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # promote window evidence to green evidence at the start of the next round
 # with `--promote`.
 _VERIFY_FIRST = [
-    # Round-8 late registrations — never driver-checked, head the window
-    # (round-8 verdict item 3): green rows here complete cumulative driver
-    # coverage of all 201 pre-round-9 queries.
-    "stable_row_ids_two_phase", "range_frame_moving_revenue",
-    "equi_depth_deciles", "bpe_train_merges", "incremental_dedup_new_batch",
-    "bpe_encode_stats", "bootstrap_ci_by_type", "minhash_estimator_error",
-    # Fingerprint changed this round, derived by verification.must_verify:
-    # graphrank + quantizer_train lazy-localCheckpoint recovery of the r8
-    # pagerank regression (+ train-assignment memoization), and the
-    # data-driven frontier prune rewrite (round-8 verdict items 1-2).
+    # Round-10 fingerprint fallout, derived by verification.must_verify:
+    # the dataset-fingerprint cache keys (round-9 advice — graphrank
+    # _EDGE_CACHE + quantizer_train._TRAIN_CACHE now miss when parquet is
+    # rewritten in-application) and the data_quality referential check's
+    # distinct-key broadcast (structural EXISTS parity).
     "pagerank_trade_graph", "pagerank_converged", "triangle_count_neardup",
     "graph_degree_stats", "kmeans_train_converged", "ann_recall_retrained",
-    "pareto_frontier_parts",
-    # New round-9 registrations + replay.py/bpe_train.py edit fallout:
-    # St6 keyed-produce ordering, F9 seeded-generator parity vs committed
-    # snapshot, skyline composed over a join, BPE at (unique text, count)
-    # granularity (round-8 verdict items 5-7).
-    "kafka_keyed_order_replay", "seeded_trades_parity",
-    "supplier_frontier_over_join", "bpe_train_merges_wordcount",
-    "kafka_wire_replay", "streaming_validate_replay",
-    # Pipeline audits composing the engine's own dedup/quantizer machinery.
-    "split_leakage_audit", "embedding_dim_stats",
-    # Training-order + retrieval additions.
-    "epoch_shuffle_ranks", "ann_mrr_at_10", "mmr_diverse_topk",
-    # Data-layout payoff, measured as a query.
-    "file_skipping_audit",
-    # Mergeable sketch state: sliding-window HLL via register-wise max.
-    "hll_sliding_window_distinct",
-    # Weighted sampling without replacement (integer-power ES keys).
-    "weighted_sample_no_replacement",
-    # Submodular greedy max-coverage selection (unrolled oracle).
-    "greedy_coverage_selection",
-    # Contrastive-training data prep: hardest cross-label negatives.
-    "hard_negative_mining",
-    # Distributed prefix-sum: concat-then-chunk token block assignment.
-    "token_block_assignment",
-    # M4 pixel-bucket downsampling (VLDB 2014): one struct-min/max agg.
-    "m4_downsample_events",
-    # CUPED variance-reduced A/B readout (WSDM 2013): sufficient stats.
-    "cuped_adjusted_metrics",
-    # Join-delta IVM (SIGMOD 1986): state + two broadcast delta joins,
-    # bit-exact vs direct recompute via the decimal-sum discipline.
-    "ivm_join_delta_revenue", "ivm_delta_term_counts",
-    # Gramian sufficient-stats PCA: one Arrow pass -> d^2 aggregate ->
-    # dimension-bounded driver power iteration (oracle re-runs the same
-    # iteration as a recursive CTE).
-    "embedding_pca_power",
-    # One-scan leave-one-source-out ablation; precedence-pair mining;
-    # Theil-Sen robust trend (deterministic lower-median pair).
-    "loo_source_ablation", "event_precedence_support",
-    "theilsen_hourly_trend",
-    # CUSUM via the prefix-min window identity (no recursion/UDF);
-    # quantile normalization onto pooled order statistics (two-phase
-    # global rank, exact integer position mapping).
-    "cusum_changepoint_hourly", "quantile_normalize_by_type",
-    # Out-of-fold smoothed target encoding: one (key, fold) aggregate,
-    # double marginalization, leakage-free by construction.
-    "target_encoding_oof",
-    # Exact Mann-Whitney AUC: rank-sum identity over two-phase ranks.
-    "auc_mann_whitney",
-    # Kaplan-Meier product-limit conversion curve with right censoring.
-    "kaplan_meier_conversion",
-    # MASE seasonal-naive forecast backtest (exact integer error sums).
-    "mase_seasonal_naive",
-    # IPS/SNIPS counterfactual policy value; one-pass Deequ-style checks.
-    "offpolicy_ips_snips", "data_quality_checks",
+    "data_quality_checks",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -102,8 +102,17 @@ def main() -> None:
     # extras dict hit ~40 entries. The stdout line now carries ONLY the
     # 16 headline queries + total (a few hundred bytes); the full extras
     # dict goes to a committed side file and stderr.
-    extras_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_EXTRAS.json")
+    # r09 lesson: a test run at sf0.001 silently clobbered the committed
+    # sf0.1 BENCH_EXTRAS.json. The canonical name is written ONLY at the
+    # driver's sf0.1 protocol; other SFs get an sf-suffixed (gitignored)
+    # file, and SPARK_GRAFT_EXTRAS_OUT overrides both (the contract test
+    # points it at a tmp dir).
+    default_name = ("BENCH_EXTRAS.json" if sf == 0.1
+                    else f"BENCH_EXTRAS_sf{sf}.json")
+    extras_path = os.environ.get(
+        "SPARK_GRAFT_EXTRAS_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     default_name))
     with open(extras_path, "w") as f:
         json.dump({"sf": sf, "extras": extras}, f, indent=1, sort_keys=True)
         f.write("\n")

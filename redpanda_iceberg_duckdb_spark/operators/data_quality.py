@@ -75,7 +75,13 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast existence join for the referential check). A green row
     proves every predicate compiles identically in both engines."""
     orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # .distinct() makes the plan match the oracle's EXISTS semantics
+    # structurally: a duplicated key in customer would otherwise fan out
+    # orders rows through the left join and inflate EVERY counter in the
+    # shared aggregate (not just c_ref). TPC-H keys happen to be unique,
+    # but the suite must not depend on that.
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey").distinct())
     with_ref = (orders.join(
         F.broadcast(cust.withColumn("_ref", F.lit(1))),
         orders.o_custkey == cust.c_custkey, "left"))

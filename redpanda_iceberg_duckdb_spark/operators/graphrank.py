@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
+from ..dataset_cache import data_fingerprint
 from ..tables import load_table
 from .dedup import _LSH_CAND_CTE_DUCK, lsh_candidates
 from .shingles import _TG_CTE_DUCK, _doc_trigrams
@@ -62,7 +63,11 @@ _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _edges_with_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric customer↔supplier edge list joined with out-degrees,
     checkpointed and memoized per (application, dataset)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # Data fingerprint in the key: rewriting the parquet under sf_dir within
+    # one application (bench tmp-dir demos) must be a cache MISS, not a
+    # stale-checkpoint read (round-9 advice).
+    key = (spark.sparkContext.applicationId,
+           data_fingerprint(sf_dir, "orders", "lineitem") or sf_dir)
     if key not in _EDGE_CACHE:
         o = load_table(spark, sf_dir, "orders")
         li = load_table(spark, sf_dir, "lineitem")

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
+from ..dataset_cache import data_fingerprint
 from ..tables import load_table
 from .similarity import (_NORMS_DUCK, _SCALE, _norms, _numpy_pair_dots,
                          _ranked_topk, _sims_from_dots, dot_int64)
@@ -94,7 +95,11 @@ def train_assignments(spark: SparkSession, sf_dir: str
     vectors move. Returns (final (vec_id, lbl) assignment — persisted via
     localCheckpoint, lineage-free — and the round count). Memoized per
     (application, sf_dir): see _TRAIN_CACHE."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # Data fingerprint in the key: a rewrite of embeddings.parquet within
+    # one application must miss the cache, not serve stale assignments
+    # (round-9 advice; same fix as graphrank._EDGE_CACHE).
+    key = (spark.sparkContext.applicationId,
+           data_fingerprint(sf_dir, "embeddings") or sf_dir)
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
     emb = (load_table(spark, sf_dir, "embeddings")

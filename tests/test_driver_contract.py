@@ -37,9 +37,12 @@ def test_bench_emits_single_json_line(tmp_path):
     with the driver-required keys."""
     import os
 
+    extras_out = str(tmp_path / "extras.json")
     env = dict(os.environ)
     env.update({"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
-                "SPARK_GRAFT_CPUS": "8"})
+                "SPARK_GRAFT_CPUS": "8",
+                # never clobber the committed sf0.1 BENCH_EXTRAS.json
+                "SPARK_GRAFT_EXTRAS_OUT": extras_out})
     res = subprocess.run(
         [sys.executable, "bench.py"],
         env=env, capture_output=True, text=True, cwd="/root/repo", timeout=1800)
@@ -56,8 +59,7 @@ def test_bench_emits_single_json_line(tmp_path):
     assert "extras" not in payload
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
-    import os as _os
-    with open(_os.path.join("/root/repo", "BENCH_EXTRAS.json")) as f:
+    with open(extras_out) as f:
         side = json.load(f)
     assert isinstance(side["extras"], dict) and side["extras"]
 

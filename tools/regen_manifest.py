@@ -37,9 +37,12 @@ from redpanda_iceberg_duckdb_spark.verification import (  # noqa: E402
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else None
     promote = "--promote" in sys.argv
-    if not rnd or not rnd.startswith("r"):
+    if not rnd or not rnd.startswith("r") or not rnd[1:].isdigit():
         print(__doc__)
         return 2
+    # Zero-pad so evidence tags stay machine-comparable with CORRECTNESS_rNN
+    # file names ("r9" and "r09" forked in round 9 — normalize at the door).
+    rnd = f"r{int(rnd[1:]):02d}"
 
     import __spark_entry__ as entry_mod
 
