@@ -46,6 +46,10 @@ _VERIFY_FIRST = [
     "pagerank_trade_graph", "pagerank_converged", "triangle_count_neardup",
     "graph_degree_stats", "kmeans_train_converged", "ann_recall_retrained",
     "data_quality_checks",
+    # Recurring IVM refresh: k=4 delta batches through the streaming
+    # sink's own apply_delta, view state carried forward, oracle = direct
+    # recompute after EVERY batch (round-9 verdict item 2).
+    "ivm_stream_refresh_replay",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -49,6 +49,8 @@ def main() -> None:
         spark.catalog.clearCache()
 
     extras = skew_join_demo(spark, sf_dir)
+    extras.update(ivm_scaling_demo(spark, sf_dir))
+    extras.update(eval_tier_scaling_demo(spark, sf_dir))
     extras.update(lsh_scaling_demo(spark, sf_dir))
     extras.update(lsh_dfcap_skew_demo(spark, sf_dir))
     extras.update(pagerank_scaling_demo(spark, sf_dir))
@@ -85,7 +87,9 @@ def main() -> None:
                  "quantile_normalize_by_type", "target_encoding_oof",
                  "auc_mann_whitney", "kaplan_meier_conversion",
                  "mase_seasonal_naive", "offpolicy_ips_snips",
-                 "data_quality_checks"]:
+                 "data_quality_checks",
+                 # round-10 batch
+                 "ivm_stream_refresh_replay"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
@@ -126,6 +130,150 @@ def main() -> None:
         "sf": sf,
     }))
     spark.stop()
+
+
+def ivm_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
+    """The IVM flat-cost claim, measured: per-batch maintenance wall with
+    the DELTA FIXED while the maintained state grows x1/x2/x3.
+
+    Corpus x{k}: k-1 extra copies of orders+lineitem with offset order/
+    customer keys and their dates clamped into batch 1's window, so
+    batches 2-4 (and in particular the TIMED final batch) carry exactly
+    the base corpus's delta at every x — only the state the delta joins
+    probe grows. ivm_maint_final_batch_x{k} is the timed application of
+    the final delta (two broadcast joins against state + customer-
+    cardinality view compaction); ivm_recompute_x{k} is the from-scratch
+    join recompute on the same corpus (the reference's per-cycle answer),
+    which grows linearly and is the baseline the maintenance path beats.
+    Correctness asserted per x: maintained view == direct recompute,
+    exact decimals."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.ivm_stream import (
+        _REV, _batch_bounds)
+    from redpanda_iceberg_duckdb_spark.streaming.ivm_sink import (
+        IvmState, apply_delta, empty_state)
+
+    out: dict[str, float] = {}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ostride = (o.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
+    cstride = (o.agg(F.max("o_custkey")).collect()[0][0] or 0) + 1
+    for mult in (1, 2, 3):
+        orders = o.select("o_orderkey", "o_custkey", "o_orderdate")
+        line = li.select("l_orderkey", "l_shipdate",
+                         F.expr(_REV).alias("rev"))
+        for c in range(1, mult):
+            orders = orders.unionByName(o.select(
+                (F.col("o_orderkey") + c * ostride).alias("o_orderkey"),
+                (F.col("o_custkey") + c * cstride).alias("o_custkey"),
+                F.lit("1995-06-01").cast("timestamp").alias("o_orderdate")))
+            line = line.unionByName(li.select(
+                (F.col("l_orderkey") + c * ostride).alias("l_orderkey"),
+                F.lit("1995-06-02").cast("timestamp").alias("l_shipdate"),
+                F.expr(_REV).alias("rev")))
+
+        def rng(col, lo, hi):
+            cond = F.lit(True)
+            if lo:
+                cond = cond & (col >= F.lit(lo).cast("timestamp"))
+            if hi:
+                cond = cond & (col < F.lit(hi).cast("timestamp"))
+            return cond
+
+        bounds = _batch_bounds()
+        state = empty_state(spark)
+        for lo, hi in bounds[:-1]:   # untimed: build up the state
+            nxt = apply_delta(
+                state,
+                orders.filter(rng(F.col("o_orderdate"), lo, hi))
+                .select("o_orderkey", "o_custkey"),
+                line.filter(rng(F.col("l_shipdate"), lo, hi))
+                .select("l_orderkey", "rev"))
+            state = IvmState(nxt.view.localCheckpoint(),
+                             nxt.orders.localCheckpoint(),
+                             nxt.lines.localCheckpoint())
+        lo, hi = bounds[-1]
+        d_o = (orders.filter(rng(F.col("o_orderdate"), lo, hi))
+               .select("o_orderkey", "o_custkey").localCheckpoint())
+        d_l = (line.filter(rng(F.col("l_shipdate"), lo, hi))
+               .select("l_orderkey", "rev").localCheckpoint())
+        t0 = time.perf_counter()
+        fin = apply_delta(state, d_o, d_l)
+        fin_view = fin.view.localCheckpoint()   # eager: materialize now
+        out[f"ivm_maint_final_batch_x{mult}"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        direct = (orders.join(line,
+                              orders.o_orderkey == line.l_orderkey)
+                  .groupBy(F.col("o_custkey").alias("c_custkey"))
+                  .agg(F.sum("rev").cast("decimal(30,4)").alias("revenue")))
+        n_direct = direct.count()
+        out[f"ivm_recompute_x{mult}"] = round(time.perf_counter() - t0, 3)
+        got = sorted(map(tuple, fin_view.collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want, f"IVM drifted from direct recompute at x{mult}"
+        print(f"# ivm x{mult}: maint "
+              f"{out[f'ivm_maint_final_batch_x{mult}']}s vs recompute "
+              f"{out[f'ivm_recompute_x{mult}']}s ({n_direct} customers)",
+              file=sys.stderr)
+        spark.catalog.clearCache()
+    return out
+
+
+def eval_tier_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
+    """x1-x3 replication sweep for the round-9 eval/stats tier (round-9
+    verdict item 5): target_encoding_oof (orders-driven), auc_mann_whitney
+    and quantile_normalize_by_type (events-driven). Copies get offset ids
+    so group cardinalities scale with the corpus; near-linear (or flatter,
+    idle-core-absorbed) wall ratios are the scale claim, measured."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ostride = (o.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
+    estride = (e.agg(F.max("event_id")).collect()[0][0] or 0) + 1
+    ustride = (e.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+    tmp = tempfile.mkdtemp(prefix="eval_scale_")
+    try:
+        for mult in (1, 2, 3):
+            d = os.path.join(tmp, f"x{mult}")
+            oc = o
+            ec = e
+            for c in range(1, mult):
+                oc = oc.unionByName(o.select(
+                    (F.col("o_orderkey") + c * ostride).alias("o_orderkey"),
+                    *[col for col in o.columns if col != "o_orderkey"])
+                    .select(*o.columns))
+                ec = ec.unionByName(e.select(
+                    (F.col("event_id") + c * estride).alias("event_id"),
+                    (F.col("user_id") + c * ustride).alias("user_id"),
+                    *[col for col in e.columns
+                      if col not in ("event_id", "user_id")])
+                    .select(*e.columns))
+            oc.write.mode("overwrite").parquet(
+                os.path.join(d, "orders.parquet"))
+            ec.write.mode("overwrite").parquet(
+                os.path.join(d, "events.parquet"))
+            for qname in ("target_encoding_oof", "auc_mann_whitney",
+                          "quantile_normalize_by_type"):
+                q = all_queries()[qname]
+                if mult == 1:
+                    q.fn(spark, d).count()  # untimed codegen warm-up
+                t0 = time.perf_counter()
+                n = q.fn(spark, d).count()
+                dt = round(time.perf_counter() - t0, 3)
+                out[f"evalscale_{qname}_x{mult}"] = dt
+                print(f"# evalscale {qname} x{mult}: {dt}s ({n} rows)",
+                      file=sys.stderr)
+                spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def lsh_scaling_demo(spark, sf_dir: str) -> dict[str, float]:

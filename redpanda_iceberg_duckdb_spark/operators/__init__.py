@@ -82,4 +82,5 @@ from . import (  # noqa: F401
     forecast_eval,   # MASE seasonal-naive backtest
     offpolicy,       # IPS/SNIPS counterfactual policy value
     data_quality,    # one-pass Deequ-style constraint suite
+    ivm_stream,      # recurring IVM refresh through the foreachBatch sink
 )

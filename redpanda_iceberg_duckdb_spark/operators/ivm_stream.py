@@ -1,0 +1,108 @@
+"""Recurring incremental view maintenance, driver-checkable: k=4
+successive delta batches applied through the REAL streaming maintenance
+transform (streaming/ivm_sink.apply_delta — the same function the
+foreachBatch sink runs per micro-batch), with the view state carried
+forward batch to batch. operators/ivm.py proves ONE delta application;
+this replay proves the RECURRING cycle the reference actually runs
+(/root/reference/duckdb/query_and_publish.py re-executes its aggregates
+every cycle; README.md's bidirectional refresh loop) stays bit-exact
+against a from-scratch recompute after EVERY batch.
+
+Batching: the order/lineitem timeline is cut at fixed dates; batch i
+delivers orders with o_orderdate and lines with l_shipdate in
+[T_{i-1}, T_i). Late data is intrinsic — a line whose shipdate falls in
+batch 3 attaches to an order that arrived in batch 1 through the
+state.orders ⋈ ΔL term. The state starts EMPTY, so every (order, line)
+pair enters through the delta algebra exactly once — nothing is seeded by
+a direct computation.
+
+Scale stance: per batch, two broadcast delta joins (delta side broadcast,
+state scanned map-side, never shuffled) + a customer-cardinality view
+compaction; the per-batch localCheckpoint mirrors the sink's snapshot
+write and truncates lineage so batch k's cost does not re-run batches
+1..k-1. The oracle unrolls the same cycle as k direct recomputes at each
+cutoff — the equality IS the IVM correctness claim, bit-exact because
+every sum is decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..streaming.ivm_sink import apply_delta, empty_state, IvmState
+from ..tables import load_table
+
+# Exact per-line revenue, the ivm.py discipline.
+_REV = ("cast(l_extendedprice as decimal(12,2))"
+        " * cast(1 - l_discount as decimal(12,2))")
+
+# Timeline cutoffs: state starts empty; batch i covers [T_{i-1}, T_i).
+# The last batch is unbounded, so the final view equals the full join.
+_CUTS = ["1998-01-01", "2000-01-01", "2001-01-01"]
+
+
+def _batch_bounds() -> list[tuple[str | None, str | None]]:
+    lows = [None] + _CUTS
+    highs = _CUTS + [None]
+    return list(zip(lows, highs))
+
+
+def _oracle() -> str:
+    parts = []
+    for i, (_lo, hi) in enumerate(_batch_bounds(), 1):
+        where = (f"WHERE o.o_orderdate < TIMESTAMP '{hi}' "
+                 f"AND l.l_shipdate < TIMESTAMP '{hi}'" if hi else "")
+        parts.append(f"""
+SELECT {i} AS batch_id, o.o_custkey AS c_custkey,
+       cast(sum({_REV}) AS double) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+{where}
+GROUP BY 2""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY batch_id, c_custkey"
+
+
+@register(
+    "ivm_stream_refresh_replay",
+    oracle=_oracle(),
+    tags=("ivm", "streaming", "incremental", "replay", "scale-pattern"),
+)
+def ivm_stream_refresh_replay(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """(batch_id, c_custkey, revenue): the maintained view AFTER each of 4
+    delta batches, every batch applied through the streaming sink's own
+    apply_delta. Oracle = direct full recompute at each cutoff, so a green
+    row proves repeated maintenance never drifts — per pair-of-batches, no
+    double counting, no missed late lines, bit-exact decimal sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    line = load_table(spark, sf_dir, "lineitem")
+
+    state = empty_state(spark)
+    views = []
+    for i, (lo, hi) in enumerate(_batch_bounds(), 1):
+        def rng(col, lo=lo, hi=hi):
+            cond = F.lit(True)
+            if lo:
+                cond = cond & (col >= F.lit(lo).cast("timestamp"))
+            if hi:
+                cond = cond & (col < F.lit(hi).cast("timestamp"))
+            return cond
+        d_o = (orders.filter(rng(F.col("o_orderdate")))
+               .select("o_orderkey", "o_custkey"))
+        d_l = (line.filter(rng(F.col("l_shipdate")))
+               .select("l_orderkey", F.expr(_REV).alias("rev")))
+        nxt = apply_delta(state, d_o, d_l)
+        # Mirror of the sink's per-batch snapshot write: materialize the
+        # state once so batch i+1 (and the final stacked output) reads
+        # blocks instead of re-deriving batches 1..i.
+        state = IvmState(nxt.view.localCheckpoint(eager=False),
+                         nxt.orders.localCheckpoint(eager=False),
+                         nxt.lines.localCheckpoint(eager=False))
+        views.append(state.view.select(
+            F.lit(i).alias("batch_id"), "c_custkey",
+            F.col("revenue").cast("double").alias("revenue")))
+
+    out = views[0]
+    for v in views[1:]:
+        out = out.unionByName(v)
+    return out.orderBy("batch_id", "c_custkey")

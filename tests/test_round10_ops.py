@@ -83,3 +83,88 @@ def test_dq_referential_check_survives_duplicate_dim_keys(spark, tmp_path):
     dup = {(r["check_name"], r["col"]): (r["violations"], r["pass_fraction"])
            for r in data_quality_checks(spark, d).collect()}
     assert dup == clean
+
+
+def test_ivm_foreachbatch_refresh_matches_direct_recompute(spark, tmp_path):
+    """Run the REAL streaming refresh: a unified order/line changelog file
+    stream, one file per delta batch, folded into the versioned state by
+    foreachBatch (streaming/ivm_sink.start_ivm_refresh). The final
+    maintained view must be BIT-EQUAL to a from-scratch join recompute,
+    and one snapshot version must exist per micro-batch."""
+    from pyspark.sql import types as T
+
+    from redpanda_iceberg_duckdb_spark.operators.ivm_stream import (
+        _REV, _batch_bounds)
+    from redpanda_iceberg_duckdb_spark.streaming.ivm_sink import (
+        _current_version, read_state, start_ivm_refresh)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    line = load_table(spark, sf, "lineitem")
+
+    src = tmp_path / "changelog"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(_batch_bounds()):
+        def rng(col, lo=lo, hi=hi):
+            cond = F.lit(True)
+            if lo:
+                cond = cond & (col >= F.lit(lo).cast("timestamp"))
+            if hi:
+                cond = cond & (col < F.lit(hi).cast("timestamp"))
+            return cond
+        ch_o = (orders.filter(rng(F.col("o_orderdate")))
+                .select(F.lit("order").alias("kind"),
+                        F.col("o_orderkey").alias("orderkey"),
+                        F.col("o_custkey").alias("custkey"),
+                        F.lit(None).cast("decimal(30,4)").alias("rev")))
+        ch_l = (line.filter(rng(F.col("l_shipdate")))
+                .select(F.lit("line").alias("kind"),
+                        F.col("l_orderkey").alias("orderkey"),
+                        F.lit(None).cast("bigint").alias("custkey"),
+                        F.expr(_REV).cast("decimal(30,4)").alias("rev")))
+        (ch_o.unionByName(ch_l).coalesce(1)
+         .write.parquet(str(src / f"batch_{i}")))
+
+    stream = (spark.readStream
+              .schema(T.StructType([
+                  T.StructField("kind", T.StringType()),
+                  T.StructField("orderkey", T.LongType()),
+                  T.StructField("custkey", T.LongType()),
+                  T.StructField("rev", T.DecimalType(30, 4))]))
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    base = str(tmp_path / "state")
+    q = start_ivm_refresh(stream, base=base,
+                          checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    assert _current_version(base) == 4  # one committed version per batch
+    final = read_state(spark, base).view
+    direct = (orders.join(line, orders.o_orderkey == line.l_orderkey)
+              .groupBy(F.col("o_custkey").alias("c_custkey"))
+              .agg(F.sum(F.expr(_REV)).cast("decimal(30,4)")
+                   .alias("revenue")))
+    got = sorted((r.c_custkey, r.revenue) for r in final.collect())
+    want = sorted((r.c_custkey, r.revenue) for r in direct.collect())
+    assert got == want  # exact decimals, zero slack
+
+
+def test_ivm_batch_replay_guard_prevents_double_count(spark, tmp_path):
+    """Re-delivering an epoch (foreachBatch failure replay) must be a
+    no-op: the delta algebra is NOT idempotent, so without the pointer
+    guard a replay would double-count the batch."""
+    from redpanda_iceberg_duckdb_spark.streaming.ivm_sink import (
+        ivm_batch, read_state)
+
+    base = str(tmp_path / "state")
+    os.makedirs(base)
+    schema = "kind string, orderkey bigint, custkey bigint, rev decimal(30,4)"
+    from decimal import Decimal
+    b0 = spark.createDataFrame(
+        [("order", 1, 10, None), ("line", 1, None, Decimal("5.0"))], schema)
+    assert ivm_batch(b0, 0, base=base)
+    v1 = sorted(map(tuple, read_state(spark, base).view.collect()))
+    assert not ivm_batch(b0, 0, base=base)   # replayed epoch -> skipped
+    assert sorted(map(tuple, read_state(spark, base).view.collect())) == v1
