@@ -50,6 +50,15 @@ _VERIFY_FIRST = [
     # sink's own apply_delta, view state carried forward, oracle = direct
     # recompute after EVERY batch (round-9 verdict item 2).
     "ivm_stream_refresh_replay",
+    # Frontier constant cut (round-9 verdict item 3): data-scaled bucket
+    # count (~sqrt(N)/4) + accuracy-1000 sketch; survivor gate unchanged.
+    "pareto_frontier_parts", "supplier_frontier_over_join",
+    # Theil-Sen quadratic guard: per-series point cap with deterministic
+    # rank-equi-spaced thinning (no-op on fixture lengths).
+    "theilsen_hourly_trend",
+    # DQ tier 2: cross-batch profile drift with tolerance bands (the
+    # Deequ anomaly-detection half of validate-before-publish).
+    "dq_cross_batch_drift",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -14,6 +14,16 @@ scales out). The median is the deterministic lower order statistic
 (rank ceil(n/2) with a total tie-break on (h1, h2)), so both engines
 select the identical pair; slopes are quotients of exact integer counts
 and hours — bit-identical doubles before the final rounding.
+
+Guard rail (round-9 verdict item 6): the shard-by-series stance is now
+ENFORCED, not just documented — series longer than ``_MAX_POINTS`` are
+deterministically pre-thinned to an equi-spaced-in-rank subset before
+pairing (thin_series), so the quadratic can never be invoked unbounded:
+a 10-year hourly series is 87,600 points = 7.6e9 pairs un-guarded, vs
+2048 points = ~2.1M pairs thinned. Thinning is rank-equi-spaced (every
+ceil(L/cap)-th point in x order), keeping the slope estimate's support
+spread over the whole series; on the shipped fixtures L ≪ cap and the
+guard is a no-op (the oracle needs no thinning term).
 """
 
 from __future__ import annotations
@@ -22,6 +32,27 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
+
+# Per-series point cap before pairing: 2048 points -> <= ~2.1M slope rows
+# per series, a bounded task. Beyond it the estimator is APPROXIMATED on
+# an equi-spaced subset (documented in the module docstring).
+_MAX_POINTS = 2048
+
+
+def thin_series(points: DataFrame, series_col: str, x: str,
+                max_points: int = _MAX_POINTS) -> DataFrame:
+    """Deterministically thin each series to <= ~max_points points, equi-
+    spaced in x-rank: keep every ceil(L/max_points)-th point of the series
+    ordered by x. A no-op (stride 1) for series within the cap. One
+    per-series window over already-aggregated points — cheap relative to
+    the pair join it bounds."""
+    ws = W.partitionBy(series_col)
+    return (points
+            .withColumn("_rn", F.row_number().over(ws.orderBy(x)) - 1)
+            .withColumn("_len", F.count(F.lit(1)).over(ws))
+            .filter(F.pmod("_rn",
+                           F.ceil(F.col("_len") / max_points)) == 0)
+            .drop("_rn", "_len"))
 
 
 def _oracle() -> str:
@@ -60,10 +91,12 @@ def theilsen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the full pairwise construction, so a green row
     proves the hourly reduction, the pair join, and the deterministic
     median selection agree exactly."""
-    hourly = (load_table(spark, sf_dir, "events")
-              .groupBy("event_type",
-                       F.expr("unix_micros(ts) div 3600000000").alias("h"))
-              .agg(F.count(F.lit(1)).alias("c")))
+    hourly = thin_series(
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        "event_type", "h")   # no-op here (L ≪ cap); the guard is the point
     a = hourly.select("event_type", F.col("h").alias("h1"),
                       F.col("c").alias("c1"))
     b = hourly.select(F.col("event_type").alias("et2"),

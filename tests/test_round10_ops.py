@@ -168,3 +168,69 @@ def test_ivm_batch_replay_guard_prevents_double_count(spark, tmp_path):
     v1 = sorted(map(tuple, read_state(spark, base).view.collect()))
     assert not ivm_batch(b0, 0, base=base)   # replayed epoch -> skipped
     assert sorted(map(tuple, read_state(spark, base).view.collect())) == v1
+
+
+def test_theilsen_cap_thins_long_series(spark):
+    """The quadratic guard: a series past the cap is deterministically
+    pre-thinned (equi-spaced in rank), so pair counts stay bounded. On a
+    noiseless linear series every pairwise slope is identical, so the
+    thinned estimate is EXACT — asserting both the bound and the lack of
+    estimator damage in the clean case."""
+    from redpanda_iceberg_duckdb_spark.operators.robust_trend import (
+        thin_series)
+
+    pts = spark.range(1000).select(
+        F.lit("s").alias("k"), F.col("id").alias("x"),
+        (F.lit(7.0) * F.col("id") + 3.0).alias("y"))
+    thin = thin_series(pts, "k", "x", max_points=100)
+    n = thin.count()
+    assert n == 100          # ceil(1000/100)=10 stride -> exactly 100 kept
+    # stride is rank-equi-spaced: kept xs are 0,10,20,...
+    xs = [r.x for r in thin.orderBy("x").collect()]
+    assert xs == list(range(0, 1000, 10))
+    # short series pass through untouched
+    short = spark.range(50).select(
+        F.lit("t").alias("k"), F.col("id").alias("x"),
+        F.col("id").cast("double").alias("y"))
+    assert thin_series(short, "k", "x", max_points=100).count() == 50
+
+
+def test_theilsen_registered_query_unchanged_by_guard(spark):
+    """On the shipped fixture (L ≪ cap) the guard is a structural no-op:
+    the query still matches its oracle exactly."""
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    from .oracle_harness import run_compare
+
+    run_compare(spark, all_queries()["theilsen_hourly_trend"],
+                "/root/testdata/sf0.001")
+
+
+def test_dq_drift_detects_planted_shift(spark, tmp_path):
+    """The drift bands must FIRE on a real shift: plant a current batch
+    whose status histogram collapses to 'F' and whose prices are doubled;
+    the corresponding metrics must come back within_band=false while the
+    undisturbed ones stay true."""
+    from redpanda_iceberg_duckdb_spark.operators.data_quality import (
+        _DRIFT_CUT, dq_cross_batch_drift)
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "ds")
+    os.makedirs(d)
+    o = spark.read.parquet(f"{src}/orders.parquet")
+    cut = F.lit(_DRIFT_CUT).cast("timestamp")
+    prior = o.filter(F.col("o_orderdate") < cut)
+    drifted = (o.filter(F.col("o_orderdate") >= cut)
+               .withColumn("o_orderstatus", F.lit("F"))
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    prior.unionByName(drifted).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet")
+
+    got = {r["metric"]: r["within_band"]
+           for r in dq_cross_batch_drift(spark, d).collect()}
+    assert got["share_status_F"] is False      # collapsed to 100% F
+    assert got["share_status_O"] is False
+    assert got["share_status_P"] is False
+    assert got["avg_price_cents"] is False     # doubled prices
+    assert got["share_prio_urgent"] is True    # untouched
+    assert got["row_count"] is True            # untouched
