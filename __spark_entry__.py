@@ -59,6 +59,9 @@ _VERIFY_FIRST = [
     # DQ tier 2: cross-batch profile drift with tolerance bands (the
     # Deequ anomaly-detection half of validate-before-publish).
     "dq_cross_batch_drift",
+    # PCA tier 2: top-4 basis via Hotelling deflation (one Gramian pass,
+    # m driver-side iterations; chained recursive-CTE oracle).
+    "embedding_pca_top4", "embedding_pca_power",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -36,6 +36,7 @@ from ..tables import load_table
 
 _D = 64
 _T = 40  # fixed iteration count — identical in both engines
+_M = 4   # components for the top-m variant (Hotelling deflation)
 
 
 def _oracle() -> str:
@@ -139,3 +140,128 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, "dim long, loading double, eigval double, "
                      "explained double")
             .orderBy("dim"))
+
+
+# ------------------------------------------------ top-m basis via deflation
+
+def _cov_cte() -> str:
+    """Shared oracle prefix: rebuild the covariance matrix from the raw
+    embeddings (positional unnest self-join), named cov0."""
+    return f"""
+flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         cast(unnest(embedding) AS double) AS x
+  FROM embeddings),
+nrow AS (SELECT count(*) AS n FROM embeddings),
+mean AS (SELECT i, sum(x) / (SELECT n FROM nrow) AS m FROM flat GROUP BY i),
+smat AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+  FROM flat a JOIN flat b USING (vec_id) GROUP BY a.i, b.i),
+cov0 AS (
+  SELECT s.i, s.j,
+         s.s / (SELECT n FROM nrow) - ma.m * mb.m AS c
+  FROM smat s JOIN mean ma ON ma.i = s.i JOIN mean mb ON mb.i = s.j)"""
+
+
+def _topm_oracle() -> str:
+    """m sequential power iterations, each on the k-times-deflated matrix
+    cov{k} = cov{k-1} - lambda_{k-1} v_{k-1} v_{k-1}^T — every stage is the
+    SAME recursive-CTE iteration the single-component oracle runs, so the
+    whole basis extraction is one deterministic SQL program."""
+    blocks = [_cov_cte()]
+    for k in range(_M):
+        blocks.append(f"""
+it{k} AS MATERIALIZED (
+  WITH RECURSIVE itr(t, i, v) AS (
+    SELECT 0, i, 1.0 / sqrt({_D}.0) FROM range({_D}) r(i)
+    UNION ALL
+    SELECT * FROM (
+      WITH mv AS (
+        SELECT itr.t + 1 AS t, c.i AS i, sum(c.c * itr.v) AS s
+        FROM cov{k} c JOIN itr ON itr.i = c.j
+        GROUP BY itr.t, c.i)
+      SELECT t, i, s / sqrt(sum(s * s) OVER (PARTITION BY t))
+      FROM mv WHERE t <= {_T})
+  ) SELECT i, v FROM itr WHERE t = {_T}),
+sg{k} AS MATERIALIZED (
+  SELECT i, CASE WHEN (SELECT v FROM it{k} WHERE i = 0) < 0
+                 THEN -v ELSE v END AS v
+  FROM it{k}),
+lam{k} AS MATERIALIZED (
+  SELECT sum(a.v * c.c * b.v) AS l
+  FROM cov{k} c JOIN sg{k} a ON a.i = c.i JOIN sg{k} b ON b.i = c.j),
+cov{k + 1} AS MATERIALIZED (
+  SELECT c.i, c.j, c.c - (SELECT l FROM lam{k}) * a.v * b.v AS c
+  FROM cov{k} c JOIN sg{k} a ON a.i = c.i JOIN sg{k} b ON b.i = c.j)""")
+    sel = "\nUNION ALL".join(f"""
+SELECT {k} AS component, cast(s.i AS bigint) AS dim, round(s.v, 6) AS loading,
+       round((SELECT l FROM lam{k}), 6) AS eigval,
+       round((SELECT l FROM lam{k}) / (SELECT tr FROM tr), 6) AS explained
+FROM sg{k} s""" for k in range(_M))
+    return ("WITH " + ",".join(blocks)
+            + ", tr AS (SELECT sum(c) AS tr FROM cov0 WHERE i = j)\n"
+            + sel + "\nORDER BY component, dim")
+
+
+@register(
+    "embedding_pca_top4",
+    oracle=_topm_oracle(),
+    tags=("embedding", "pca", "convergence", "scale-pattern"),
+)
+def embedding_pca_top4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(component, dim, loading, eigval, explained) for the top m=4
+    principal components via Hotelling deflation: one Arrow-batched
+    Gramian pass (identical to embedding_pca_power — the data pass is NOT
+    repeated per component), then m sequential T-step power iterations on
+    the driver, each deflating the d x d matrix by the component it just
+    extracted. A whitening/quantization pipeline needs a BASIS, not one
+    axis (round-9 verdict item 4); the deflation runs entirely on the
+    dimension-bounded 64 x 64 matrix, so the distributed cost is the same
+    single scan regardless of m. The oracle replays the identical
+    deflation program as chained recursive CTEs (AS MATERIALIZED — inlined,
+    the chain would re-evaluate upstream stages ~T^k times) — per-component
+    Rayleigh eigenvalues and loadings agree to 6 decimals.
+
+    Spectrum note: the shipped embeddings are near-isotropic (top eigvals
+    within ~5% of each other), so fixed-T power iteration does not fully
+    separate them and successive Rayleigh values need not decrease — the
+    green row certifies engine agreement on the same deterministic
+    program, while the planted-basis test (separated spectrum 9:4:1)
+    proves the estimator orders and recovers a true basis."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    parts = emb.mapInPandas(_gram_partials, "i int, j int, s double")
+    rows = (parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+            .collect())  # d^2 + d + 1 rows — dimension-bounded
+    s_mat = np.zeros((_D, _D))
+    csum = np.zeros(_D)
+    n = 0.0
+    for r in rows:
+        if r["i"] == -1:
+            n = r["s"]
+        elif r["j"] == -1:
+            csum[r["i"]] = r["s"]
+        else:
+            s_mat[r["i"], r["j"]] = r["s"]
+    m = csum / n
+    cov0 = s_mat / n - np.outer(m, m)
+    trace = float(np.trace(cov0))
+
+    out = []
+    cov = cov0.copy()
+    for k in range(_M):
+        v = np.full(_D, 1.0 / np.sqrt(float(_D)))
+        for _ in range(_T):
+            v = cov @ v
+            v /= np.sqrt(float(v @ v))
+        if v[0] < 0:
+            v = -v
+        lam = float(v @ cov @ v)
+        out.extend((k, int(i), round(float(v[i]), 6), round(lam, 6),
+                    round(lam / trace, 6)) for i in range(_D))
+        cov = cov - lam * np.outer(v, v)
+    return (spark.createDataFrame(
+                out, "component int, dim long, loading double, "
+                     "eigval double, explained double")
+            .orderBy("component", "dim"))

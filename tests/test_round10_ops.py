@@ -234,3 +234,36 @@ def test_dq_drift_detects_planted_shift(spark, tmp_path):
     assert got["avg_price_cents"] is False     # doubled prices
     assert got["share_prio_urgent"] is True    # untouched
     assert got["row_count"] is True            # untouched
+
+
+def test_pca_top4_recovers_planted_orthogonal_basis(spark, tmp_path):
+    """Plant embeddings spanning three orthogonal axes with well-separated
+    variances (9, 4, 1) + small noise: the deflation must return the three
+    axes IN ORDER with |cos| > 0.99 each and decreasing eigenvalues — a
+    basis, not just one direction (round-9 verdict item 4)."""
+    import numpy as np
+
+    from redpanda_iceberg_duckdb_spark.operators.pca_power import (
+        _D, embedding_pca_top4)
+
+    rng = np.random.RandomState(11)
+    q, _ = np.linalg.qr(rng.randn(_D, 3))       # 3 orthonormal axes
+    t = rng.randn(500, 3) * np.array([3.0, 2.0, 1.0])
+    X = t @ q.T + 0.02 * rng.randn(500, _D)
+    rows = [(i, [float(x) for x in X[i]], 0) for i in range(500)]
+    d = str(tmp_path / "ds")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    out = embedding_pca_top4(spark, d).collect()
+    V = {}
+    lam = {}
+    for r in out:
+        V.setdefault(r["component"], [0.0] * _D)[r["dim"]] = r["loading"]
+        lam[r["component"]] = r["eigval"]
+    for k in range(3):
+        cos = abs(float(np.array(V[k]) @ q[:, k]))
+        assert cos > 0.99, f"component {k} misaligned: |cos|={cos}"
+    assert lam[0] > lam[1] > lam[2] > lam[3]   # separated spectrum sorts
+    assert lam[3] < 0.1 * lam[2]               # 4th is noise-floor
