@@ -62,6 +62,9 @@ _VERIFY_FIRST = [
     # PCA tier 2: top-4 basis via Hotelling deflation (one Gramian pass,
     # m driver-side iterations; chained recursive-CTE oracle).
     "embedding_pca_top4", "embedding_pca_power",
+    # IVF quality/cost dial graded as data: recall@10 + MRR@10 at
+    # nprobe 1/2/4 from one shared candidate scan.
+    "ann_recall_mrr_by_nprobe",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -89,7 +89,8 @@ def main() -> None:
                  "mase_seasonal_naive", "offpolicy_ips_snips",
                  "data_quality_checks",
                  # round-10 batch
-                 "ivm_stream_refresh_replay"]:
+                 "ivm_stream_refresh_replay", "ann_recall_mrr_by_nprobe",
+                 "embedding_pca_top4", "dq_cross_batch_drift"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -83,4 +83,5 @@ from . import (  # noqa: F401
     offpolicy,       # IPS/SNIPS counterfactual policy value
     data_quality,    # one-pass Deequ-style constraint suite
     ivm_stream,      # recurring IVM refresh through the foreachBatch sink
+    retrieval10,     # recall/MRR vs nprobe: the IVF dial graded as data
 )
