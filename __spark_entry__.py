@@ -65,6 +65,14 @@ _VERIFY_FIRST = [
     # IVF quality/cost dial graded as data: recall@10 + MRR@10 at
     # nprobe 1/2/4 from one shared candidate scan.
     "ann_recall_mrr_by_nprobe",
+    # New round-10 operators (eval + curation + text + graph tiers):
+    # Bradley-Terry preference strengths (MM on the m x m wins matrix),
+    # DSIR hashed-ngram importance selection, ECE reliability bins,
+    # Cohen's kappa, adjacent-token PMI collocations, hub-capped
+    # bipartite supplier projection.
+    "bradley_terry_strengths", "dsir_importance_topk",
+    "ece_calibration_bins", "cohens_kappa_labelers",
+    "pmi_collocations_topk", "bipartite_supplier_projection",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -90,7 +90,10 @@ def main() -> None:
                  "data_quality_checks",
                  # round-10 batch
                  "ivm_stream_refresh_replay", "ann_recall_mrr_by_nprobe",
-                 "embedding_pca_top4", "dq_cross_batch_drift"]:
+                 "embedding_pca_top4", "dq_cross_batch_drift",
+                 "bradley_terry_strengths", "dsir_importance_topk",
+                 "ece_calibration_bins", "cohens_kappa_labelers",
+                 "pmi_collocations_topk", "bipartite_supplier_projection"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

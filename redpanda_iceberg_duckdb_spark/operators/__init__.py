@@ -84,4 +84,9 @@ from . import (  # noqa: F401
     data_quality,    # one-pass Deequ-style constraint suite
     ivm_stream,      # recurring IVM refresh through the foreachBatch sink
     retrieval10,     # recall/MRR vs nprobe: the IVF dial graded as data
+    preference10,    # Bradley-Terry preference strengths (MM iteration)
+    domain10,        # DSIR hashed-ngram importance weights, top-k select
+    calibration10,   # ECE reliability bins + Cohen's kappa agreement
+    cooccur10,       # adjacent-token PMI collocations (row-local bigrams)
+    graph10,         # bipartite projection with hub-degree cap
 )

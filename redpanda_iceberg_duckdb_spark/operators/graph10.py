@@ -1,0 +1,69 @@
+"""Bipartite graph projection with hub capping: project the
+customer-supplier trade graph onto suppliers, weighting each supplier
+pair by the number of DISTINCT shared customers — the co-purchase /
+co-view projection behind item-item recommendation and entity-relatedness
+graphs (Newman 2001's collaboration-network projection).
+
+Scale stance: the projection's cost is sum_over_customers(deg^2) — one
+hub customer touching 10^5 suppliers would alone emit 10^10 pairs, so
+customers above a degree cap are DROPPED before pairing (the stop-node
+rule every production co-occurrence projection applies; analogous to the
+df-cap in the LSH dedup path, dedup.py). The cap is a visible parameter
+(_CAP = 40, binding on the shipped fixtures at sf >= 0.01), the oracle
+applies the identical rule, and after it each customer emits at most
+C(40, 2) = 780 pairs from a co-partitioned self-join on the customer key
+— per-customer bounded work, no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+_CAP = 40
+_K = 20
+
+
+def _oracle() -> str:
+    return f"""
+WITH e AS (SELECT DISTINCT o.o_custkey c, l.l_suppkey s
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+deg AS (SELECT c, count(*) dg FROM e GROUP BY c),
+kept AS (SELECT e.c, e.s FROM e JOIN deg USING (c) WHERE deg.dg <= {_CAP}),
+pairs AS (SELECT a.s s1, b.s s2, count(*) w
+          FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+          GROUP BY 1, 2)
+SELECT s1, s2, cast(w AS bigint) AS n_shared_customers
+FROM pairs ORDER BY w DESC, s1, s2 LIMIT {_K}"""
+
+
+@register(
+    "bipartite_supplier_projection",
+    oracle=_oracle(),
+    tags=("graph", "projection", "scale-pattern"),
+)
+def bipartite_supplier_projection(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """(s1, s2, n_shared_customers): the 20 strongest supplier pairs in
+    the customer-projected trade graph, hub customers (> _CAP distinct
+    suppliers) dropped before pairing (module docstring)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (o.join(li, o.o_orderkey == li.l_orderkey)
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_suppkey").alias("s"))
+         .distinct())
+    deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("dg"))
+    kept = e.join(deg.filter(F.col("dg") <= _CAP).select("c"), "c")
+    a = kept.select("c", F.col("s").alias("s1"))
+    b = kept.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    pairs = (a.join(b, (F.col("c") == F.col("c2"))
+                    & (F.col("s1") < F.col("s2")))
+             .groupBy("s1", "s2")
+             .agg(F.count(F.lit(1)).alias("w")))
+    return (pairs.select("s1", "s2",
+                         F.col("w").cast("long").alias("n_shared_customers"))
+            .orderBy(F.desc("n_shared_customers"), "s1", "s2")
+            .limit(_K))

@@ -267,3 +267,115 @@ def test_pca_top4_recovers_planted_orthogonal_basis(spark, tmp_path):
         assert cos > 0.99, f"component {k} misaligned: |cos|={cos}"
     assert lam[0] > lam[1] > lam[2] > lam[3]   # separated spectrum sorts
     assert lam[3] < 0.1 * lam[2]               # 4th is noise-floor
+
+
+def test_bradley_terry_recovers_planted_win_rates(spark, tmp_path):
+    """Plant a 3-item tournament where per-user frequency order gives
+    a->b win rate 70%, b->c 70%, a->c 90%: the fitted strengths must
+    order a > b > c and the implied P(a beats b) = ta/(ta+tb) must sit
+    near the planted 0.7 (MM on a consistent BT-generated design)."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.operators.preference10 import (
+        bradley_terry_strengths)
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for u in range(200):
+        # counts per type decide wins; vary by user hash to plant rates
+        ca = 3 if u % 10 < 7 else 1      # a beats b for 70% of users
+        cb = 2
+        cc = 3 if u % 10 >= 9 else 1     # c beats b for 10% of users
+        # a-c relation: a=3 vs c in {1,3}: ties (u%10==9 with ca=1? no,
+        # u%10>=9 -> ca=1, cc=3 -> c beats a for 10% of users)
+        for typ, c in (("a", ca), ("b", cb), ("c", cc)):
+            for k in range(c):
+                rows.append((eid, base + dt.timedelta(seconds=eid), u,
+                             typ, 1.0, "{}"))
+                eid += 1
+    d = str(tmp_path / "ds")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {r["item"]: r for r in bradley_terry_strengths(spark, d).collect()}
+    ta, tb, tc = (got[x]["strength"] for x in "abc")
+    assert ta > tb > tc
+    p_ab = ta / (ta + tb)
+    assert 0.6 < p_ab < 0.8   # planted 0.7
+    assert got["a"]["comparisons"] > 0 and got["a"]["wins"] > got["c"]["wins"]
+
+
+def test_dsir_selects_target_domain_docs(spark, tmp_path):
+    """Plant disjoint vocabularies: target-lang docs use tgt* tokens, the
+    rest use src* tokens. Every top-k slot must go to a target-vocabulary
+    doc — including 'mislabeled' ones written in the target vocabulary
+    (DSIR scores CONTENT, not the label)."""
+    from redpanda_iceberg_duckdb_spark.operators.domain10 import (
+        dsir_importance_topk)
+
+    rows = []
+    for i in range(300):
+        if i % 3 == 0:     # true target docs
+            lang, text = "en", " ".join(f"tgt{j % 40}" for j in range(60))
+        elif i % 17 == 1:  # target-vocabulary doc labeled otherwise
+            lang, text = "de", " ".join(f"tgt{j % 40}" for j in range(60))
+        else:
+            lang, text = "fr", " ".join(f"src{(i + j) % 80}"
+                                        for j in range(60))
+        rows.append((i, text, lang, "s", len(text)))
+    d = str(tmp_path / "ds")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars int"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = dsir_importance_topk(spark, d).collect()
+    assert len(got) == 50
+    # every selected doc is target-vocabulary (doc_id % 3 == 0 or the
+    # planted mislabeled ones), never a src-vocabulary doc
+    for r in got:
+        assert r.doc_id % 3 == 0 or r.doc_id % 17 == 1, r
+    assert {r.lang for r in got} >= {"en", "de"}  # content beat the label
+    assert all(r.dsir_logweight > 0 for r in got)
+
+
+def test_bipartite_projection_hub_cap_binds(spark, tmp_path):
+    """Plant one hub customer linked to 100 suppliers: its C(100,2)=4950
+    pairs must NOT appear in the projection (only the normal customers'
+    pairs do) — proving the stop-node rule actually executes."""
+    from redpanda_iceberg_duckdb_spark.operators.graph10 import (
+        bipartite_supplier_projection)
+
+    rows_o, rows_l = [], []
+    ok = 0
+    # 30 normal customers, each ordering from suppliers (c, c+1)
+    for c in range(30):
+        rows_o.append((ok, c, "O", 1.0, "2024-01-01", "1-URGENT"))
+        rows_l.extend([(ok, c % 5 + 1000, 1.0, 0.0, "2024-01-02"),
+                       (ok, c % 5 + 1001, 1.0, 0.0, "2024-01-02")])
+        ok += 1
+    # hub customer 999 -> suppliers 0..99
+    for s in range(100):
+        rows_o.append((ok, 999, "O", 1.0, "2024-01-01", "1-URGENT"))
+        rows_l.append((ok, s, 1.0, 0.0, "2024-01-02"))
+        ok += 1
+    d = str(tmp_path / "ds")
+    spark.createDataFrame(
+        rows_o, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate string, "
+                "o_orderpriority string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")) \
+     .write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        rows_l, "l_orderkey long, l_suppkey long, l_extendedprice double, "
+                "l_discount double, l_shipdate string"
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")) \
+     .write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    got = bipartite_supplier_projection(spark, d).collect()
+    assert got, "projection empty"
+    for r in got:
+        assert r.s1 >= 1000 and r.s2 >= 1000, \
+            f"hub pair leaked through the cap: {tuple(r)}"
