@@ -73,6 +73,10 @@ _VERIFY_FIRST = [
     "bradley_terry_strengths", "dsir_importance_topk",
     "ece_calibration_bins", "cohens_kappa_labelers",
     "pmi_collocations_topk", "bipartite_supplier_projection",
+    # Concentration audits + the isotonic calibration map (PAV via the
+    # closed-form minimax identity — no iteration).
+    "gini_customer_spend", "herfindahl_by_nation",
+    "isotonic_calibration_bins",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -93,7 +93,9 @@ def main() -> None:
                  "embedding_pca_top4", "dq_cross_batch_drift",
                  "bradley_terry_strengths", "dsir_importance_topk",
                  "ece_calibration_bins", "cohens_kappa_labelers",
-                 "pmi_collocations_topk", "bipartite_supplier_projection"]:
+                 "pmi_collocations_topk", "bipartite_supplier_projection",
+                 "gini_customer_spend", "herfindahl_by_nation",
+                 "isotonic_calibration_bins"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -89,4 +89,5 @@ from . import (  # noqa: F401
     calibration10,   # ECE reliability bins + Cohen's kappa agreement
     cooccur10,       # adjacent-token PMI collocations (row-local bigrams)
     graph10,         # bipartite projection with hub-degree cap
+    concentration10,  # Gini (two-phase ranks) + per-nation HHI
 )

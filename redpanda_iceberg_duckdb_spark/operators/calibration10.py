@@ -23,7 +23,7 @@ conditional counters in a single aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
@@ -145,3 +145,84 @@ def cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"))
+
+
+# ------------------------------------------- isotonic calibration (PAV)
+
+def _iso_oracle() -> str:
+    return f"""
+WITH scored AS (
+  SELECT (event_id % 100) * 2 + 1 AS p200,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+bins AS (
+  SELECT p200 // (200 // {_BINS}) AS bin, count(*) AS n, sum(y) AS pos
+  FROM scored GROUP BY 1),
+pref AS (
+  SELECT bin, n, pos,
+         sum(pos) OVER (ORDER BY bin) AS cp,
+         sum(n) OVER (ORDER BY bin) AS cn
+  FROM bins),
+segs AS (
+  SELECT j.bin AS j, k.bin AS k,
+         cast(k.cp - (j.cp - j.pos) AS double)
+           / (k.cn - (j.cn - j.n)) AS avg
+  FROM pref j JOIN pref k ON j.bin <= k.bin),
+inner_min AS (
+  SELECT i.bin AS bin, s.j, min(s.avg) AS m
+  FROM pref i JOIN segs s ON s.j <= i.bin AND s.k >= i.bin
+  GROUP BY 1, 2),
+iso AS (SELECT bin, max(m) AS v FROM inner_min GROUP BY 1)
+SELECT cast(b.bin AS bigint) AS bin, cast(b.n AS bigint) AS n,
+       round(cast(b.pos AS double) / b.n, 6) AS frac_pos,
+       round(iso.v, 6) AS iso_prob
+FROM bins b JOIN iso ON iso.bin = b.bin ORDER BY bin"""
+
+
+@register(
+    "isotonic_calibration_bins",
+    oracle=_iso_oracle(),
+    tags=("evaluation", "calibration", "scale-pattern"),
+)
+def isotonic_calibration_bins(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """(bin, n, frac_pos, iso_prob): the isotonic (monotone-nondecreasing)
+    calibration map over the reliability bins, via the PAV minimax
+    identity — iso_i = max_{j<=i} min_{k>=i} mean(y over bins j..k) —
+    which turns the sequential pool-adjacent-violators algorithm into a
+    CLOSED FORM over segment prefix sums: no iteration, no driver loop,
+    O(B^3) tiny-frame joins on the B=10 bin table. The heavy lift (the
+    bin aggregate) is the only data pass; segment means are exact integer
+    ratios, so both engines take identical branches in the min/max."""
+    e = load_table(spark, sf_dir, "events")
+    bins = (e.select(
+                (F.pmod("event_id", 100) * 2 + 1).alias("p200"),
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                .alias("y"))
+            .groupBy(F.expr(f"p200 div {200 // _BINS}").cast("long")
+                     .alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")))
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    pref = (bins.withColumn("cp", F.sum("pos").over(w))
+            .withColumn("cn", F.sum("n").over(w))
+            .localCheckpoint(eager=False))   # B rows; reused three times
+    j = pref.select(F.col("bin").alias("j"),
+                    (F.col("cp") - F.col("pos")).alias("cpj"),
+                    (F.col("cn") - F.col("n")).alias("cnj"))
+    k = pref.select(F.col("bin").alias("k"), F.col("cp").alias("cpk"),
+                    F.col("cn").alias("cnk"))
+    segs = (j.join(k, F.col("j") <= F.col("k"))
+            .select("j", "k",
+                    ((F.col("cpk") - F.col("cpj")).cast("double")
+                     / (F.col("cnk") - F.col("cnj"))).alias("avg")))
+    i = pref.select(F.col("bin").alias("i"))
+    inner = (i.join(segs, (F.col("j") <= F.col("i"))
+                    & (F.col("k") >= F.col("i")))
+             .groupBy("i", "j").agg(F.min("avg").alias("m")))
+    iso = inner.groupBy("i").agg(F.max("m").alias("v"))
+    return (bins.join(iso, bins.bin == iso.i)
+            .select("bin", F.col("n").cast("long").alias("n"),
+                    F.round(F.col("pos").cast("double") / F.col("n"), 6)
+                    .alias("frac_pos"),
+                    F.round("v", 6).alias("iso_prob"))
+            .orderBy("bin"))

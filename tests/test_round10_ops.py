@@ -379,3 +379,42 @@ def test_bipartite_projection_hub_cap_binds(spark, tmp_path):
     for r in got:
         assert r.s1 >= 1000 and r.s2 >= 1000, \
             f"hub pair leaked through the cap: {tuple(r)}"
+
+
+def test_isotonic_minimax_equals_sequential_pav(spark):
+    """The closed-form minimax identity must equal the classic sequential
+    pool-adjacent-violators fit on the same bins, and the output must be
+    monotone nondecreasing."""
+    from redpanda_iceberg_duckdb_spark.operators.calibration10 import (
+        isotonic_calibration_bins)
+
+    rows = isotonic_calibration_bins(
+        spark, "/root/testdata/sf0.01").collect()
+    iso = [r.iso_prob for r in sorted(rows, key=lambda r: r.bin)]
+    assert iso == sorted(iso)   # monotone
+
+    # sequential PAV on the same (n, frac_pos) bins
+    blocks = [[r.n * r.frac_pos, r.n] for r in
+              sorted(rows, key=lambda r: r.bin)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] / blocks[i][1] > \
+                blocks[i + 1][0] / blocks[i + 1][1] + 1e-12:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand pooled blocks back to per-bin fitted values by row count
+    orig = sorted(rows, key=lambda r: r.bin)
+    expected = []
+    bi = 0
+    remaining = blocks[0][1]
+    for r in orig:
+        if remaining <= 0:
+            bi += 1
+            remaining = blocks[bi][1]
+        expected.append(round(blocks[bi][0] / blocks[bi][1], 6))
+        remaining -= r.n
+    assert iso == expected
