@@ -49,6 +49,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     extras = skew_join_demo(spark, sf_dir)
+    extras.update(bucketed_join_demo(spark, sf_dir))
     extras.update(ivm_scaling_demo(spark, sf_dir))
     extras.update(eval_tier_scaling_demo(spark, sf_dir))
     extras.update(lsh_scaling_demo(spark, sf_dir))
@@ -136,6 +137,70 @@ def main() -> None:
         "sf": sf,
     }))
     spark.stop()
+
+
+def bucketed_join_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Bucketing as the co-located-join lever, measured: orders and
+    lineitem written bucketed+sorted on the join key (16 buckets,
+    saveAsTable) join with ZERO exchanges — the physical plan has no
+    shuffle on either side (asserted in tests/test_round10_ops.py) — vs
+    the same shuffle sort-merge join on plain parquet. Auto-broadcast is
+    disabled so both run the shuffle-vulnerable regime. At 100 TB this is
+    the difference between re-shuffling two fact tables on EVERY join and
+    paying the layout once at write time (Iceberg bucket partition
+    transforms express the same contract)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice")
+
+    def agg(joined):
+        return sorted(map(tuple, (
+            joined.groupBy(F.pmod("o_custkey", 100).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("l_extendedprice") * 100)
+                       .cast("bigint")).alias("cents"))
+            .collect())))
+
+    for t in ("bench_orders_b", "bench_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    (o.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("bench_orders_b"))
+    (li.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("bench_lineitem_b"))
+    ob = spark.table("bench_orders_b")
+    lb = spark.table("bench_lineitem_b")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out: dict[str, float] = {}
+        results = {}
+        for label, (left, right) in [
+            ("bucketed_join_shuffle",
+             (o, li)),
+            ("bucketed_join_bucketed",
+             (ob, lb)),
+        ]:
+            runs = []
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                results[label] = agg(left.join(
+                    right, left.o_orderkey == right.l_orderkey))
+                runs.append(_t.perf_counter() - t0)
+            out[label] = round(min(runs), 3)
+            print(f"# {label}: warm {min(runs):.3f}s", file=sys.stderr)
+        assert results["bucketed_join_shuffle"] == \
+            results["bucketed_join_bucketed"], "bucketed join drifted"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bench_orders_b", "bench_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
 
 
 def ivm_scaling_demo(spark, sf_dir: str) -> dict[str, float]:

@@ -418,3 +418,35 @@ def test_isotonic_minimax_equals_sequential_pav(spark):
         expected.append(round(blocks[bi][0] / blocks[bi][1], 6))
         remaining -= r.n
     assert iso == expected
+
+
+def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key: the sort-merge join
+    plan must contain NO shuffle exchange (the bucketing contract the
+    bench demo times)."""
+    o = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+         .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice"))
+    for t in ("t10_orders_b", "t10_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        (o.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("t10_orders_b"))
+        (li.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("t10_lineitem_b"))
+        ob, lb = spark.table("t10_orders_b"), spark.table("t10_lineitem_b")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:1500]
+            # and it actually runs, matching the plain join's count
+            assert joined.count() == o.join(
+                li, o.o_orderkey == li.l_orderkey).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in ("t10_orders_b", "t10_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
