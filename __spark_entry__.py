@@ -77,6 +77,9 @@ _VERIFY_FIRST = [
     # closed-form minimax identity — no iteration).
     "gini_customer_spend", "herfindahl_by_nation",
     "isotonic_calibration_bins",
+    # Mixture construction: exact-balance stratified K-fold and
+    # token-budget-bounded per-source selection (hash-ordered).
+    "stratified_kfold_assignment", "token_budget_mixture",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

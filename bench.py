@@ -96,7 +96,8 @@ def main() -> None:
                  "ece_calibration_bins", "cohens_kappa_labelers",
                  "pmi_collocations_topk", "bipartite_supplier_projection",
                  "gini_customer_spend", "herfindahl_by_nation",
-                 "isotonic_calibration_bins"]:
+                 "isotonic_calibration_bins",
+                 "stratified_kfold_assignment", "token_budget_mixture"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

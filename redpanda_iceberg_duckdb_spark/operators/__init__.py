@@ -90,4 +90,5 @@ from . import (  # noqa: F401
     cooccur10,       # adjacent-token PMI collocations (row-local bigrams)
     graph10,         # bipartite projection with hub-degree cap
     concentration10,  # Gini (two-phase ranks) + per-nation HHI
+    mixture10,       # stratified K-fold + token-budget mixture selection
 )

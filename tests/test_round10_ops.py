@@ -450,3 +450,30 @@ def test_bucketed_join_plan_has_no_exchange(spark, tmp_path):
     finally:
         for t in ("t10_orders_b", "t10_lineitem_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_kfold_exact_balance_and_budget_reached(spark):
+    """Fold sizes within every stratum differ by at most 1 (round-robin
+    guarantee, not just hash expectation); the token-budget selection
+    reaches each source's budget (sum >= budget) without overshooting by
+    more than one document's tokens."""
+    from redpanda_iceberg_duckdb_spark.operators.mixture10 import (
+        stratified_kfold_assignment, token_budget_mixture)
+
+    sf = "/root/testdata/sf0.01"
+    folds = stratified_kfold_assignment(spark, sf).collect()
+    by_lang = {}
+    for r in folds:
+        by_lang.setdefault(r.lang, []).append(r.n_docs)
+    for lang, sizes in by_lang.items():
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+    toks = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("source", F.size(F.split("text", " ")).alias("n"))
+            .groupBy("source").agg(F.sum("n").alias("tot"),
+                                   F.max("n").alias("mx")))
+    tot = {r.source: (r.tot, r.mx) for r in toks.collect()}
+    for r in token_budget_mixture(spark, sf).collect():
+        budget = tot[r.source][0] // 2
+        assert r.tokens_selected >= budget, (r.source, r.tokens_selected)
+        assert r.tokens_selected < budget + tot[r.source][1], r.source
