@@ -80,6 +80,9 @@ _VERIFY_FIRST = [
     # Mixture construction: exact-balance stratified K-fold and
     # token-budget-bounded per-source selection (hash-ordered).
     "stratified_kfold_assignment", "token_budget_mixture",
+    # Z-set retractions through the unchanged IVM transform: deletion =
+    # insertion of negative multiplicity; exact-zero netting proven.
+    "ivm_retraction_replay",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

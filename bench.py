@@ -97,7 +97,8 @@ def main() -> None:
                  "pmi_collocations_topk", "bipartite_supplier_projection",
                  "gini_customer_spend", "herfindahl_by_nation",
                  "isotonic_calibration_bins",
-                 "stratified_kfold_assignment", "token_budget_mixture"]:
+                 "stratified_kfold_assignment", "token_budget_mixture",
+                 "ivm_retraction_replay"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -106,3 +106,71 @@ def ivm_stream_refresh_replay(spark: SparkSession,
     for v in views[1:]:
         out = out.unionByName(v)
     return out.orderBy("batch_id", "c_custkey")
+
+
+# ------------------------------------------------- retractions (Z-sets)
+
+# Deterministic retraction predicate: batch R withdraws every line whose
+# orderkey ≡ 3 (mod 7) — a fixed ~14% slice of the corpus.
+_RETRACT_MOD, _RETRACT_RES = 7, 3
+
+
+def _retract_oracle() -> str:
+    live = (f"SELECT o.o_custkey, {_REV} AS rev "
+            "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey")
+    return f"""
+SELECT 1 AS batch_id, o_custkey AS c_custkey,
+       cast(sum(rev) AS double) AS revenue
+FROM ({live}) GROUP BY 2
+UNION ALL
+SELECT 2 AS batch_id, o.o_custkey AS c_custkey,
+       cast(sum({_REV}) AS double) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_orderkey % {_RETRACT_MOD} <> {_RETRACT_RES}
+GROUP BY 2
+ORDER BY batch_id, c_custkey"""
+
+
+@register(
+    "ivm_retraction_replay",
+    oracle=_retract_oracle(),
+    tags=("ivm", "streaming", "incremental", "replay", "scale-pattern"),
+)
+def ivm_retraction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-set deletes through the UNCHANGED maintenance transform: batch 1
+    ingests the whole corpus; batch 2 RETRACTS a fixed ~14% slice of the
+    lines by feeding the same rows with NEGATED revenue (the changelog
+    retraction encoding — Blakeley's delta algebra is linear in the
+    measure, so deletion is insertion of a negative multiplicity and
+    apply_delta needs no delete-specific code path). Oracle = direct
+    recompute over the surviving lines after each batch. Customers whose
+    every line was withdrawn net to EXACTLY decimal zero (another reason
+    the sums must be decimal, not float) and are dropped to match the
+    oracle's inner-join shape — the Z-set "support" projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    line = load_table(spark, sf_dir, "lineitem")
+
+    state = empty_state(spark)
+    views = []
+    d_o = orders.select("o_orderkey", "o_custkey")
+    batches = [
+        line.select("l_orderkey", F.expr(_REV).alias("rev")),
+        line.filter(
+            F.pmod("l_orderkey", _RETRACT_MOD) == _RETRACT_RES)
+        .select("l_orderkey", (-F.expr(_REV)).alias("rev")),
+    ]
+    for i, d_l in enumerate(batches, 1):
+        nxt = apply_delta(state, d_o if i == 1 else
+                          d_o.limit(0), d_l)
+        state = IvmState(nxt.view.localCheckpoint(eager=False),
+                         nxt.orders.localCheckpoint(eager=False),
+                         nxt.lines.localCheckpoint(eager=False))
+        views.append(state.view
+                     .filter(F.col("revenue") != 0)   # Z-set support
+                     .select(F.lit(i).alias("batch_id"), "c_custkey",
+                             F.col("revenue").cast("double")
+                             .alias("revenue")))
+    out = views[0]
+    for v in views[1:]:
+        out = out.unionByName(v)
+    return out.orderBy("batch_id", "c_custkey")

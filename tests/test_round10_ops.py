@@ -477,3 +477,33 @@ def test_kfold_exact_balance_and_budget_reached(spark):
         budget = tot[r.source][0] // 2
         assert r.tokens_selected >= budget, (r.source, r.tokens_selected)
         assert r.tokens_selected < budget + tot[r.source][1], r.source
+
+
+def test_ivm_sink_time_travel_reads_old_versions(spark, tmp_path):
+    """Every committed snapshot version stays readable after later
+    batches commit (the poor-man's time travel the pointer-flip layout
+    provides): v1's view must equal what v1 contained when it was
+    current, not the latest state."""
+    from decimal import Decimal
+
+    from redpanda_iceberg_duckdb_spark.streaming.ivm_sink import (
+        IvmState, ivm_batch, read_state)
+
+    base = str(tmp_path / "state")
+    os.makedirs(base)
+    schema = "kind string, orderkey bigint, custkey bigint, rev decimal(30,4)"
+    b0 = spark.createDataFrame(
+        [("order", 1, 10, None), ("line", 1, None, Decimal("5.0"))], schema)
+    b1 = spark.createDataFrame(
+        [("line", 1, None, Decimal("2.5"))], schema)
+    assert ivm_batch(b0, 0, base=base)
+    v1_then = sorted(map(tuple, read_state(spark, base).view.collect()))
+    assert ivm_batch(b1, 1, base=base)
+    v2 = sorted(map(tuple, read_state(spark, base).view.collect()))
+    assert v2 != v1_then
+    # time travel: read v1 directly
+    old = IvmState(
+        spark.read.parquet(f"{base}/v1/view"),
+        spark.read.parquet(f"{base}/v1/orders"),
+        spark.read.parquet(f"{base}/v1/lines"))
+    assert sorted(map(tuple, old.view.collect())) == v1_then
