@@ -83,6 +83,9 @@ _VERIFY_FIRST = [
     # Z-set retractions through the unchanged IVM transform: deletion =
     # insertion of negative multiplicity; exact-zero netting proven.
     "ivm_retraction_replay",
+    # Markov stationary distribution (general row-stochastic chain, the
+    # data-estimated sibling of PageRank) + bucket-jackknife ratio SE.
+    "markov_stationary_events", "jackknife_ratio_se",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -98,7 +98,8 @@ def main() -> None:
                  "gini_customer_spend", "herfindahl_by_nation",
                  "isotonic_calibration_bins",
                  "stratified_kfold_assignment", "token_budget_mixture",
-                 "ivm_retraction_replay"]:
+                 "ivm_retraction_replay",
+                 "markov_stationary_events", "jackknife_ratio_se"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

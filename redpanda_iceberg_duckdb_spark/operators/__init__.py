@@ -91,4 +91,6 @@ from . import (  # noqa: F401
     graph10,         # bipartite projection with hub-degree cap
     concentration10,  # Gini (two-phase ranks) + per-nation HHI
     mixture10,       # stratified K-fold + token-budget mixture selection
+    markov10,        # event-type transition chain stationary distribution
+    jackknife10,     # delete-one-bucket jackknife SE for ratio metrics
 )
