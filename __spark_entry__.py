@@ -86,6 +86,10 @@ _VERIFY_FIRST = [
     # Markov stationary distribution (general row-stochastic chain, the
     # data-estimated sibling of PageRank) + bucket-jackknife ratio SE.
     "markov_stationary_events", "jackknife_ratio_se",
+    # Monitoring + robust + CDC tier: PSI batch drift, categorical MI,
+    # snapshot-diff changelog derivation, trimmed/winsorized means.
+    "psi_price_drift", "mutual_information_type_hour",
+    "snapshot_diff_changelog", "trimmed_winsorized_means",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -99,7 +99,9 @@ def main() -> None:
                  "isotonic_calibration_bins",
                  "stratified_kfold_assignment", "token_budget_mixture",
                  "ivm_retraction_replay",
-                 "markov_stationary_events", "jackknife_ratio_se"]:
+                 "markov_stationary_events", "jackknife_ratio_se",
+                 "psi_price_drift", "mutual_information_type_hour",
+                 "snapshot_diff_changelog", "trimmed_winsorized_means"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -93,4 +93,7 @@ from . import (  # noqa: F401
     mixture10,       # stratified K-fold + token-budget mixture selection
     markov10,        # event-type transition chain stationary distribution
     jackknife10,     # delete-one-bucket jackknife SE for ratio metrics
+    drift10,         # PSI batch drift + categorical mutual information
+    cdcdiff10,       # snapshot diff -> insert/update/delete changelog
+    stats10,         # rank-cut trimmed + winsorized means per group
 )

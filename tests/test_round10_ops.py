@@ -507,3 +507,52 @@ def test_ivm_sink_time_travel_reads_old_versions(spark, tmp_path):
         spark.read.parquet(f"{base}/v1/orders"),
         spark.read.parquet(f"{base}/v1/lines"))
     assert sorted(map(tuple, old.view.collect())) == v1_then
+
+
+def test_psi_detects_planted_price_regime_change(spark, tmp_path):
+    """Double the current batch's prices: PSI must cross the 0.25 'major
+    shift' convention, while the untouched corpus stays under 0.1."""
+    from redpanda_iceberg_duckdb_spark.operators.drift10 import (
+        _CUT, psi_price_drift)
+
+    src = "/root/testdata/sf0.01"
+    base = psi_price_drift(spark, src).collect()[0]
+    assert base.psi < 0.1, base
+
+    o = spark.read.parquet(f"{src}/orders.parquet")
+    cut = F.lit(_CUT).cast("timestamp")
+    shifted = (o.filter(F.col("o_orderdate") < cut).unionByName(
+        o.filter(F.col("o_orderdate") >= cut)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)))
+    d = str(tmp_path / "ds")
+    shifted.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    drifted = psi_price_drift(spark, d).collect()[0]
+    assert drifted.psi > 0.25, drifted
+
+
+def test_mutual_information_detects_planted_coupling(spark, tmp_path):
+    """Uniform fixture MI ~ 0; planting a perfect type<->hour coupling
+    (each type fires only in its own hour) must push MI toward ln(5)."""
+    import datetime as dt
+    import math
+
+    from redpanda_iceberg_duckdb_spark.operators.drift10 import (
+        mutual_information_type_hour)
+
+    base = mutual_information_type_hour(
+        spark, "/root/testdata/sf0.01").collect()[0]
+    assert base.mi_nats < 0.05, base
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(2000):
+        typ = i % 5
+        rows.append((i, t0 + dt.timedelta(hours=typ, seconds=i % 1800),
+                     i % 97, f"type{typ}", 1.0, "{}"))
+    d = str(tmp_path / "ds")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    coupled = mutual_information_type_hour(spark, d).collect()[0]
+    assert abs(coupled.mi_nats - math.log(5)) < 1e-6, coupled
