@@ -90,6 +90,10 @@ _VERIFY_FIRST = [
     # snapshot-diff changelog derivation, trimmed/winsorized means.
     "psi_price_drift", "mutual_information_type_hour",
     "snapshot_diff_changelog", "trimmed_winsorized_means",
+    # Causal/valuation tier: DiD, Qini uplift deciles (two-phase-ranked
+    # tiles), exact 3-group Shapley attribution.
+    "difference_in_differences", "qini_uplift_deciles",
+    "shapley_source_value",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

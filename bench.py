@@ -101,7 +101,9 @@ def main() -> None:
                  "ivm_retraction_replay",
                  "markov_stationary_events", "jackknife_ratio_se",
                  "psi_price_drift", "mutual_information_type_hour",
-                 "snapshot_diff_changelog", "trimmed_winsorized_means"]:
+                 "snapshot_diff_changelog", "trimmed_winsorized_means",
+                 "difference_in_differences", "qini_uplift_deciles",
+                 "shapley_source_value"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -96,4 +96,6 @@ from . import (  # noqa: F401
     drift10,         # PSI batch drift + categorical mutual information
     cdcdiff10,       # snapshot diff -> insert/update/delete changelog
     stats10,         # rank-cut trimmed + winsorized means per group
+    experiment10,    # difference-in-differences + Qini uplift deciles
+    valuation10,     # exact 3-group Shapley data valuation
 )

@@ -556,3 +556,43 @@ def test_mutual_information_detects_planted_coupling(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{d}/events.parquet")
     coupled = mutual_information_type_hour(spark, d).collect()[0]
     assert abs(coupled.mi_nats - math.log(5)) < 1e-6, coupled
+
+
+def test_shapley_efficiency_and_planted_attribution(spark, tmp_path):
+    """Shapley efficiency: the values sum to v(full). Planted: one source
+    group of long docs and two of short — the long group's value must be
+    positive and the short groups' negative (they drag the mean down)."""
+    from redpanda_iceberg_duckdb_spark.operators.valuation10 import (
+        shapley_source_value)
+
+    rows = shapley_source_value(spark, "/root/testdata/sf0.01").collect()
+    assert abs(sum(r.shapley_value for r in rows) - rows[0].v_full) < 1e-5
+
+    # plant: find source names hashing to each group via the query's own
+    # grouping (just craft docs with controlled n_chars per source name)
+    import hashlib
+
+    def md5_u64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                              "little")
+    by_g = {0: None, 1: None, 2: None}
+    i = 0
+    while any(v is None for v in by_g.values()):
+        name = f"src{i}"
+        g = md5_u64(name) % 2147483647 % 3
+        if by_g[g] is None:
+            by_g[g] = name
+        i += 1
+    docs = []
+    for did in range(300):
+        g = did % 3
+        n_chars = 5000 if g == 0 else 100
+        docs.append((did, "x", "en", by_g[g], n_chars))
+    d = str(tmp_path / "ds")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars int"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.grp: r.shapley_value for r in
+           shapley_source_value(spark, d).collect()}
+    assert got[0] > 0 and got[1] < 0 and got[2] < 0, got
