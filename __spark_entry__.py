@@ -94,6 +94,14 @@ _VERIFY_FIRST = [
     # tiles), exact 3-group Shapley attribution.
     "difference_in_differences", "qini_uplift_deciles",
     "shapley_source_value",
+    # Late-batch distribution/lag diagnostics: exact two-sample KS on
+    # the cross-multiplied integer lattice, one-way ANOVA from bigint
+    # sufficient stats, dense-spine hourly ACF, view->purchase CCF.
+    "ks_two_sample_value", "anova_f_oneway",
+    "acf_hourly_lags", "crosscorr_lead_lag",
+    # NDCG@10 (graded-relevance IVF eval, integer log discounts) and
+    # Neyman-optimal stratified allocation (exact largest remainder).
+    "ndcg_at_10", "neyman_allocation",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

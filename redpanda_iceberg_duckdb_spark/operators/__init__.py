@@ -98,4 +98,8 @@ from . import (  # noqa: F401
     stats10,         # rank-cut trimmed + winsorized means per group
     experiment10,    # difference-in-differences + Qini uplift deciles
     valuation10,     # exact 3-group Shapley data valuation
+    stats10b,        # two-sample KS on the integer lattice + one-way ANOVA
+    timeseries10,    # dense-spine hourly ACF + purchase/view lead-lag CCF
+    retrieval10b,    # NDCG@10 with integer fixed-point log discounts
+    sampling10b,     # Neyman allocation, exact largest-remainder split
 )

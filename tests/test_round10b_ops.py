@@ -1,0 +1,154 @@
+"""Round-10 late-batch targeted tests: planted signals for the KS /
+ANOVA / ACF / CCF tier (the oracle parity runs live in
+test_operator_oracles.py; these prove the statistics MOVE the right way
+on constructed data)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts, user_id, event_type, value, props)."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _events_dir(tmp_path, spark, rows):
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    _write_events(spark, f"{d}/events.parquet", rows)
+    return d
+
+
+def test_ks_detects_planted_location_shift(spark, tmp_path):
+    """purchase ~ flat on [10,20), click ~ flat on [30,40): disjoint
+    supports => KS distance exactly 1; same support => small KS."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        rows.append((i, t0, 1, "purchase", 10.0 + (i % 10), ""))
+        rows.append((1000 + i, t0, 1, "click", 30.0 + (i % 10), ""))
+    d = _events_dir(tmp_path, spark, rows)
+    out = all_queries()["ks_two_sample_value"].fn(spark, d).collect()[0]
+    assert out["ks_stat"] == 1.0
+    assert out["n1"] == 200 and out["n2"] == 200
+
+    rows2 = [(i, t0, 1, ("purchase" if i % 2 else "click"),
+              10.0 + ((i // 2) % 10), "") for i in range(400)]
+    d2 = _events_dir(tmp_path / "same", spark, rows2)
+    out2 = all_queries()["ks_two_sample_value"].fn(spark, d2).collect()[0]
+    assert out2["ks_stat"] == 0.0
+
+
+def test_anova_separated_groups_dwarf_within_noise(spark, tmp_path):
+    """Five groups at means 10/20/30/40/50 with +-1 cent jitter: the
+    between-group SS must dominate (eta^2 ~ 1, F huge); identical
+    groups give F ~ 0."""
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["click", "error", "purchase", "signup", "view"]
+    rows = []
+    for g, ty in enumerate(types):
+        for i in range(50):
+            rows.append((g * 100 + i, t0, 1, ty,
+                         10.0 * (g + 1) + 0.01 * (i % 2), ""))
+    d = _events_dir(tmp_path, spark, rows)
+    out = all_queries()["anova_f_oneway"].fn(spark, d).collect()[0]
+    assert out["k"] == 5 and out["n"] == 250
+    assert out["eta_sq"] > 0.999
+    assert out["f_stat"] > 1e5
+
+    flat = [(i, t0, 1, types[i % 5], 25.0 + 0.01 * (i % 3), "")
+            for i in range(250)]
+    d2 = _events_dir(tmp_path / "flat", spark, flat)
+    out2 = all_queries()["anova_f_oneway"].fn(spark, d2).collect()[0]
+    assert out2["eta_sq"] < 0.05
+
+
+def test_acf_finds_planted_period(spark, tmp_path):
+    """Hourly counts alternating 1,1,21 (period 3): acf at lag 3 must be
+    strongly positive and larger than at lags 1 and 2."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(72):
+        n = 21 if h % 3 == 0 else 1
+        for _ in range(n):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1,
+                         "view", 1.0, ""))
+            eid += 1
+    d = _events_dir(tmp_path, spark, rows)
+    acf = {r["lag"]: r["acf"]
+           for r in all_queries()["acf_hourly_lags"].fn(spark, d).collect()}
+    assert acf[3] > 0.9
+    assert acf[3] > acf[1] and acf[3] > acf[2]
+    assert acf[6] > 0.8  # harmonic of the period
+
+
+def test_ccf_locates_planted_lead(spark, tmp_path):
+    """view bursts at hours h in B; purchase bursts at h+3: the CCF must
+    peak at lag +3 (views lead purchases by 3 hours)."""
+    t0 = dt.datetime(2024, 1, 1)
+    bursts = {4, 11, 23, 37, 52}
+    rows, eid = [], 0
+    for h in range(72):
+        nv = 15 if h in bursts else 1
+        np_ = 15 if (h - 3) in bursts else 1
+        for _ in range(nv):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1,
+                         "view", 1.0, ""))
+            eid += 1
+        for _ in range(np_):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1,
+                         "purchase", 1.0, ""))
+            eid += 1
+    d = _events_dir(tmp_path, spark, rows)
+    ccf = {r["lag"]: r["ccf"]
+           for r in all_queries()["crosscorr_lead_lag"].fn(spark, d).collect()}
+    peak = max(ccf, key=lambda k: ccf[k])
+    assert peak == 3, f"CCF peaked at {peak}, expected +3: {ccf}"
+    assert ccf[3] > 0.8
+
+
+def test_ndcg_idcg_is_the_graded_multiset_constant(spark):
+    """By construction the graded relevance multiset of every probe with
+    >=10 exact neighbors is {3, 2x4, 1x5}; IDCG must equal its fixed
+    integer value and NDCG must sit in (0, 1]."""
+    import math
+
+    w = {i: round(1e6 / math.log2(i + 1)) for i in range(1, 11)}
+    idcg_const = (3 * w[1] + 2 * (w[2] + w[3] + w[4] + w[5])
+                  + sum(w[i] for i in range(6, 11)))
+    rows = all_queries()["ndcg_at_10"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no probe queries at sf0.001"
+    for r in rows:
+        assert r["idcg_scaled"] == idcg_const
+        assert 0 <= r["ndcg_at_10"] <= 1.0
+        assert 0 <= r["dcg_scaled"] <= r["idcg_scaled"]
+
+
+def test_neyman_allocates_by_n_times_sd(spark, tmp_path):
+    """Two equal-size strata, sd ratio 3:1 (values +-3 vs +-1 around the
+    mean): the noisier stratum must get ~3x the budget, and the
+    allocations must sum to the budget exactly."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        rows.append((i, t0, 1, "click", 50.0 + (3 if i % 2 else -3), ""))
+        rows.append((1000 + i, t0, 1, "view",
+                     50.0 + (1 if i % 2 else -1), ""))
+    d = _events_dir(tmp_path, spark, rows)
+    out = {r["event_type"]: r for r in
+           all_queries()["neyman_allocation"].fn(spark, d).collect()}
+    assert sum(r["alloc"] for r in out.values()) == 1000
+    assert out["click"]["alloc"] == 750  # 3:1 weight split of 1000
+    assert out["view"]["alloc"] == 250
