@@ -102,6 +102,9 @@ _VERIFY_FIRST = [
     # NDCG@10 (graded-relevance IVF eval, integer log discounts) and
     # Neyman-optimal stratified allocation (exact largest remainder).
     "ndcg_at_10", "neyman_allocation",
+    # U-shaped multi-touch attribution (integer nano-credits) and
+    # sorted-neighborhood dedup blocking (two-phase ranks, banded join).
+    "multitouch_attribution", "sorted_neighborhood_pairs",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -102,4 +102,6 @@ from . import (  # noqa: F401
     timeseries10,    # dense-spine hourly ACF + purchase/view lead-lag CCF
     retrieval10b,    # NDCG@10 with integer fixed-point log discounts
     sampling10b,     # Neyman allocation, exact largest-remainder split
+    attribution10,   # U-shaped multi-touch attribution, integer credits
+    dedup10b,        # sorted-neighborhood blocking graded by rank distance
 )

@@ -152,3 +152,72 @@ def test_neyman_allocates_by_n_times_sd(spark, tmp_path):
     assert sum(r["alloc"] for r in out.values()) == 1000
     assert out["click"]["alloc"] == 750  # 3:1 weight split of 1000
     assert out["view"]["alloc"] == 250
+
+
+def test_multitouch_credits_known_path_exactly(spark, tmp_path):
+    """One user, path view->click->error->view then purchase: U-shaped
+    credits must be first 0.4, last 0.4, middles 0.1 each — and the
+    nano-credit total must equal exactly one conversion."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=0), 7, "view", 1.0, ""),
+        (2, t0 + dt.timedelta(minutes=1), 7, "click", 1.0, ""),
+        (3, t0 + dt.timedelta(minutes=2), 7, "error", 1.0, ""),
+        (4, t0 + dt.timedelta(minutes=3), 7, "view", 1.0, ""),
+        (5, t0 + dt.timedelta(minutes=4), 7, "purchase", 9.0, ""),
+        # a second user with no pre-purchase touches contributes nothing
+        (6, t0, 8, "purchase", 5.0, ""),
+    ]
+    d = _events_dir(tmp_path, spark, rows)
+    out = {r["event_type"]: r for r in
+           all_queries()["multitouch_attribution"].fn(spark, d).collect()}
+    assert set(out) == {"view", "click", "error"}
+    # first view 400M + last view 400M; click/error 100M each
+    assert out["view"]["credit_nanos"] == 800_000_000
+    assert out["click"]["credit_nanos"] == 100_000_000
+    assert out["error"]["credit_nanos"] == 100_000_000
+    assert sum(r["credit_nanos"] for r in out.values()) == 1_000_000_000
+    assert out["view"]["n_first"] == 1 and out["view"]["n_last"] == 1
+
+
+def test_snm_catches_planted_adjacent_dup(spark, tmp_path):
+    """Two docs sharing a long prefix and ~all 5-grams must rank
+    adjacently (dist=1) and verify; unrelated docs must not verify."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    rows = [
+        (1, base + "end one", "en", "s1", len(base) + 7),
+        (2, base + "end two", "en", "s1", len(base) + 7),
+        (3, "completely different text about spark query engines and "
+            "columnar vectorized execution pipelines for analytics "
+            "workloads at scale with shuffles and joins", "en", "s2", 150),
+        (4, "yet another unrelated document mentioning kafka topics "
+            "brokers partitions offsets consumer groups and exactly "
+            "once delivery semantics in streams", "en", "s3", 140),
+    ]
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").coalesce(1).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    out = {r["dist"]: r for r in
+           all_queries()["sorted_neighborhood_pairs"].fn(spark, d).collect()}
+    assert out[1]["n_verified"] == 1   # the planted pair, adjacent ranks
+    assert all(r["n_verified"] == 0 for k, r in out.items() if k != 1)
+
+
+def test_snm_finds_real_neardups_at_sf001(spark):
+    """On the shipped corpus the near-dup mass must sit at dist=1 and
+    candidates must be exactly N-d per distance (rank-window algebra)."""
+    rows = all_queries()["sorted_neighborhood_pairs"].fn(
+        spark, "/root/testdata/sf0.01").collect()
+    n_docs = 500
+    by_d = {r["dist"]: r for r in rows}
+    for dd, r in by_d.items():
+        assert r["n_candidates"] == n_docs - dd
+    assert by_d[1]["n_verified"] > 0, "prefix-sorted dups not adjacent?"
+    assert by_d[1]["n_verified"] >= max(
+        r["n_verified"] for dd, r in by_d.items() if dd > 1)
