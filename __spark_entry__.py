@@ -105,6 +105,9 @@ _VERIFY_FIRST = [
     # U-shaped multi-touch attribution (integer nano-credits) and
     # sorted-neighborhood dedup blocking (two-phase ranks, banded join).
     "multitouch_attribution", "sorted_neighborhood_pairs",
+    # Spatial-grid DBSCAN labeling (3x3 cell equi-join, brute-force
+    # oracle) and item-item CF cosine neighbors (capped baskets).
+    "dbscan_grid_labels", "item_item_cosine_recs",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

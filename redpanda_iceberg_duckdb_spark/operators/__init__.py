@@ -104,4 +104,6 @@ from . import (  # noqa: F401
     sampling10b,     # Neyman allocation, exact largest-remainder split
     attribution10,   # U-shaped multi-touch attribution, integer credits
     dedup10b,        # sorted-neighborhood blocking graded by rank distance
+    density10,       # grid-blocked DBSCAN core/border/noise labeling
+    recsys10,        # item-item CF cosine neighbors, capped baskets
 )

@@ -221,3 +221,72 @@ def test_snm_finds_real_neardups_at_sf001(spark):
     assert by_d[1]["n_verified"] > 0, "prefix-sorted dups not adjacent?"
     assert by_d[1]["n_verified"] >= max(
         r["n_verified"] for dd, r in by_d.items() if dd > 1)
+
+
+def _write_embeddings(spark, path, rows):
+    """rows: (vec_id, [64 floats], label)."""
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_dbscan_grid_catches_cross_cell_pairs(spark, tmp_path):
+    """A 6-point tight blob (all core), a lone point 0.015 from the blob
+    edge ACROSS a grid-cell boundary (border — proves the 3x3 cell
+    neighborhood loses nothing), and a far point (noise)."""
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = []
+    # blob straddling the cell boundary at x=0 (cells -1 and 0)
+    for k, (x, y) in enumerate([(-0.005, 0.0), (-0.002, 0.004),
+                                (0.003, 0.001), (0.006, -0.003),
+                                (-0.007, -0.004), (0.001, 0.006)]):
+        rows.append((k, v(x, y), 0))
+    rows.append((10, v(0.021, 0.0), 0))   # within eps of blob pts >= x=0.006
+    rows.append((11, v(0.3, 0.3), 0))     # isolated
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    _write_embeddings(spark, f"{d}/embeddings.parquet", rows)
+    out = {r["point_class"]: r["n_points"] for r in
+           all_queries()["dbscan_grid_labels"].fn(spark, d).collect()}
+    assert out.get("core", 0) == 6
+    assert out.get("border", 0) == 1
+    assert out.get("noise", 0) == 1
+
+
+def test_itemcf_perfect_copurchase_ranks_first(spark, tmp_path):
+    """Parts 0 and 1 are bought by exactly the same 8 customers (cosine
+    1.0); part 2 overlaps part 0 in only 2 of 8 baskets — rank 1 for
+    probe 0 must be part 1."""
+    orders, lineitem, oid = [], [], 0
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    for c in range(8):
+        oid += 1
+        orders.append((oid, c, "O", 1.0, t0, "1-URGENT"))
+        parts = [0, 1] + ([2] if c < 2 else [3])
+        for ln, p in enumerate(parts, 1):
+            lineitem.append((oid, p, 0, ln, 1.0, 1.0, 0.0, 0.0,
+                             "N", "O", t0))
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_partkey long, l_suppkey long, "
+                  "l_linenumber int, l_quantity double, "
+                  "l_extendedprice double, l_discount double, "
+                  "l_tax double, l_returnflag string, "
+                  "l_linestatus string, l_shipdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    rows = all_queries()["item_item_cosine_recs"].fn(spark, d).collect()
+    top = {(r["probe_part"], r["rank"]): r for r in rows}
+    assert top[(0, 1)]["similar_part"] == 1
+    assert top[(0, 1)]["cosine"] == 1.0
+    assert top[(0, 1)]["co_count"] == 8
+    assert top[(0, 2)]["cosine"] < 1.0
