@@ -108,6 +108,9 @@ _VERIFY_FIRST = [
     # Spatial-grid DBSCAN labeling (3x3 cell equi-join, brute-force
     # oracle) and item-item CF cosine neighbors (capped baskets).
     "dbscan_grid_labels", "item_item_cosine_recs",
+    # Landmark BFS over the rare-part co-purchase graph (frontier joins,
+    # recursive-CTE oracle) and exact-integer HITS hubs/authorities.
+    "bfs_hop_distance", "hits_hubs_authorities",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

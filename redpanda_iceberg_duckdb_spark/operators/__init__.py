@@ -106,4 +106,5 @@ from . import (  # noqa: F401
     dedup10b,        # sorted-neighborhood blocking graded by rank distance
     density10,       # grid-blocked DBSCAN core/border/noise labeling
     recsys10,        # item-item CF cosine neighbors, capped baskets
+    graph10b,        # landmark BFS hop histogram + exact-integer HITS
 )

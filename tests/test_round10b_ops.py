@@ -290,3 +290,72 @@ def test_itemcf_perfect_copurchase_ranks_first(spark, tmp_path):
     assert top[(0, 1)]["cosine"] == 1.0
     assert top[(0, 1)]["co_count"] == 8
     assert top[(0, 2)]["cosine"] < 1.0
+
+
+def _write_purchases(spark, d, baskets):
+    """baskets: {custkey: [partkeys]} -> orders + lineitem parquet."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders, lineitem, oid = [], [], 0
+    for c, parts in baskets.items():
+        oid += 1
+        orders.append((oid, c, "O", 1.0, t0, "1-URGENT"))
+        for ln, p in enumerate(parts, 1):
+            lineitem.append((oid, p, 0, ln, 1.0, 1.0, 0.0, 0.0,
+                             "N", "O", t0))
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_partkey long, l_suppkey long, "
+                  "l_linenumber int, l_quantity double, "
+                  "l_extendedprice double, l_discount double, "
+                  "l_tax double, l_returnflag string, "
+                  "l_linestatus string, l_shipdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+
+def test_bfs_path_graph_and_pop_cap(spark, tmp_path):
+    """Chain 1-2-3-4-5-6 via rare parts: hops 0..4 from landmark 1,
+    customer 6 at hop 5 is beyond the cap -> unreachable (-1), like the
+    isolated customer 9. A POPULAR part (27 buyers > cap 25) shared by
+    ALL of them must NOT shortcut the chain."""
+    baskets = {}
+    # chain links: part 100+i shared by customers i+1 and i+2 only
+    for i in range(5):
+        baskets.setdefault(i + 1, []).append(100 + i)
+        baskets.setdefault(i + 2, []).append(100 + i)
+    baskets[9] = [999]  # isolated: its part is bought by nobody else
+    # the hub part 500: bought by the chain + 20 fillers -> pop 27 > 25
+    for c in list(baskets) + [c + 50 for c in range(20)]:
+        baskets.setdefault(c, []).append(500)
+    d = str(tmp_path / "ds")
+    _write_purchases(spark, d, baskets)
+    out = {r["hops"]: r["n_customers"] for r in
+           all_queries()["bfs_hop_distance"].fn(spark, d).collect()}
+    # landmark is customer 1 (smallest edge endpoint)
+    assert out[0] == 1 and out[1] == 1 and out[2] == 1
+    assert out[3] == 1 and out[4] == 1
+    # customer 6 (hop 5 > cap) + customer 9 + the 20 fillers: all -1
+    assert out[-1] == 22
+
+
+def test_hits_whale_hub_and_popular_authority(spark, tmp_path):
+    """Customer 1 buys every part (max hub); part 100 is bought by all
+    customers (max authority); exact integer scores."""
+    baskets = {1: list(range(100, 110))}
+    for c in range(2, 8):
+        baskets[c] = [100, 100 + (c % 3)]
+    d = str(tmp_path / "ds")
+    _write_purchases(spark, d, baskets)
+    rows = all_queries()["hits_hubs_authorities"].fn(spark, d).collect()
+    hub1 = [r for r in rows if r["role"] == "hub" and r["rank"] == 1][0]
+    auth1 = [r for r in rows
+             if r["role"] == "authority" and r["rank"] == 1][0]
+    assert hub1["node_id"] == 1
+    assert auth1["node_id"] == 100
+    assert hub1["score"] > 0 and auth1["score"] > 0
