@@ -103,7 +103,14 @@ def main() -> None:
                  "psi_price_drift", "mutual_information_type_hour",
                  "snapshot_diff_changelog", "trimmed_winsorized_means",
                  "difference_in_differences", "qini_uplift_deciles",
-                 "shapley_source_value"]:
+                 "shapley_source_value",
+                 # round-10 late batch
+                 "ks_two_sample_value", "anova_f_oneway",
+                 "acf_hourly_lags", "crosscorr_lead_lag",
+                 "ndcg_at_10", "neyman_allocation",
+                 "multitouch_attribution", "sorted_neighborhood_pairs",
+                 "dbscan_grid_labels", "item_item_cosine_recs",
+                 "bfs_hop_distance", "hits_hubs_authorities"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -452,3 +452,45 @@ def test_round9c_plan_gates(spark, sf_smoke):
     # global data sort feeding a sort-merge join.)
     p = plans.physical_plan(qs["mase_seasonal_naive"].fn(spark, sf_smoke))
     assert "BroadcastHashJoin" in p, p[:1200]
+
+
+def test_round10b_plan_gates(spark, sf_smoke):
+    """Plan-shape gates for the round-10 late batch:
+    - SNM candidate pairing is the banded equi-join (blk), never a
+      nested-loop / cartesian product over the ranked corpus.
+    - DBSCAN's neighbor search is the (cx, cy) cell equi-join — the
+      brute-force all-pairs shape lives ONLY in the oracle.
+    - item-item CF joins popularity via broadcast (the pair table is the
+      big side); no cartesian anywhere.
+    - BFS frontier expansion and HITS half-steps are equi-joins; the
+      only nested-loop joins allowed are 1-row scalar broadcasts
+      (landmark / totals)."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    qs = all_queries()
+
+    p = plans.physical_plan(
+        qs["sorted_neighborhood_pairs"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p, p[:1200]
+    assert "blk" in p, "banded join key missing from plan"
+
+    p = plans.physical_plan(qs["dbscan_grid_labels"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p, p[:1200]
+    assert "BroadcastNestedLoopJoin" not in p, p[:1200]
+    assert "cx" in p and "cy" in p, "cell keys missing from plan"
+
+    p = plans.physical_plan(
+        qs["item_item_cosine_recs"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p, p[:1200]
+    assert "BroadcastHashJoin" in p, "popularity join not broadcast"
+
+    for name in ("bfs_hop_distance", "hits_hubs_authorities"):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "CartesianProduct" not in p, (name, p[:1200])
+
+    # KS: the ECDF cumsum windows are bucket-partitioned; the only
+    # unpartitioned window in the plan is over the <=32-row bucket
+    # summary. Assert the data-sized window carries the bucket key.
+    p = plans.physical_plan(qs["ks_two_sample_value"].fn(spark, sf_smoke))
+    assert "bucket" in p, "bucketed window key missing from KS plan"
