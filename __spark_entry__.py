@@ -111,6 +111,9 @@ _VERIFY_FIRST = [
     # Landmark BFS over the rare-part co-purchase graph (frontier joins,
     # recursive-CTE oracle) and exact-integer HITS hubs/authorities.
     "bfs_hop_distance", "hits_hubs_authorities",
+    # Kruskal-Wallis (doubled midranks, two-phase cumulation) and the
+    # md5-seeded 64-permutation mean-difference test (decimal128 exact).
+    "kruskal_wallis_value", "hash_permutation_test",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -110,7 +110,8 @@ def main() -> None:
                  "ndcg_at_10", "neyman_allocation",
                  "multitouch_attribution", "sorted_neighborhood_pairs",
                  "dbscan_grid_labels", "item_item_cosine_recs",
-                 "bfs_hop_distance", "hits_hubs_authorities"]:
+                 "bfs_hop_distance", "hits_hubs_authorities",
+                 "kruskal_wallis_value", "hash_permutation_test"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -107,4 +107,5 @@ from . import (  # noqa: F401
     density10,       # grid-blocked DBSCAN core/border/noise labeling
     recsys10,        # item-item CF cosine neighbors, capped baskets
     graph10b,        # landmark BFS hop histogram + exact-integer HITS
+    stats10c,        # Kruskal-Wallis midranks + md5-seeded permutation test
 )

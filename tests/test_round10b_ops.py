@@ -359,3 +359,53 @@ def test_hits_whale_hub_and_popular_authority(spark, tmp_path):
     assert hub1["node_id"] == 1
     assert auth1["node_id"] == 100
     assert hub1["score"] > 0 and auth1["score"] > 0
+
+
+def test_kruskal_wallis_separated_vs_identical(spark, tmp_path):
+    """Cleanly separated groups give H near its k-1-group maximum;
+    identical groups (all values equal) are all one tie run and H = 0
+    (tie-corrected H is 0/0-guarded by construction: corr > 0 unless
+    EVERYTHING ties — use near-identical instead)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["click", "error", "purchase", "signup", "view"]
+    rows = []
+    for g, ty in enumerate(types):
+        for i in range(40):
+            rows.append((g * 100 + i, t0, 1, ty, 10.0 * (g + 1), ""))
+    d = _events_dir(tmp_path, spark, rows)
+    out = all_queries()["kruskal_wallis_value"].fn(spark, d).collect()[0]
+    assert out["n"] == 200 and out["k"] == 5
+    assert out["h_tie_corrected"] > 150  # ~ n-1 scale for clean separation
+
+    rows2 = [(i, t0, 1, types[i % 5], 25.0 + 0.01 * (i % 2), "")
+             for i in range(200)]
+    d2 = _events_dir(tmp_path / "flat", spark, rows2)
+    out2 = all_queries()["kruskal_wallis_value"].fn(spark, d2).collect()[0]
+    assert abs(out2["h_tie_corrected"]) < 5
+
+
+def test_permutation_test_p_values_move_correctly(spark, tmp_path):
+    """Disjoint supports: the observed diff beats (almost) every random
+    relabeling -> tiny p. Zero observed diff: every permutation is at
+    least as extreme -> p = 1."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(150):
+        rows.append((i, t0, 1, "purchase", 100.0 + (i % 5), ""))
+        rows.append((1000 + i, t0, 1, "click", 10.0 + (i % 5), ""))
+    d = _events_dir(tmp_path, spark, rows)
+    out = all_queries()["hash_permutation_test"].fn(spark, d).collect()[0]
+    assert out["n_perms"] == 64
+    assert out["p_value"] <= 3 / 65  # at most a couple of lucky perms
+
+    rows2 = []
+    for i in range(150):
+        rows2.append((i, t0, 1, "purchase", 42.0, ""))
+        rows2.append((1000 + i, t0, 1, "click", 42.0, ""))
+    d2 = _events_dir(tmp_path / "null", spark, rows2)
+    out2 = all_queries()["hash_permutation_test"].fn(spark, d2).collect()[0]
+    assert out2["p_value"] == 1.0
