@@ -122,7 +122,19 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = []
+_PENDING_NEXT_WINDOW: list[str] = [
+    # Registered after round 10's 50-slot window filled; each passes the
+    # local oracle replica at sf0.001 + sf0.01 (tests/test_operator_oracles
+    # + tests/test_round10c_ops planted checks) and heads _VERIFY_FIRST
+    # next round. Apriori brand pairs, interval sweep-line concurrency,
+    # integer-lattice Naive Bayes confusion, bigram surprisal bands,
+    # Heaps'-law fit, split-conformal coverage, k-center coreset seeds,
+    # AMS tug-of-war F2 sketch.
+    "basket_frequent_pairs", "max_concurrent_open_lines",
+    "naive_bayes_lang_confusion", "bigram_surprisal_bands",
+    "heaps_law_fit", "conformal_interval_coverage",
+    "kcenter_farthest_points", "ams_f2_sketch",
+]
 
 
 def _ordered_queries():

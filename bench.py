@@ -111,7 +111,12 @@ def main() -> None:
                  "multitouch_attribution", "sorted_neighborhood_pairs",
                  "dbscan_grid_labels", "item_item_cosine_recs",
                  "bfs_hop_distance", "hits_hubs_authorities",
-                 "kruskal_wallis_value", "hash_permutation_test"]:
+                 "kruskal_wallis_value", "hash_permutation_test",
+                 # round-10 pending batch (verified next round)
+                 "basket_frequent_pairs", "max_concurrent_open_lines",
+                 "naive_bayes_lang_confusion", "bigram_surprisal_bands",
+                 "heaps_law_fit", "conformal_interval_coverage",
+                 "kcenter_farthest_points", "ams_f2_sketch"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -108,4 +108,9 @@ from . import (  # noqa: F401
     recsys10,        # item-item CF cosine neighbors, capped baskets
     graph10b,        # landmark BFS hop histogram + exact-integer HITS
     stats10c,        # Kruskal-Wallis midranks + md5-seeded permutation test
+    basket10,        # Apriori brand pairs + interval sweep-line concurrency
+    nblm10,          # integer-lattice NB confusion, bigram surprisal, Heaps
+    conformal10,     # exact split-conformal intervals + coverage audit
+    kcenter10,       # farthest-point k-center coreset on the int lattice
+    sketches10,      # AMS tug-of-war F2 sketch vs exact self-join size
 )

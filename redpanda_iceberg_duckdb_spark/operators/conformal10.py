@@ -1,0 +1,141 @@
+"""Group-conditional (Mondrian) split-conformal prediction intervals with
+EXACT integer arithmetic end to end — the distribution-free uncertainty
+quantifier of the eval tier (Vovk et al., "Algorithmic Learning in a Random
+World", 2005; Papadopoulos et al. ECML 2002 for the split variant).
+
+Three md5-hash folds (train 60% / calibration 20% / test 20%, the
+cross-engine hash of functions/hashing.py). The predictor is the per-group
+train mean — deliberately simple, the conformal guarantee does not care —
+kept as the exact rational (sum_g, n_g) instead of a float. Every residual
+is then cross-multiplied onto the integer lattice:
+
+    |y - sum_g/n_g|  <->  r = |y * n_g - sum_g|     (exact bigint)
+
+so the calibration quantile q_g = r_(k), k = ceil((1-alpha)(n_cal+1)) =
+(4*(n_cal+1)+4) DIV 5 at alpha = 0.2, is the k-th smallest of exact
+integers — selected DISTRIBUTED via per-(group, residual) counts cumulated
+with the two-phase bucket pattern (local cumsum within a residual bucket +
+broadcast bucket offsets; no single-partition sort of the calibration set).
+Test coverage compares the same exact integers: covered iff r_test <= q_g.
+
+The conformal promise — coverage >= 1 - alpha in expectation — is then a
+measurable output: the coverage column must sit near 0.8, which the planted
+test asserts under a shifted-test-fold perturbation.
+
+At 100 TB: folds are hash predicates on the scan (no shuffle), the
+predictor state is a groups-sized broadcast, quantile selection shuffles
+(group, residual)-distinct rows only, and the coverage check is one
+combinable aggregate. y rides as cents (floor(price*100)) so n_g * y stays
+within int64 for any realistic group size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import register
+from ..tables import load_table
+from ..functions.hashing import md5_mod_duck, md5_mod_spark
+
+_SALT = "concat('cf:', cast(o_orderkey as string))"
+_SALT_D = "'cf:' || cast(o_orderkey as varchar)"
+_RBUCKET = 1 << 20           # residual-lattice bucket width for 2-phase rank
+
+
+def _oracle() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         cast(floor(o_totalprice * 100) AS bigint) AS cents,
+         {md5_mod_duck(_SALT_D, 10)} AS h
+  FROM orders),
+tr AS (
+  SELECT grp, sum(cents) AS s, count(*) AS n
+  FROM o WHERE h < 6 GROUP BY 1),
+cal AS (
+  SELECT o.grp, abs(o.cents * tr.n - tr.s) AS r
+  FROM o JOIN tr ON tr.grp = o.grp WHERE o.h IN (6, 7)),
+ncal AS (SELECT grp, count(*) AS n_cal FROM cal GROUP BY 1),
+kk AS (SELECT grp, n_cal, (4 * (n_cal + 1) + 4) // 5 AS k FROM ncal),
+rk AS (
+  SELECT grp, r, count(*) AS c FROM cal GROUP BY 1, 2),
+cum AS (
+  SELECT grp, r,
+         sum(c) OVER (PARTITION BY grp ORDER BY r) AS cum
+  FROM rk),
+q AS (  -- k-th smallest calibration residual (clamped to max when k > n)
+  SELECT kk.grp, kk.n_cal, kk.k,
+         min(cum.r) FILTER (WHERE cum.cum >= least(kk.k, kk.n_cal)) AS qhat
+  FROM kk JOIN cum ON cum.grp = kk.grp
+  GROUP BY 1, 2, 3),
+tst AS (
+  SELECT o.grp, count(*) AS n_test,
+         sum(CASE WHEN abs(o.cents * tr.n - tr.s) <= q.qhat
+             THEN 1 ELSE 0 END) AS covered
+  FROM o JOIN tr ON tr.grp = o.grp JOIN q ON q.grp = o.grp
+  WHERE o.h >= 8 GROUP BY 1)
+SELECT t.grp, tr.n AS n_train, q.n_cal, t.n_test,
+       round(q.qhat * 1.0 / (tr.n * 100), 2) AS half_width_dollars,
+       cast(t.covered AS bigint) AS covered,
+       round(t.covered * 1.0 / t.n_test, 6) AS coverage
+FROM tst t JOIN q ON q.grp = t.grp JOIN tr ON tr.grp = t.grp
+ORDER BY t.grp"""
+
+
+@register(
+    "conformal_interval_coverage",
+    oracle=_oracle(),
+    tags=("evaluation", "statistics", "scale-pattern"),
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, n_train, n_cal, n_test, half_width_dollars, covered, coverage):
+    group-conditional split-conformal intervals around the per-priority
+    train-mean predictor at alpha = 0.2 — exact cross-multiplied integer
+    residuals, distributed two-phase quantile selection, and the empirical
+    holdout coverage that must honor the >= 0.8 promise."""
+    o = (load_table(spark, sf_dir, "orders")
+         .select(F.col("o_orderpriority").alias("grp"),
+                 F.floor(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cents"),
+                 F.expr(md5_mod_spark(_SALT, 10)).alias("h")))
+    tr = (o.where(F.col("h") < 6).groupBy("grp")
+          .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")))
+    cal = (o.where(F.col("h").isin(6, 7))
+           .join(F.broadcast(tr), "grp")
+           .select("grp", F.abs(F.col("cents") * F.col("n") - F.col("s"))
+                   .alias("r")))
+    kk = (cal.groupBy("grp").agg(F.count(F.lit(1)).alias("n_cal"))
+          .select("grp", "n_cal",
+                  F.expr("(4 * (n_cal + 1) + 4) div 5").alias("k")))
+    rk = (cal.groupBy("grp", "r").agg(F.count(F.lit(1)).alias("c"))
+          .withColumn("bkt", F.expr(f"r div {_RBUCKET}")))
+    wloc = (W.partitionBy("grp", "bkt").orderBy("r")
+            .rowsBetween(W.unboundedPreceding, 0))
+    local = rk.withColumn("loc", F.sum("c").over(wloc))
+    btot = rk.groupBy("grp", "bkt").agg(F.sum("c").alias("bt"))
+    woff = (W.partitionBy("grp").orderBy("bkt")
+            .rowsBetween(W.unboundedPreceding, -1))
+    offs = (btot.withColumn("off",
+                            F.coalesce(F.sum("bt").over(woff), F.lit(0)))
+            .select("grp", "bkt", "off"))
+    cum = (local.join(F.broadcast(offs), ["grp", "bkt"])
+           .select("grp", "r", (F.col("loc") + F.col("off")).alias("cum")))
+    q = (cum.join(F.broadcast(kk), "grp")
+         .where(F.col("cum") >= F.least(F.col("k"), F.col("n_cal")))
+         .groupBy("grp", "n_cal", "k").agg(F.min("r").alias("qhat")))
+    tst = (o.where(F.col("h") >= 8)
+           .join(F.broadcast(tr), "grp")
+           .join(F.broadcast(q.select("grp", "qhat")), "grp")
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).alias("n_test"),
+                F.sum(F.when(F.abs(F.col("cents") * F.col("n") - F.col("s"))
+                             <= F.col("qhat"), 1).otherwise(0))
+                .alias("covered")))
+    return (tst.join(F.broadcast(q), "grp").join(F.broadcast(tr), "grp")
+            .select("grp", F.col("n").alias("n_train"), "n_cal", "n_test",
+                    F.round(F.col("qhat") * 1.0 / (F.col("n") * 100), 2)
+                    .alias("half_width_dollars"),
+                    "covered",
+                    F.round(F.col("covered") * 1.0 / F.col("n_test"), 6)
+                    .alias("coverage"))
+            .orderBy("grp"))
