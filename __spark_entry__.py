@@ -134,6 +134,11 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "naive_bayes_lang_confusion", "bigram_surprisal_bands",
     "heaps_law_fit", "conformal_interval_coverage",
     "kcenter_farthest_points", "ams_f2_sketch",
+    # second closing batch: 3-core peel histogram, label-propagation
+    # community sizes, BH-FDR over the 10 pairwise block-randomization
+    # tests (tests/test_round10d_ops planted checks).
+    "kcore_degree_histogram", "label_propagation_sizes",
+    "bh_fdr_discoveries",
 ]
 
 

@@ -116,7 +116,9 @@ def main() -> None:
                  "basket_frequent_pairs", "max_concurrent_open_lines",
                  "naive_bayes_lang_confusion", "bigram_surprisal_bands",
                  "heaps_law_fit", "conformal_interval_coverage",
-                 "kcenter_farthest_points", "ams_f2_sketch"]:
+                 "kcenter_farthest_points", "ams_f2_sketch",
+                 "kcore_degree_histogram", "label_propagation_sizes",
+                 "bh_fdr_discoveries"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

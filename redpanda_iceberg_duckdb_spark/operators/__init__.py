@@ -113,4 +113,6 @@ from . import (  # noqa: F401
     conformal10,     # exact split-conformal intervals + coverage audit
     kcenter10,       # farthest-point k-center coreset on the int lattice
     sketches10,      # AMS tug-of-war F2 sketch vs exact self-join size
+    graph10d,        # k-core peeling + min-tie-break label propagation
+    stats10d,        # Benjamini-Hochberg FDR over block randomization tests
 )

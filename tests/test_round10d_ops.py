@@ -1,0 +1,99 @@
+"""Round-10 second pending-batch targeted tests: planted structures for
+k-core peeling, label propagation, and BH-FDR (oracle parity runs live in
+test_operator_oracles.py; these prove each operator MOVES the right way
+on constructed data)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+
+def _write(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def _graph_dir(tmp_path, spark, cust_parts):
+    """cust_parts: list of (custkey, partkey) purchases; one order per
+    customer carrying all their lines."""
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1)
+    custs = sorted({c for c, _ in cust_parts})
+    od = [(c, c, "O", 100.0, t0, "1-URGENT") for c in custs]
+    li = [(c, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O", t0)
+          for i, (c, p) in enumerate(cust_parts)]
+    _write(spark, f"{d}/orders.parquet", od,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, "
+           "o_orderpriority string")
+    _write(spark, f"{d}/lineitem.parquet", li,
+           "l_orderkey long, l_partkey long, l_suppkey long, "
+           "l_linenumber int, l_quantity double, l_extendedprice double, "
+           "l_discount double, l_tax double, l_returnflag string, "
+           "l_linestatus string, l_shipdate timestamp")
+    return d
+
+
+# ---------------------------------------------------------------- graph10d
+
+def test_kcore_keeps_clique_peels_pendants(spark, tmp_path):
+    """K4 clique (customers 1-4 share part 1) plus a pendant chain hung off
+    it (4-5 via part 2, path 6-7-8 via parts 3/4): the 3-core must be
+    exactly the clique — peeling removes the chain in one round and the
+    bridge endpoint's degree falls back to 3."""
+    cp = [(c, 1) for c in (1, 2, 3, 4)]
+    cp += [(4, 2), (5, 2)]
+    cp += [(6, 3), (7, 3), (7, 4), (8, 4)]
+    d = _graph_dir(tmp_path, spark, cp)
+    out = all_queries()["kcore_degree_histogram"].fn(spark, d).collect()
+    assert [(r["core_degree"], r["n_customers"]) for r in out] == [(3, 4)]
+
+
+def test_lpa_two_cliques_two_communities(spark, tmp_path):
+    """Two disjoint cliques of sizes 5 and 6: four min-tie-break rounds
+    converge each clique onto its smallest member's label, so the size
+    histogram is exactly {5: 1, 6: 1}."""
+    cp = [(c, 1) for c in range(1, 6)]          # clique of 5 on part 1
+    cp += [(c, 2) for c in range(11, 17)]       # clique of 6 on part 2
+    d = _graph_dir(tmp_path, spark, cp)
+    out = all_queries()["label_propagation_sizes"].fn(spark, d).collect()
+    assert [(r["community_size"], r["n_communities"]) for r in out] == \
+        [(5, 1), (6, 1)]
+
+
+# ---------------------------------------------------------------- stats10d
+
+def test_bh_rejects_exactly_the_shifted_type_pairs(spark, tmp_path):
+    """Four event types share a constant value while 'purchase' sits 4
+    orders of magnitude away: BH at alpha=0.2 must reject exactly the four
+    purchase pairs (p_num = 1 each) and keep the six identical-mean pairs
+    (observed diff 0 -> every replicate is extreme -> p = 1)."""
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for ty in ["click", "error", "signup", "view"]:
+        for _ in range(400):
+            rows.append((eid, t0, eid % 97, ty, 100.0, ""))
+            eid += 1
+    for _ in range(400):
+        rows.append((eid, t0, eid % 97, "purchase", 1_000_000.0, ""))
+        eid += 1
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    out = all_queries()["bh_fdr_discoveries"].fn(spark, d).collect()
+    assert len(out) == 10
+    rejected = {r["pair"] for r in out if r["rejected"] == 1}
+    assert rejected == {p for p in
+                        (r["pair"] for r in out) if "purchase" in p}
+    for r in out:
+        if "purchase" in r["pair"]:
+            assert r["p_num"] == 1
+        else:
+            assert r["p_num"] == 100
