@@ -97,7 +97,12 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("o_orderpriority").alias("grp"),
                  F.floor(F.col("o_totalprice") * 100).cast("long")
                  .alias("cents"),
-                 F.expr(md5_mod_spark(_SALT, 10)).alias("h")))
+                 F.expr(md5_mod_spark(_SALT, 10)).alias("h"))
+         # (grp, cents, h) feeds train/cal/test branches that the DAG would
+         # otherwise re-evaluate (the md5 fold hash is the expensive bit:
+         # ~1.5 s/scan at sf0.1, and tr/cal are referenced 3-4x) —
+         # materialize the 3-column frame once: measured 5.5 -> ~2 s.
+         .localCheckpoint())
     tr = (o.where(F.col("h") < 6).groupBy("grp")
           .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")))
     cal = (o.where(F.col("h").isin(6, 7))
