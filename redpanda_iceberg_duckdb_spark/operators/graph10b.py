@@ -81,14 +81,11 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("o_custkey").alias("c"),
                        F.col("l_partkey").alias("p"))
                .distinct())
-    rare = (baskets.groupBy("p").agg(F.count(F.lit(1)).alias("pop"))
-            .filter(F.col("pop") <= _POP_CAP).select("p"))
-    rb = baskets.join(rare, "p")
-    edges = (rb.select("p", F.col("c").alias("src"))
-             .join(rb.select("p", F.col("c").alias("dst")), "p")
-             .filter(F.col("src") != F.col("dst"))
-             .select("src", "dst").distinct()
-             .localCheckpoint())  # 4 reuses: cut the lineage once
+    # same edge spec as graph10d.copurchase_edges (pop cap _POP_CAP):
+    # memoized per (application, dataset) since k-core and LPA iterate
+    # over the identical graph — the ~6 s build is paid once per dataset.
+    from .graph10d import copurchase_edges
+    edges = copurchase_edges(spark, sf_dir)
     nodes = baskets.select("c").distinct()
     lm = edges.agg(F.min("src").alias("lmc"))
     dist = (nodes.join(F.broadcast(lm), nodes["c"] == F.col("lmc"))
