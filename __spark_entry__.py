@@ -138,7 +138,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # community sizes, BH-FDR over the 10 pairwise block-randomization
     # tests (tests/test_round10d_ops planted checks).
     "kcore_degree_histogram", "label_propagation_sizes",
-    "bh_fdr_discoveries",
+    "bh_fdr_discoveries", "sssp_cheapest_paths",
 ]
 
 

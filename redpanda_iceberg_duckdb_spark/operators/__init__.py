@@ -115,4 +115,5 @@ from . import (  # noqa: F401
     sketches10,      # AMS tug-of-war F2 sketch vs exact self-join size
     graph10d,        # k-core peeling + min-tie-break label propagation
     stats10d,        # Benjamini-Hochberg FDR over block randomization tests
+    graph10e,        # bounded-hop Bellman-Ford SSSP on min-cents weights
 )

@@ -97,3 +97,38 @@ def test_bh_rejects_exactly_the_shifted_type_pairs(spark, tmp_path):
             assert r["p_num"] == 1
         else:
             assert r["p_num"] == 100
+
+
+# ---------------------------------------------------------------- graph10e
+
+def test_sssp_weighted_chain_and_hop_cap(spark, tmp_path):
+    """A weighted 8-node chain c1-s1-c2-s2-c3-s3-c4-s4 with doubling
+    prices: distances must be the exact prefix sums, the duplicate
+    higher-priced (c1,s1) line must lose to the min, and s4 at hop 7 must
+    fall outside the 6-round horizon (reached count 7)."""
+    import datetime as dt
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1)
+    # orders: one per customer
+    od = [(c, c, "O", 1.0, t0, "1-URGENT") for c in (1, 2, 3, 4)]
+    lines = [(1, 1, 1.0), (1, 1, 5.0),          # duplicate: min wins
+             (2, 1, 2.0), (2, 2, 4.0),
+             (3, 2, 8.0), (3, 3, 16.0),
+             (4, 3, 32.0), (4, 4, 64.0)]
+    li = [(ok, 1, sk, i, 1.0, px, 0.0, 0.0, "N", "O", t0)
+          for i, (ok, sk, px) in enumerate(lines)]
+    _write(spark, f"{d}/orders.parquet", od,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, "
+           "o_orderpriority string")
+    _write(spark, f"{d}/lineitem.parquet", li,
+           "l_orderkey long, l_partkey long, l_suppkey long, "
+           "l_linenumber int, l_quantity double, l_extendedprice double, "
+           "l_discount double, l_tax double, l_returnflag string, "
+           "l_linestatus string, l_shipdate timestamp")
+    out = all_queries()["sssp_cheapest_paths"].fn(spark, d).collect()
+    got = [(r["rnk"], r["node_id"], r["dist"]) for r in out]
+    assert got == [(1, 2, 0), (2, 3, 100), (3, 4, 300), (4, 5, 700),
+                   (5, 6, 1500), (6, 7, 3100), (7, 8, 6300),
+                   (11, -1, 7)], got
