@@ -139,6 +139,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # tests (tests/test_round10d_ops planted checks).
     "kcore_degree_histogram", "label_propagation_sizes",
     "bh_fdr_discoveries", "sssp_cheapest_paths",
+    "t_closeness_audit", "temperature_mixture_allocation",
 ]
 
 

@@ -118,7 +118,8 @@ def main() -> None:
                  "heaps_law_fit", "conformal_interval_coverage",
                  "kcenter_farthest_points", "ams_f2_sketch",
                  "kcore_degree_histogram", "label_propagation_sizes",
-                 "bh_fdr_discoveries", "sssp_cheapest_paths"]:
+                 "bh_fdr_discoveries", "sssp_cheapest_paths",
+                 "t_closeness_audit", "temperature_mixture_allocation"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -116,4 +116,6 @@ from . import (  # noqa: F401
     graph10d,        # k-core peeling + min-tie-break label propagation
     stats10d,        # Benjamini-Hochberg FDR over block randomization tests
     graph10e,        # bounded-hop Bellman-Ford SSSP on min-cents weights
+    privacy10,       # t-closeness ordered-EMD audit (k-anon/l-div trio)
+    mixture10b,      # alpha=1/2 temperature mixture, exact apportionment
 )

@@ -132,3 +132,60 @@ def test_sssp_weighted_chain_and_hop_cap(spark, tmp_path):
     assert got == [(1, 2, 0), (2, 3, 100), (3, 4, 300), (4, 5, 700),
                    (5, 6, 1500), (6, 7, 3100), (7, 8, 6300),
                    (11, -1, 7)], got
+
+
+# --------------------------------------------------------------- privacy10
+
+def test_tcloseness_uniform_minority_vs_skewed_majority(spark, tmp_path):
+    """Day 1: 100 click events uniform over bands 0-9. Day 2: 900 events
+    all in band 9. The global mix is band-9-heavy, so the UNIFORM minority
+    day is the distant one: t = 0.45 exactly; the majority day sits at
+    t = 0.05. Exactly one group crosses the t > 1/5 flag."""
+    import datetime as dt
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    rows = []
+    for i in range(100):                       # day 1: uniform bands 0..9
+        rows.append((i, dt.datetime(2024, 1, 1, 12), i % 97, "click",
+                     (i % 10) * 100.0 + 50.0, ""))
+    for i in range(900):                       # day 2: all band 9
+        rows.append((1000 + i, dt.datetime(2024, 1, 2, 12), i % 97,
+                     "click", 950.0, ""))
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    out = all_queries()["t_closeness_audit"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_groups"] == 2
+    assert abs(r["worst_t"] - 0.45) < 1e-9
+    assert r["n_over_fifth"] == 1
+    assert r["rows_exposed"] == 100
+
+
+# -------------------------------------------------------------- mixture10b
+
+def test_temperature_allocation_sqrt_rebalances_100_to_1(spark, tmp_path):
+    """Sources with a 100:1 token ratio (10000 vs 100): natural shares
+    0.9901/0.0099, but sqrt weights are 10000 vs 1000 so the tempered
+    split is 10:1 — and the largest-remainder slot goes to the small
+    source (9091 + 90909 = 100000 exactly)."""
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    rows = []
+    for i in range(100):                       # big: 100 docs x 100 tokens
+        rows.append((i, " ".join(f"w{j}" for j in range(100)),
+                     "en", "big", 100))
+    for i in range(10):                        # small: 10 docs x 10 tokens
+        rows.append((1000 + i, " ".join(f"w{j}" for j in range(10)),
+                     "en", "small", 10))
+    _write(spark, f"{d}/documents.parquet", rows,
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long")
+    out = {r["source"]: r for r in
+           all_queries()["temperature_mixture_allocation"].fn(spark,
+                                                              d).collect()}
+    assert out["big"]["n_tok"] == 10000 and out["small"]["n_tok"] == 100
+    assert out["big"]["weight"] == 10000 and out["small"]["weight"] == 1000
+    assert out["big"]["alloc"] == 90909 and out["small"]["alloc"] == 9091
+    assert out["big"]["alloc"] + out["small"]["alloc"] == 100000
