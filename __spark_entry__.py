@@ -140,6 +140,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "kcore_degree_histogram", "label_propagation_sizes",
     "bh_fdr_discoveries", "sssp_cheapest_paths",
     "t_closeness_audit", "temperature_mixture_allocation",
+    "sprt_sequential_decision", "rendezvous_shard_audit",
 ]
 
 

@@ -120,7 +120,8 @@ def main() -> None:
                  "kcenter_farthest_points", "ams_f2_sketch",
                  "kcore_degree_histogram", "label_propagation_sizes",
                  "bh_fdr_discoveries", "sssp_cheapest_paths",
-                 "t_closeness_audit", "temperature_mixture_allocation"]:
+                 "t_closeness_audit", "temperature_mixture_allocation",
+                 "sprt_sequential_decision", "rendezvous_shard_audit"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -118,4 +118,6 @@ from . import (  # noqa: F401
     graph10e,        # bounded-hop Bellman-Ford SSSP on min-cents weights
     privacy10,       # t-closeness ordered-EMD audit (k-anon/l-div trio)
     mixture10b,      # alpha=1/2 temperature mixture, exact apportionment
+    sprt10,          # Wald SPRT sequential decision on micro-nat lattice
+    shard10,         # rendezvous-hashing shard audit (minimal disruption)
 )

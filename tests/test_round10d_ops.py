@@ -189,3 +189,55 @@ def test_temperature_allocation_sqrt_rebalances_100_to_1(spark, tmp_path):
     assert out["big"]["weight"] == 10000 and out["small"]["weight"] == 1000
     assert out["big"]["alloc"] == 90909 and out["small"]["alloc"] == 9091
     assert out["big"]["alloc"] + out["small"]["alloc"] == 100000
+
+
+# ------------------------------------------------------------------ sprt10
+
+def test_sprt_crosses_correct_boundary_each_way(spark, tmp_path):
+    """30% converting stream must accept H1; 10% must accept H0 — and the
+    decision day must come before the stream's last day in both cases
+    (the whole point of sequential testing)."""
+    import datetime as dt
+    for rate, want in [(3, "accept_h1"), (1, "accept_h0")]:
+        d = str(tmp_path / f"ds{rate}")
+        os.makedirs(d, exist_ok=True)
+        rows = []
+        eid = 0
+        for day in range(1, 21):                  # 20 days x 500 events
+            for i in range(500):
+                ty = "purchase" if i % 10 < rate else "click"
+                rows.append((eid, dt.datetime(2024, 1, day, 12), eid % 97,
+                             ty, 1.0, ""))
+                eid += 1
+        _write(spark, f"{d}/events.parquet", rows,
+               "event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string")
+        r = all_queries()["sprt_sequential_decision"].fn(spark, d).collect()
+        assert len(r) == 1
+        assert r[0]["decision"] == want, (rate, r)
+        assert r[0]["decision_day"] < dt.datetime(2024, 1, 20), (rate, r)
+
+
+# ----------------------------------------------------------------- shard10
+
+def test_hrw_minimal_disruption_identity(spark, tmp_path):
+    """Adding shard 8 must move EXACTLY the keys shard 8 wins: every
+    original shard's count only shrinks, the shrinkage sums to shard 8's
+    gain, and the gain is near n/9 for 900 uniform keys."""
+    import datetime as dt
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    rows = [(i, dt.datetime(2024, 1, 1), i, "click", 1.0, "")
+            for i in range(900)]
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    out = all_queries()["rendezvous_shard_audit"].fn(spark, d).collect()
+    by = {r["shard"]: r for r in out}
+    assert by[8]["n_keys_8"] == 0
+    moved = by[8]["n_keys_9"]
+    shrink = sum(by[s]["n_keys_8"] - by[s]["n_keys_9"] for s in range(8))
+    assert shrink == moved                       # minimal disruption
+    assert all(by[s]["n_keys_9"] <= by[s]["n_keys_8"] for s in range(8))
+    assert sum(by[s]["n_keys_8"] for s in range(8)) == 900
+    assert 40 <= moved <= 170                    # ~100 expected at n/9
