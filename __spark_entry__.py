@@ -141,6 +141,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "bh_fdr_discoveries", "sssp_cheapest_paths",
     "t_closeness_audit", "temperature_mixture_allocation",
     "sprt_sequential_decision", "rendezvous_shard_audit",
+    "binary_segmentation_splits",
 ]
 
 

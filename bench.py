@@ -121,7 +121,8 @@ def main() -> None:
                  "kcore_degree_histogram", "label_propagation_sizes",
                  "bh_fdr_discoveries", "sssp_cheapest_paths",
                  "t_closeness_audit", "temperature_mixture_allocation",
-                 "sprt_sequential_decision", "rendezvous_shard_audit"]:
+                 "sprt_sequential_decision", "rendezvous_shard_audit",
+                 "binary_segmentation_splits"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -120,4 +120,5 @@ from . import (  # noqa: F401
     mixture10b,      # alpha=1/2 temperature mixture, exact apportionment
     sprt10,          # Wald SPRT sequential decision on micro-nat lattice
     shard10,         # rendezvous-hashing shard audit (minimal disruption)
+    binseg10,        # depth-2 binary segmentation, division-free argmax
 )

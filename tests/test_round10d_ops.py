@@ -241,3 +241,49 @@ def test_hrw_minimal_disruption_identity(spark, tmp_path):
     assert all(by[s]["n_keys_9"] <= by[s]["n_keys_8"] for s in range(8))
     assert sum(by[s]["n_keys_8"] for s in range(8)) == 900
     assert 40 <= moved <= 170                    # ~100 expected at n/9
+
+
+# ---------------------------------------------------------------- binseg10
+
+def test_binseg_finds_square_wave_breaks(spark, tmp_path):
+    """96-hour square wave 10/50/10/50 (breaks after hours 24, 48, 72):
+    level 1 picks the first break (tie with hour 72 goes to the earlier),
+    the constant left half refuses to split (gain 0), the right half picks
+    hour 48 — exactly three segments with exact totals."""
+    import datetime as dt
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 1, 1)
+    for h in range(96):
+        level = 10 if (h // 24) % 2 == 0 else 50
+        for _ in range(level):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=30),
+                         eid % 97, "click", 1.0, ""))
+            eid += 1
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    out = [(r["seg"], r["n_hours"], r["total_events"]) for r in
+           all_queries()["binary_segmentation_splits"].fn(spark,
+                                                          d).collect()]
+    assert out == [(1, 24, 240), (2, 24, 1200), (3, 48, 1440)], out
+
+
+def test_binseg_constant_series_single_segment(spark, tmp_path):
+    """A constant series has zero gain everywhere: no split is accepted
+    and the whole series is one segment."""
+    import datetime as dt
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(h * 10 + i, t0 + dt.timedelta(hours=h, minutes=7), i,
+             "click", 1.0, "")
+            for h in range(48) for i in range(5)]
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    out = all_queries()["binary_segmentation_splits"].fn(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_hours"] == 48 and out[0]["total_events"] == 240
