@@ -494,3 +494,37 @@ def test_round10b_plan_gates(spark, sf_smoke):
     # summary. Assert the data-sized window carries the bucket key.
     p = plans.physical_plan(qs["ks_two_sample_value"].fn(spark, sf_smoke))
     assert "bucket" in p, "bucketed window key missing from KS plan"
+
+
+def test_round10_pending_batch_plan_gates(spark, sf_smoke):
+    """Plan-shape gates for the round-10 pending batch:
+    - the iterative graph trio (k-core, LPA, SSSP) and BFS ride equi-
+      joins only — no cartesian product over vertices or edges;
+    - Apriori keeps the frequent-singleton prune a BROADCAST hash join
+      (downward closure as a plan shape) and the candidate self-join an
+      equi-join;
+    - BH-FDR / t-closeness / HRW may nested-loop ONLY against broadcast
+      constant frames (10 pairs / m bands / 9 shards) — never a
+      cartesian, never a sort-merge join of two data-sized sides;
+    - conformal and binary segmentation stay broadcast/hash end to end."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    qs = all_queries()
+
+    for name in ("kcore_degree_histogram", "label_propagation_sizes",
+                 "sssp_cheapest_paths"):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "CartesianProduct" not in p, (name, p[:1200])
+
+    p = plans.physical_plan(qs["basket_frequent_pairs"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p, p[:1200]
+    assert "BroadcastHashJoin" in p, "frequent-singleton prune not broadcast"
+
+    for name in ("bh_fdr_discoveries", "t_closeness_audit",
+                 "rendezvous_shard_audit", "temperature_mixture_allocation",
+                 "conformal_interval_coverage",
+                 "binary_segmentation_splits"):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "CartesianProduct" not in p, (name, p[:1200])
+        assert "SortMergeJoin" not in p, (name, p[:1200])
