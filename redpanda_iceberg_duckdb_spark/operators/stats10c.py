@@ -10,10 +10,12 @@ k=5-term formula) is floating, rounded at 6. Rank cumulation uses the
 two-phase bucketed-ECDF pattern (stats10b.py): no global sort.
 
 Permutation test: 64 label permutations drawn from the cross-engine md5
-hash (functions/hashing.py) — permutation b reassigns each purchase/
-click event by the parity of md5('pt<b>:'||event_id), so both engines
+hash (functions/hashing.py) — ONE digest per event
+(md5('pt:'||event_id)), with permutation b reassigning the event by BIT
+b of the 128-bit digest (md5_bit_sql; B = 64 <= 128), so both engines
 materialize the IDENTICAL 64 pseudo-random relabelings with zero
-coordination. The extremeness comparison |s1*n2 - s2*n1| * (N1*N2) >=
+coordination and one hash per event instead of 64 (the round-10
+verdict's avoidable constant). The extremeness comparison |s1*n2 - s2*n1| * (N1*N2) >=
 |S1*N2 - S2*N1| * (n1*n2) cross-multiplies to avoid division entirely;
 the products exceed int64 at sf0.1 so they ride as decimal(38,0) —
 exact 128-bit integer arithmetic in both engines. One explode(64) +
@@ -27,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
-from ..functions.hashing import md5_mod_duck, md5_mod_spark
+from ..functions.digestbits import md5_bit_sql
 
 _BUCKET = 2048       # cents per rank bucket (value domain is bounded)
 _B = 64              # permutations
@@ -131,11 +133,11 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _perm_oracle() -> str:
-    h = md5_mod_duck(f"'pt' || b || ':' || event_id", 2)
+    h = md5_bit_sql("v.dg", "b.b")
     return f"""
 WITH v AS (
   SELECT event_id, cast(floor(value * 100) AS bigint) AS cents,
-         event_type
+         event_type, md5('pt:' || event_id) AS dg
   FROM events WHERE event_type IN ('{_PA}', '{_PB}')),
 obs AS (
   SELECT sum(CASE WHEN event_type = '{_PA}' THEN cents END) AS s1,
@@ -191,10 +193,12 @@ def hash_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == _PB, F.col("cents")))
         .alias("os2"),
         F.count(F.when(F.col("event_type") == _PB, 1)).alias("on2"))
-    side = F.expr(md5_mod_spark("concat('pt', b, ':', event_id)", 2))
-    perms = (v.withColumn("b", F.explode(F.array(
-        *[F.lit(b) for b in range(_B)])))
-        .withColumn("side", side))
+    # ONE digest per event before the explode; permutation b = bit b.
+    perms = (v.withColumn("dg", F.md5(F.concat(F.lit("pt:"),
+                                               F.col("event_id"))))
+        .withColumn("b", F.explode(F.array(
+            *[F.lit(b) for b in range(_B)])))
+        .withColumn("side", F.expr(md5_bit_sql("dg", "b"))))
     pstat = (perms.groupBy("b").agg(
         F.sum(F.when(F.col("side") == 0, F.col("cents"))).alias("s1"),
         F.count(F.when(F.col("side") == 0, 1)).alias("n1"),

@@ -17,6 +17,14 @@ ch. 11) whose entire replicate ensemble costs O(cells x B) — independent
 of the event count, the property that makes 99 replicates x 10 hypotheses
 free at 100 TB (the only full-data pass is the cell aggregation).
 
+Replicate seeding costs ONE md5 per (pair, type, cell): replicate b's
+side assignment is bit b of the block's 128-bit digest (B = 99 <= 128),
+extracted by the engine-neutral hex-nibble expression
+functions/digestbits.md5_bit_sql — identical bits in Spark and DuckDB. This
+removes the round-10 verdict's 99x hash constant (one digest per
+exploded row) with unchanged block-randomization semantics: md5 bits
+are independent fair coins across both cells and bit positions.
+
 BH (Benjamini & Hochberg 1995, JRSS-B): sort the m p-values ascending,
 find the largest i with p_(i) <= i*alpha/m, reject ranks 1..i. With
 p_num = 1 + #extreme over denominator B+1 = 100 and alpha = 1/5, the
@@ -34,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.digestbits import md5_bit_sql
 from ..functions.hashing import md5_mod_duck, md5_mod_spark
 
 _TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -46,8 +55,7 @@ _ALPHA_INV = 5            # alpha = 1/5
 
 def _oracle() -> str:
     cell = md5_mod_duck("'fc:' || event_id", _CELLS)
-    side = md5_mod_duck("'fdr' || p.pid || ':' || r.b || ':' || cl.t "
-                        "|| ':' || cl.cell", 2)
+    side = md5_bit_sql("jc.dg", "r.b")
     values = ", ".join(f"('{p}', '{a}', '{b}')" for p, a, b in _PAIRS)
     return f"""
 WITH v AS (
@@ -65,14 +73,17 @@ obs AS (
          sum(CASE WHEN cl.t = p.tb THEN cl.c END) AS n2
   FROM pairs p JOIN cells cl ON cl.t IN (p.ta, p.tb) GROUP BY 1),
 reps AS (SELECT unnest(generate_series(0, {_B - 1})) AS b),
+jc AS (
+  SELECT p.pid, cl.t, cl.cell, cl.s, cl.c,
+         md5('fdr' || p.pid || ':' || cl.t || ':' || cl.cell) AS dg
+  FROM pairs p JOIN cells cl ON cl.t IN (p.ta, p.tb)),
 perm AS (
-  SELECT p.pid, r.b,
-         sum(CASE WHEN {side} = 0 THEN cl.s END) AS s1,
-         sum(CASE WHEN {side} = 0 THEN cl.c END) AS n1,
-         sum(CASE WHEN {side} = 1 THEN cl.s END) AS s2,
-         sum(CASE WHEN {side} = 1 THEN cl.c END) AS n2
-  FROM pairs p JOIN cells cl ON cl.t IN (p.ta, p.tb)
-  CROSS JOIN reps r
+  SELECT jc.pid, r.b,
+         sum(CASE WHEN {side} = 0 THEN jc.s END) AS s1,
+         sum(CASE WHEN {side} = 0 THEN jc.c END) AS n1,
+         sum(CASE WHEN {side} = 1 THEN jc.s END) AS s2,
+         sum(CASE WHEN {side} = 1 THEN jc.c END) AS n2
+  FROM jc CROSS JOIN reps r
   GROUP BY 1, 2),
 cmp AS (
   SELECT pm.pid,
@@ -135,11 +146,15 @@ def bh_fdr_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("t") == F.col("ta"), F.col("c"))).alias("n1"),
         F.sum(F.when(F.col("t") == F.col("tb"), F.col("s"))).alias("s2"),
         F.sum(F.when(F.col("t") == F.col("tb"), F.col("c"))).alias("n2"))
-    side = F.expr(md5_mod_spark(
-        "concat('fdr', pid, ':', b, ':', t, ':', cell)", 2))
-    perm = (j.withColumn("b", F.explode(F.array(
+    # ONE digest per (pair, type, cell) block, computed BEFORE the
+    # replicate explode; replicate b's side = bit b of the digest
+    # (md5_bit_sql — bit-identical to the oracle's extraction).
+    perm = (j.withColumn(
+                "dg", F.md5(F.concat(F.lit("fdr"), F.col("pid"), F.lit(":"),
+                                     F.col("t"), F.lit(":"), F.col("cell"))))
+            .withColumn("b", F.explode(F.array(
                 *[F.lit(b) for b in range(_B)])))
-            .withColumn("side", side)
+            .withColumn("side", F.expr(md5_bit_sql("dg", "b")))
             .groupBy("pid", "b")
             .agg(*_sides(j, F.col("side"))))
     dec = "decimal(38,0)"
