@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     # (ADVICE #1), k-means farthest-point seeding (verdict item 4),
     # dataset_cache content-robust fingerprints (ADVICE #2).
     "hash_permutation_test", "kruskal_wallis_value", "anova_f_oneway",
+    "ks_two_sample_value",
     "theilsen_hourly_trend", "kmeans_train_converged",
 ]
 

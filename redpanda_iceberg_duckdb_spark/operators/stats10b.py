@@ -8,8 +8,11 @@ max |cum1*n2 - cum2*n1| over distinct cents, an exact bigint max, so the
 sup and its location are integer arithmetic; only the final division by
 n1*n2 is floating (one op, deterministic). ANOVA's sums of squares come
 from exact bigint sufficient statistics (n, sum(cents), sum(cents^2))
-per group; the handful of doubles combined afterwards are k=5 group
-terms rounded at 6 decimals.
+per group; each between-group term s_h^2/n_h rides the fixed-point
+lattice floor(s_h^2 * 1e15 / n_h) — exact 128-bit integers whose sum is
+order-insensitive — so every float the two engines see is derived from
+identical integers (round-10 ADVICE #4; truncation < k/1e15 cents^2,
+far below the 4/6-decimal output rounding).
 
 Scale. The ECDF cumulative sums use the repo's two-phase pattern: cents
 are range-bucketed by FIXED-WIDTH buckets (the value domain is bounded;
@@ -105,8 +108,19 @@ def ks_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (F.max("n1") * F.max("n2")), 6).alias("ks_stat")))
 
 
+# Fixed-point lattice for the between-group term: each s_h^2/n_h rides as
+# floor(s_h^2 * 1e15 / n_h) — an exact 128-bit integer in both engines
+# (DuckDB hugeint floor-division, Spark decimal(38,0) mod-then-exact-
+# division) — so the sufficient-stat reduction is ORDER-INSENSITIVE
+# integer addition; no float summation whose order could differ across
+# engines (round-10 ADVICE #4). Truncation error < k/1e15 cents^2, far
+# below the 4/6-decimal output rounding. Headroom: s_h^2 * 1e15 needs
+# n_h <= ~3e9 per group to stay under 38 digits; beyond that drop SCALE.
+_ANOVA_SCALE = 10 ** 15
+
+
 def _anova_oracle() -> str:
-    return """
+    return f"""
 WITH s AS (
   SELECT event_type,
          count(*) AS n_h,
@@ -117,18 +131,28 @@ WITH s AS (
 t AS (
   SELECT cast(sum(n_h) AS bigint) AS n,
          cast(count(*) AS bigint) AS k,
-         sum(cast(s_h AS double) * s_h / n_h) AS between_raw,
+         sum((cast(s_h AS hugeint) * s_h * {_ANOVA_SCALE}) // n_h)
+           AS between_s,
          cast(sum(s_h) AS bigint) AS s,
          cast(sum(q_h) AS bigint) AS q
-  FROM s)
+  FROM s),
+u AS (
+  SELECT n, k,
+         cast(greatest(between_s
+              - (cast(s AS hugeint) * s * {_ANOVA_SCALE}) // n, 0)
+              AS double) AS ssb_s,
+         cast(cast(q AS hugeint) * {_ANOVA_SCALE} - between_s
+              AS double) AS ssw_s,
+         cast(cast(q AS hugeint) * {_ANOVA_SCALE}
+              - (cast(s AS hugeint) * s * {_ANOVA_SCALE}) // n
+              AS double) AS sst_s
+  FROM t)
 SELECT n, k,
-       round((between_raw - cast(s AS double) * s / n) / 1e4, 4) AS ssb,
-       round((q - between_raw) / 1e4, 4) AS ssw,
-       round(((between_raw - cast(s AS double) * s / n) / (k - 1))
-             / ((q - between_raw) / (n - k)), 6) AS f_stat,
-       round((between_raw - cast(s AS double) * s / n)
-             / (q - cast(s AS double) * s / n), 6) AS eta_sq
-FROM t"""
+       round(ssb_s / {_ANOVA_SCALE}e4, 4) AS ssb,
+       round(ssw_s / {_ANOVA_SCALE}e4, 4) AS ssw,
+       round((ssb_s / (k - 1)) / (ssw_s / (n - k)), 6) AS f_stat,
+       round(ssb_s / sst_s, 6) AS eta_sq
+FROM u"""
 
 
 @register(
@@ -141,7 +165,16 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     the five event types from exact bigint sufficient statistics; sums
     of squares reported in dollars^2 (module docstring)."""
     e = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
     cents = F.floor(F.col("value") * 100).cast("bigint")
+
+    def _floor_div_scaled(num_sq_base, divisor):
+        # floor(num^2 * SCALE / divisor) exactly: decimal mod, subtract,
+        # then an exactly-divisible decimal division (mirrors the
+        # oracle's hugeint // floor-division bit for bit).
+        prod = (num_sq_base.cast(dec) * num_sq_base * F.lit(_ANOVA_SCALE))
+        return ((prod - prod % divisor) / divisor).cast(dec)
+
     s = (e.select(F.col("event_type"), cents.alias("cents"))
          .groupBy("event_type")
          .agg(F.count(F.lit(1)).alias("n_h"),
@@ -150,17 +183,26 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = s.agg(
         F.sum("n_h").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum(F.col("s_h").cast("double") * F.col("s_h") / F.col("n_h"))
-        .alias("between_raw"),
+        F.sum(_floor_div_scaled(F.col("s_h"), F.col("n_h")))
+        .cast(dec).alias("between_s"),
         F.sum("s_h").cast("long").alias("s"),
         F.sum("q_h").cast("long").alias("q"))
-    ssb = F.col("between_raw") - F.col("s").cast("double") * F.col("s") / F.col("n")
-    ssw = F.col("q") - F.col("between_raw")
-    sst = F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")
-    return t.select(
+    u = t.select(
         "n", "k",
-        F.round(ssb / 1e4, 4).alias("ssb"),
-        F.round(ssw / 1e4, 4).alias("ssw"),
-        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))),
+        F.greatest(F.col("between_s")
+                   - _floor_div_scaled(F.col("s"), F.col("n")),
+                   F.lit(0).cast(dec))
+        .cast("double").alias("ssb_s"),
+        (F.col("q").cast(dec) * _ANOVA_SCALE - F.col("between_s"))
+        .cast("double").alias("ssw_s"),
+        (F.col("q").cast(dec) * _ANOVA_SCALE
+         - _floor_div_scaled(F.col("s"), F.col("n")))
+        .cast("double").alias("sst_s"))
+    return u.select(
+        "n", "k",
+        F.round(F.col("ssb_s") / (_ANOVA_SCALE * 1e4), 4).alias("ssb"),
+        F.round(F.col("ssw_s") / (_ANOVA_SCALE * 1e4), 4).alias("ssw"),
+        F.round((F.col("ssb_s") / (F.col("k") - 1))
+                / (F.col("ssw_s") / (F.col("n") - F.col("k"))),
                 6).alias("f_stat"),
-        F.round(ssb / sst, 6).alias("eta_sq"))
+        F.round(F.col("ssb_s") / F.col("sst_s"), 6).alias("eta_sq"))
