@@ -61,6 +61,8 @@ _VERIFY_FIRST = [
     "hash_permutation_test", "kruskal_wallis_value", "anova_f_oneway",
     "ks_two_sample_value",
     "theilsen_hourly_trend", "kmeans_train_converged",
+    "pagerank_trade_graph", "pagerank_converged", "triangle_count_neardup",
+    "graph_degree_stats", "ann_recall_retrained",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
