@@ -13,15 +13,16 @@ same recurrence until zero vectors move (measured: 13 rounds at
 sf0.001/sf0.01, 30 at sf0.1).
 
 Scale stance (100 TB):
-- Per round: centroid table is cells × dims (KBs) built by ONE aggregate
-  over the current assignment, broadcast back; reassignment is map-side
-  against the broadcast centroids; the convergence signal is ONE scalar
-  (count moved) to the driver. This is Spark MLlib's k-means iteration
-  shape (broadcast centers + aggregate), expressed relationally so DuckDB
-  can replay it.
-- Loop discipline: previous assignment unpersisted once its successor
-  materializes; localCheckpoint every 5 rounds truncates lineage
-  (clusters.py / graphrank.py discipline).
+- Per round: ONE job — scan, map-side argmin of each vector against the
+  k centroid sufficient stats entered as literals (MLlib's broadcast-
+  centers shape; cells × dims is KBs), posexplode + combinable
+  groupBy(lbl, k) collecting the next round's k×dims stats. No persist,
+  no join, no window, no growing lineage; the convergence signal (count
+  moved) rides the same aggregate. A measured farthest-point (Gonzalez)
+  re-seeding experiment INCREASED Lloyd rounds 30 -> 40 at sf0.1
+  (outlier seeds), so the shipped label init stays.
+- Loop discipline: only driver-held k-row stats cross rounds; the input
+  is localCheckpointed once up front.
 - The recall audit's exact side is O(|Q|·N) over the fixed 1% probe set
   (broadcast queries, Arrow-batched numpy dots — similarity.py's
   machinery); the IVF side probes only the RETRAINED cell, so the audit
@@ -30,7 +31,7 @@ Scale stance (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..dataset_cache import data_fingerprint
@@ -103,54 +104,201 @@ def train_assignments(spark: SparkSession, sf_dir: str
     if key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
     emb = (load_table(spark, sf_dir, "embeddings")
-           .select("vec_id", "embedding")
+           .select("vec_id", "embedding",
+                   F.col("label").cast("int").alias("lbl0"),
+                   F.expr("transform(embedding, x -> cast(floor("
+                          "cast(x as double) * 1e4) as bigint))").alias("q"))
            .localCheckpoint(eager=False))  # scanned every round
-    cur = (load_table(spark, sf_dir, "embeddings")
-           .select("vec_id", F.col("label").alias("lbl"))
-           .persist())
-    term = ("cast(cast(floor(cast(x as double) * 1e4) as bigint) * n - s "
-            "as decimal(19,0))")
+    dims = len(emb.select("embedding").head()[0])
+    # One scalar up front: max |qv| over the corpus, used by the exact
+    # per-round int64-overflow guard below (bounded collect: one long).
+    q_max = int(emb.select(F.expr(
+        "max(array_max(transform(q, x -> abs(x))))")).head()[0])
+
+    # MLlib's Lloyd shape, exactly: ONLY the k centroid sufficient stats
+    # (lbl, n, s_arr) cross rounds, carried on the DRIVER and re-entered
+    # as array literals — assignments are implicit (recomputed per row
+    # from the cell stats), so a round is ONE job: scan -> map (argmin of
+    # the precomputed integer lattice q against the k cells) ->
+    # posexplode -> combinable groupBy(lbl, k) collecting k*dims stat
+    # rows. No persist, no broadcast build, no join, no growing lineage;
+    # the per-round collect is bucket-cardinality bounded (k*dims ints),
+    # inside the repo's bounded-collect rule.
+    # d = sum((qv*n - s)^2) / n^2 per cell — the IDENTICAL recurrence the
+    # oracle's recursive CTE runs; array_min over struct(d, lbl) breaks
+    # ties to the smallest lbl, matching its ORDER BY d, lbl. The sum is
+    # int64 whenever the exact bound sum_k (q_max*n + |s_k|)^2 < 2^63
+    # (checked per round per cell in Python — always true at test SFs);
+    # otherwise the SAME expression runs on decimal(38,0). Both paths
+    # produce the identical exact integer, so the double division matches
+    # DuckDB's hugeint->double bit-for-bit either way.
+    # The hot path is an Arrow-batched mapInPandas (numpy does the
+    # k×dims integer arithmetic; Spark HOFs are CodegenFallback and
+    # evaluate lambda-at-a-time — measured 1.5 s/round interpreted vs
+    # 0.3 s/round numpy at sf0.1); the HOF expression below is the exact
+    # decimal fallback for cells past the int64 bound, and also serves
+    # the final assignment materialization.
+    # PLAN TRAP (measured): the HOF argmin MUST sit in its own select
+    # BELOW the posexplode select — fused into one select, the analyzer
+    # parks the projection ABOVE the Generate and the argmin re-evaluates
+    # once per EXPLODED row (dims x), 4.7 s/round vs 0.4 s/round at
+    # sf0.001. (Measured end-to-end at sf0.1: per-round broadcast-join
+    # loop 58 s, round-10 posexplode+window loop 33 s, driver-literal
+    # decimal + 64-col agg 79 s, this shape 12 s; a Gonzalez
+    # farthest-point re-seeding experiment INCREASED Lloyd rounds
+    # 30 -> 40 — outlier seeds — so the shipped label init stays.)
+
+    def _cell_cols(cells: list, p: str) -> list:
+        return [
+            F.lit([lbl for lbl, _, _ in cells]).cast("array<int>")
+             .alias(f"{p}lbls"),
+            F.lit([n for _, n, _ in cells]).cast("array<bigint>")
+             .alias(f"{p}ns"),
+            F.lit([v for _, _, s_arr in cells for v in s_arr])
+             .cast("array<bigint>").alias(f"{p}sf"),
+        ]
+
+    def _argmin(cells: list, p: str) -> str:
+        exact = all(
+            sum((q_max * n + abs(s)) ** 2 for s in s_arr) < (1 << 63)
+            for _, n, s_arr in cells)
+        t = f"(x * element_at({p}ns, i + 1) - s)"
+        sq = t if exact else f"cast({t} as decimal(19,0))"
+        zero = "0L" if exact else "cast(0 as decimal(38,0))"
+        return (
+            f"array_min(transform(sequence(0, {len(cells) - 1}), "
+            f"i -> struct("
+            f"cast(aggregate(zip_with(q, slice({p}sf, i * {dims} + 1, "
+            f"{dims}), (x, s) -> ({sq}) * ({sq})), {zero}, "
+            "(acc, v) -> acc + v) as double) "
+            f"/ (cast(element_at({p}ns, i + 1) as double) "
+            f"* element_at({p}ns, i + 1)) as d, "
+            f"element_at({p}lbls, i + 1) as lbl))).lbl")
+
+    def _int64_safe(cells: list) -> bool:
+        return all(
+            sum((q_max * n + abs(s)) ** 2 for s in s_arr) < (1 << 63)
+            for _, n, s_arr in cells)
+
+    def _np_argmin_fn(cells: list):
+        """Vectorized per-batch argmin over the k cells — the SAME exact
+        recurrence: t = q*n - s is int64-exact under the _int64_safe
+        bound, (t*t).sum() is exact, the double division matches
+        DuckDB's hugeint->double bit-for-bit, and np.argmin's
+        first-minimum tie-break = ORDER BY d, lbl because cells are
+        sorted by lbl."""
+        import numpy as np
+        ns = [n for _, n, _ in cells]
+        sf = np.array([s_arr for _, _, s_arr in cells], dtype=np.int64)
+        lbls = np.array([lbl for lbl, _, _ in cells], dtype=np.int64)
+
+        def assign(qm):                        # qm: B×dims int64
+            d = np.empty((qm.shape[0], len(ns)), dtype=np.float64)
+            for i, n in enumerate(ns):
+                t = qm * n - sf[i]
+                d[:, i] = (t * t).sum(axis=1).astype(np.float64) \
+                    / (float(n) * float(n))
+            return lbls[np.argmin(d, axis=1)]
+        return assign
+
+    def _assigned_np(new_cells, old_cells) -> DataFrame:
+        """(lbl, mv, per-cell per-dim partial sums) via ONE Arrow-batched
+        mapInPandas pass — numpy does the k×dims integer arithmetic the
+        interpreted HOF path evaluates lambda-at-a-time (HOFs never
+        codegen; measured 1.5 s/round vs 0.3 s/round at sf0.1)."""
+        import pandas as pd
+        new_fn = _np_argmin_fn(new_cells)
+        old_fn = (None if old_cells is new_cells
+                  else _np_argmin_fn(old_cells))
+
+        def gen(batches):
+            import numpy as np
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qm = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                lbl = new_fn(qm)
+                old = (pdf["lbl0"].to_numpy().astype(np.int64)
+                       if old_fn is None else old_fn(qm))
+                mv = (lbl != old).astype(np.int64)
+                out = []
+                for c_lbl in np.unique(lbl):
+                    m = lbl == c_lbl
+                    s_arr = qm[m].sum(axis=0)
+                    out.append(pd.DataFrame({
+                        "lbl": int(c_lbl), "k": range(dims),
+                        "s": s_arr,
+                        "n": int(m.sum()),
+                        "mv": [int(mv[m].sum())] + [0] * (dims - 1)}))
+                yield pd.concat(out)
+        return emb.select("q", "lbl0").mapInPandas(
+            gen, "lbl int, k int, s long, n long, mv long")
+
+    def _round_stats(new_cells, old_cells) -> list:
+        if new_cells is None:                       # round 0: shipped init
+            parts = (emb.select("q", F.col("lbl0").alias("lbl"),
+                                F.lit(0).alias("mv"))
+                     .select("lbl", "mv",
+                             F.posexplode("q").alias("k", "x"))
+                     .groupBy("lbl", "k")
+                     .agg(F.sum("x").alias("s"),
+                          F.count(F.lit(1)).alias("n"),
+                          F.sum(F.when(F.col("k") == 0, F.col("mv"))
+                                .otherwise(F.lit(0))).alias("mv")))
+        elif _int64_safe(new_cells) and _int64_safe(old_cells):
+            parts = (_assigned_np(new_cells, old_cells)
+                     .groupBy("lbl", "k")
+                     .agg(F.sum("s").alias("s"), F.sum("n").alias("n"),
+                          F.sum("mv").alias("mv")))
+        else:                        # exact decimal fallback, HOF path
+            base = emb.select("q", "lbl0",
+                              *_cell_cols(new_cells, "C_new_"),
+                              *_cell_cols(old_cells, "C_old_"))
+            new_lbl = F.expr(_argmin(new_cells, "C_new_"))
+            old_lbl = (F.expr(_argmin(old_cells, "C_old_"))
+                       if old_cells is not new_cells else F.col("lbl0"))
+            parts = (base.select(
+                        "q", new_lbl.alias("lbl"),
+                        (new_lbl != old_lbl).cast("long").alias("mv"))
+                     .select("lbl", "mv",
+                             F.posexplode("q").alias("k", "x"))
+                     .groupBy("lbl", "k")
+                     .agg(F.sum("x").alias("s"),
+                          F.count(F.lit(1)).alias("n"),
+                          F.sum(F.when(F.col("k") == 0, F.col("mv"))
+                                .otherwise(F.lit(0))).alias("mv")))
+        rows = parts.collect()               # k*dims rows: cell stats
+        cells: dict[int, dict] = {}
+        for r in rows:
+            c = cells.setdefault(int(r["lbl"]),
+                                 {"n": int(r["n"]), "mv": 0,
+                                  "s": [0] * dims})
+            c["s"][int(r["k"])] = int(r["s"])
+            c["mv"] += int(r["mv"])
+        return sorted((lbl, c["n"], c["mv"], c["s"])
+                      for lbl, c in cells.items())
+
+    # round 0: sufficient stats of the shipped-label assignment
+    stats = _round_stats(None, None)
+    prev_cells = None
     n_rounds = 0
     for i in range(_MAX_ROUNDS):
-        j = emb.join(cur, "vec_id")
-        cs = (j.select("lbl", F.posexplode("embedding").alias("k", "x"))
-              .groupBy("lbl", "k")
-              .agg(F.sum(F.floor(F.col("x").cast("double") * 1e4)
-                         .cast("long")).alias("s"),
-                   F.count(F.lit(1)).alias("n")))
-        cent = (cs.groupBy("lbl")
-                .agg(F.array_sort(F.collect_list(F.struct("k", "s")))
-                      .alias("ks"),
-                     F.max("n").alias("n"))
-                .select("lbl", F.expr("transform(ks, t -> t.s)")
-                        .alias("s_arr"), "n"))
-        dist = (emb.withColumnRenamed("embedding", "x_arr")
-                .crossJoin(F.broadcast(cent))
-                .select("vec_id", "lbl", F.expr(
-                    f"cast(aggregate(zip_with(x_arr, s_arr, (x, s) -> "
-                    f"{term} * {term}), cast(0 as decimal(38,0)), "
-                    "(acc, v) -> acc + v) as double) "
-                    "/ (cast(n as double) * n)").alias("d")))
-        nxt = (dist.withColumn("rn", F.row_number().over(
-                   W.partitionBy("vec_id").orderBy("d", "lbl")))
-               .filter(F.col("rn") == 1).select("vec_id", "lbl"))
-        if (i + 1) % 5 == 0:
-            nxt = nxt.localCheckpoint(eager=False)
-        nxt = nxt.persist()
-        moved = (nxt.join(cur.withColumnRenamed("lbl", "old_lbl"), "vec_id")
-                 .filter(F.col("lbl") != F.col("old_lbl")).count())
-        cur.unpersist()
-        cur = nxt
+        cur_cells = [(lbl, n, s) for lbl, n, _, s in stats]
+        stats = _round_stats(
+            cur_cells, prev_cells if prev_cells is not None else cur_cells)
+        moved = sum(mv for _, _, mv, _ in stats)
+        prev_cells = cur_cells
         n_rounds = i + 1
         if moved == 0:
             break
     else:
-        cur.unpersist()
         raise RuntimeError(
             f"kmeans training: no convergence in {_MAX_ROUNDS} rounds — "
             "a tie-cycle; production would stop on a moved-count plateau")
-    fin = cur.localCheckpoint(eager=True)
-    cur.unpersist()
+    fin = (emb.select("vec_id", "q", *_cell_cols(prev_cells, "C_new_"))
+           .select("vec_id",
+                   F.expr(_argmin(prev_cells, "C_new_")).alias("lbl"))
+           .localCheckpoint(eager=True))
     _TRAIN_CACHE.clear()   # at most one live entry — bounded memory
     _TRAIN_CACHE[key] = (fin, n_rounds)
     return fin, n_rounds
