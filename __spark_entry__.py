@@ -63,6 +63,9 @@ _VERIFY_FIRST = [
     "theilsen_hourly_trend", "kmeans_train_converged",
     "pagerank_trade_graph", "pagerank_converged", "triangle_count_neardup",
     "graph_degree_stats", "ann_recall_retrained",
+    # Round-11 new queries (registered below the 50-slot window tail, so
+    # they must be named here to enter the window):
+    "sprt_stream_decision_replay",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -121,4 +121,5 @@ from . import (  # noqa: F401
     sprt10,          # Wald SPRT sequential decision on micro-nat lattice
     shard10,         # rendezvous-hashing shard audit (minimal disruption)
     binseg10,        # depth-2 binary segmentation, division-free argmax
+    sprt_stream,     # SPRT gate maintained across streaming micro-batches
 )

@@ -36,13 +36,15 @@ _A = round(math.log((1 - _BETA) / _ALPHA) * 1_000_000)    # +2944439
 _B = round(math.log(_BETA / (1 - _ALPHA)) * 1_000_000)    # -2944439
 
 
-def _oracle() -> str:
+def _oracle(where: str = "") -> str:
+    """Unrolled decision SQL; ``where`` restricts the event prefix (the
+    streaming replay in sprt_stream.py re-runs this at each cutoff)."""
     return f"""
 WITH d AS (
   SELECT cast(date_trunc('day', ts) AS timestamp) AS day,
          count(*) AS n,
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
-  FROM events GROUP BY 1),
+  FROM events {where} GROUP BY 1),
 cum AS (
   SELECT day, n, c,
          sum(c * {_L1} + (n - c) * {_L0}) OVER (ORDER BY day) AS llr
@@ -77,10 +79,24 @@ def sprt_sequential_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     first day the exact micro-nat cumulative LLR leaves the Wald band
     (module docstring)."""
     e = load_table(spark, sf_dir, "events")
-    d = (e.groupBy(F.date_trunc("day", "ts").alias("day"))
-         .agg(F.count(F.lit(1)).alias("n"),
-              F.sum(F.when(F.col("event_type") == "purchase", 1)
-                    .otherwise(0)).alias("c")))
+    d = daily_stats(e)
+    return decision_from_daily(d)
+
+
+def daily_stats(events: DataFrame) -> DataFrame:
+    """Per-day SPRT sufficient statistics (day, n, c) — ONE combinable
+    aggregate over the event scan; everything downstream is days-sized."""
+    return (events
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("c")))
+
+
+def decision_from_daily(d: DataFrame) -> DataFrame:
+    """The Wald decision plan over a (day, n, c) frame — shared by the
+    fixed-corpus query above and the streaming replay
+    (operators/sprt_stream.py), so the gate logic cannot fork."""
     # DAYS-sized frame from here on: the single-partition window is over
     # a few hundred rows at any SF (documented trade, module docstring).
     wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)

@@ -77,3 +77,78 @@ def test_anova_lattice_exact_on_divisible_groups(spark, tmp_path):
     assert out["ssb"] == 0.0 and str(out["ssb"]) == "0.0"
     assert out["eta_sq"] == 0.0 and out["f_stat"] == 0.0
     assert out["ssw"] > 0
+
+
+def test_sprt_foreachbatch_monitor_matches_prefix_recompute(spark, tmp_path):
+    """Run the REAL streaming gate: an event file stream, one file per
+    micro-batch, folded into the versioned day-stats state by foreachBatch
+    (streaming/sprt_sink.start_sprt_monitor). After termination, EVERY
+    committed snapshot's decision must equal a from-scratch SPRT over that
+    batch prefix — same stopping day, same exact micro-nat LLR."""
+    from pyspark.sql import types as T
+
+    from redpanda_iceberg_duckdb_spark.operators.sprt10 import (
+        daily_stats, decision_from_daily)
+    from redpanda_iceberg_duckdb_spark.operators.sprt_stream import (
+        _batch_bounds)
+    from redpanda_iceberg_duckdb_spark.streaming.sprt_sink import (
+        _current_version, read_daily, start_sprt_monitor)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events").select("ts", "event_type")
+
+    src = tmp_path / "events"
+    src.mkdir()
+    prefixes = []
+    for i, (lo, hi) in enumerate(_batch_bounds()):
+        cond = F.lit(True)
+        if lo:
+            cond = cond & (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            cond = cond & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        e.filter(cond).coalesce(1).write.parquet(str(src / f"batch_{i}"))
+        pref = F.lit(True)
+        if hi:
+            pref = F.col("ts") < F.lit(hi).cast("timestamp")
+        prefixes.append(pref)
+
+    stream = (spark.readStream
+              .schema(T.StructType([
+                  T.StructField("ts", T.TimestampType()),
+                  T.StructField("event_type", T.StringType())]))
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    base = str(tmp_path / "state")
+    q = start_sprt_monitor(stream, base=base,
+                           checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    assert _current_version(base) == 4  # one committed version per batch
+    for v, pref in enumerate(prefixes, 1):
+        got = decision_from_daily(read_daily(spark, base, v)).collect()[0]
+        want = decision_from_daily(daily_stats(e.filter(pref))).collect()[0]
+        assert tuple(got) == tuple(want), f"snapshot v{v} drifted"
+
+
+def test_sprt_batch_replay_guard_prevents_double_count(spark, tmp_path):
+    """Re-delivering an epoch (foreachBatch failure replay) must be a
+    no-op: the day-count merge is NOT idempotent, so without the pointer
+    guard a replay would double-count the batch."""
+    import datetime as dt
+
+    from redpanda_iceberg_duckdb_spark.streaming.sprt_sink import (
+        read_daily, sprt_batch)
+
+    base = str(tmp_path / "state")
+    os.makedirs(base)
+    b0 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5), "purchase"),
+         (dt.datetime(2024, 1, 1, 9), "view")],
+        "ts timestamp, event_type string")
+    assert sprt_batch(b0, 0, base=base)
+    v1 = sorted(map(tuple, read_daily(spark, base).collect()))
+    assert v1 == [(dt.datetime(2024, 1, 1), 2, 1)]
+    assert not sprt_batch(b0, 0, base=base)   # replayed epoch -> skipped
+    assert sorted(map(tuple, read_daily(spark, base).collect())) == v1
