@@ -66,6 +66,8 @@ _VERIFY_FIRST = [
     # Round-11 new queries (registered below the 50-slot window tail, so
     # they must be named here to enter the window):
     "sprt_stream_decision_replay",
+    "mann_kendall_trend", "spearman_value_hour",
+    "brown_forsythe_variance", "mcnemar_purchase_halves",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -122,4 +122,5 @@ from . import (  # noqa: F401
     shard10,         # rendezvous-hashing shard audit (minimal disruption)
     binseg10,        # depth-2 binary segmentation, division-free argmax
     sprt_stream,     # SPRT gate maintained across streaming micro-batches
+    stats11,         # Mann-Kendall, Spearman, Brown-Forsythe, McNemar
 )

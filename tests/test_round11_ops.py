@@ -152,3 +152,107 @@ def test_sprt_batch_replay_guard_prevents_double_count(spark, tmp_path):
     assert v1 == [(dt.datetime(2024, 1, 1), 2, 1)]
     assert not sprt_batch(b0, 0, base=base)   # replayed epoch -> skipped
     assert sorted(map(tuple, read_daily(spark, base).collect())) == v1
+
+
+def test_mann_kendall_monotone_series(spark, tmp_path):
+    """A strictly rising hourly count series must give the maximal
+    S = n(n-1)/2 with zero tie correction and z > 0; a flat series must
+    give S = 0 with var18 = 0 handled (z = 0, no NaN)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(12):
+        for _ in range(h + 1):            # 'click' counts 1,2,...,12 rising
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "click",
+                         1.0, ""))
+            eid += 1
+        for _ in range(3):                # 'view' flat at 3 per hour
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "view",
+                         1.0, ""))
+            eid += 1
+    d = str(tmp_path / "mk")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["mann_kendall_trend"]
+    run_compare(spark, q, d)
+    out = {r["event_type"]: r for r in q.fn(spark, d).collect()}
+    n = 12
+    assert out["click"]["s_stat"] == n * (n - 1) // 2
+    assert out["click"]["var_s18"] == n * (n - 1) * (2 * n + 5)
+    assert out["click"]["z_mk"] > 0
+    assert out["view"]["s_stat"] == 0
+    assert out["view"]["var_s18"] == 0 and out["view"]["z_mk"] == 0.0
+
+
+def test_spearman_perfect_monotone(spark, tmp_path):
+    """value strictly increasing with hour-of-day -> rho = 1.0 exactly
+    (doubled midranks of both sides are identical permutations)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(h, t0 + dt.timedelta(hours=h), 1, "click",
+             10.0 + h, "") for h in range(24)]
+    d = str(tmp_path / "sp")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["spearman_value_hour"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()[0]
+    assert out["rho"] == 1.0
+
+
+def test_brown_forsythe_identical_groups_zero_f(spark, tmp_path):
+    """Identical value multisets across groups -> every group's median
+    deviations match -> f_bf == 0.0 exactly on the lattice."""
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["click", "error", "purchase", "signup", "view"]
+    rows = [(i, t0, 1, types[i % 5], 20.0 + (i // 5) % 7, "")
+            for i in range(350)]
+    d = str(tmp_path / "bf")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["brown_forsythe_variance"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()[0]
+    assert out["f_bf"] == 0.0 and out["k"] == 5
+
+
+def test_mcnemar_planted_flips(spark, tmp_path):
+    """Planted engagement flips: 3 users drop below the threshold in the
+    second half, 1 rises above it -> b=3, c=1,
+    chi2_cc = (|3-1|-1)^2/4 = 0.25."""
+    from redpanda_iceberg_duckdb_spark.operators.stats11 import _THR
+
+    t0 = dt.datetime(2024, 1, 2)
+    t1 = dt.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+
+    def purchases(uid, when, k):
+        nonlocal eid
+        for _ in range(k):
+            rows.append((eid, when, uid, "purchase", 1.0, ""))
+            eid += 1
+
+    for uid in (1, 2, 3):                  # engaged early only -> b
+        purchases(uid, t0, _THR)
+        purchases(uid, t1, _THR - 1)
+    purchases(4, t0, _THR - 1)             # engaged late only -> c
+    purchases(4, t1, _THR)
+    purchases(5, t0, _THR)                 # engaged both halves
+    purchases(5, t1, _THR)
+    purchases(6, t0, 1)                    # engaged neither
+    d = str(tmp_path / "mc")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["mcnemar_purchase_halves"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()[0]
+    assert (out["n_users"], out["b"], out["c"]) == (6, 3, 1)
+    assert out["chi2_cc"] == 0.25
