@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "sprt_stream_decision_replay",
     "mann_kendall_trend", "spearman_value_hour",
     "brown_forsythe_variance", "mcnemar_purchase_halves",
+    "hyperplane_lsh_near_dups", "pq_code_distortion",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

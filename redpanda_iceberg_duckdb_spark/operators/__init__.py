@@ -123,4 +123,6 @@ from . import (  # noqa: F401
     binseg10,        # depth-2 binary segmentation, division-free argmax
     sprt_stream,     # SPRT gate maintained across streaming micro-batches
     stats11,         # Mann-Kendall, Spearman, Brown-Forsythe, McNemar
+    similarity11,    # banded random-hyperplane LSH cosine near-dups
+    pq11,            # product-quantization encode + distortion audit
 )

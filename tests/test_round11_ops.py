@@ -256,3 +256,55 @@ def test_mcnemar_planted_flips(spark, tmp_path):
     out = q.fn(spark, d).collect()[0]
     assert (out["n_users"], out["b"], out["c"]) == (6, 3, 1)
     assert out["chi2_cc"] == 0.25
+
+
+def test_hyperplane_lsh_finds_planted_neardups(spark, tmp_path):
+    """Plant 3 near-identical vector pairs (one coordinate nudged) in a
+    spread-out background: the banded hyperplane LSH must surface all 3
+    at the head of the ranking even though a nudge can flip signature
+    bits — the or-amplification the all-16-bit coordinate bucketing
+    lacks."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for vid in range(40):
+        rows.append((vid, [rng.uniform(-0.5, 0.5) for _ in range(64)], 0))
+    for j in range(3):                       # planted pairs: 100+2j twins
+        base = [rng.uniform(-0.5, 0.5) for _ in range(64)]
+        nudged = list(base)
+        nudged[7] += 0.02
+        rows.append((100 + 2 * j, base, 1))
+        rows.append((101 + 2 * j, nudged, 1))
+    d = str(tmp_path / "lsh")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/embeddings.parquet",
+           [(v, [float(x) for x in e], lbl) for v, e, lbl in rows],
+           "vec_id long, embedding array<float>, label long")
+    q = all_queries()["hyperplane_lsh_near_dups"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    top = {(r["v1"], r["v2"]): r["rank"] for r in out}
+    for j in range(3):
+        pair = (100 + 2 * j, 101 + 2 * j)
+        assert pair in top and top[pair] <= 3, (pair, top)
+
+
+def test_pq_distortion_zero_when_vector_is_centroid(spark, tmp_path):
+    """One vector per label -> every sub-codebook centroid IS the
+    vector -> avg_sq_err must be exactly 0.0 in all 8 subspaces."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(v, [float(rng.uniform(-0.5, 0.5)) for _ in range(64)], v)
+            for v in range(10)]
+    d = str(tmp_path / "pq")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/embeddings.parquet", rows,
+           "vec_id long, embedding array<float>, label long")
+    q = all_queries()["pq_code_distortion"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["avg_sq_err"] == 0.0 and r["n_codes_used"] == 10
