@@ -69,6 +69,7 @@ _VERIFY_FIRST = [
     "mann_kendall_trend", "spearman_value_hour",
     "brown_forsythe_variance", "mcnemar_purchase_halves",
     "hyperplane_lsh_near_dups", "pq_code_distortion",
+    "personalized_pagerank_seeds", "link_prediction_jaccard",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

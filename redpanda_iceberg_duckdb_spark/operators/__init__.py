@@ -125,4 +125,5 @@ from . import (  # noqa: F401
     stats11,         # Mann-Kendall, Spearman, Brown-Forsythe, McNemar
     similarity11,    # banded random-hyperplane LSH cosine near-dups
     pq11,            # product-quantization encode + distortion audit
+    graph11,         # personalized PageRank + Jaccard link prediction
 )

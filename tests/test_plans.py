@@ -528,3 +528,33 @@ def test_round10_pending_batch_plan_gates(spark, sf_smoke):
         p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
         assert "CartesianProduct" not in p, (name, p[:1200])
         assert "SortMergeJoin" not in p, (name, p[:1200])
+
+
+def test_round11_batch_plan_gates(spark, sf_smoke):
+    """Plan-shape gates for the round-11 additions:
+    - hyperplane LSH: the sigma table join is BROADCAST (1024 rows) and
+      candidates form via equi-joins — no cartesian anywhere;
+    - PQ: the codebook join is BROADCAST (codes x subspaces x dims rows);
+    - PPR and link prediction ride equi-joins only (the wedge join is an
+      equi-join on the shared middle vertex, never a cartesian);
+    - the stats quartet never cartesians and never sort-merge-joins two
+      data-sized sides (their joins are group-cardinality)."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    qs = all_queries()
+
+    for name, need_bcast in (("hyperplane_lsh_near_dups", True),
+                             ("pq_code_distortion", True),
+                             ("personalized_pagerank_seeds", False),
+                             ("link_prediction_jaccard", False)):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "CartesianProduct" not in p, (name, p[:1200])
+        if need_bcast:
+            assert "BroadcastHashJoin" in p, (name, "expected broadcast")
+
+    for name in ("mann_kendall_trend", "spearman_value_hour",
+                 "brown_forsythe_variance", "mcnemar_purchase_halves",
+                 "sprt_stream_decision_replay"):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "CartesianProduct" not in p, (name, p[:1200])

@@ -308,3 +308,79 @@ def test_pq_distortion_zero_when_vector_is_centroid(spark, tmp_path):
     assert len(out) == 8
     for r in out:
         assert r["avg_sq_err"] == 0.0 and r["n_codes_used"] == 10
+
+
+def _trade_fixture(spark, tmp_path, od, li, name="g11"):
+    d = str(tmp_path / name)
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/orders.parquet", od,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, "
+           "o_orderpriority string")
+    _write(spark, f"{d}/lineitem.parquet", li,
+           "l_orderkey long, l_partkey long, l_suppkey long, "
+           "l_linenumber int, l_quantity double, l_extendedprice double, "
+           "l_discount double, l_tax double, l_returnflag string, "
+           "l_linestatus string, l_shipdate timestamp")
+    return d
+
+
+def test_personalized_pagerank_stays_in_seed_component(spark, tmp_path):
+    """Two disconnected trade components; the seeds (top order counts)
+    all live in component A -> every node with positive personalized rank
+    is in A, and component B never enters the top-20."""
+    t0 = dt.datetime(2024, 1, 1)
+    od, li = [], []
+    ok = 0
+    # component A: customers 1..5 (5 orders each -> the seeds), supplier 100
+    for c in range(1, 6):
+        for _ in range(5):
+            od.append((ok, c, "O", 1.0, t0, "1-URGENT"))
+            li.append((ok, 1, 100, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0))
+            ok += 1
+    # component B: customers 11..16 (1 order each), supplier 200
+    for c in range(11, 17):
+        od.append((ok, c, "O", 1.0, t0, "1-URGENT"))
+        li.append((ok, 2, 200, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0))
+        ok += 1
+    d = _trade_fixture(spark, tmp_path, od, li)
+    q = all_queries()["personalized_pagerank_seeds"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    comp_a = {("customer", c) for c in range(1, 6)} | {("supplier", 100)}
+    positive = [(r["kind"], r["key"]) for r in out if r["rank_scaled"] > 0]
+    assert positive and set(positive) <= comp_a
+    assert all((r["kind"], r["key"]) not in
+               {("supplier", 200)} | {("customer", c)
+                                      for c in range(11, 17)}
+               or r["rank_scaled"] == 0 for r in out)
+
+
+def test_link_prediction_planted_wedge(spark, tmp_path):
+    """u and w share no part (non-adjacent) but both co-purchase with m:
+    Jaccard(u, w) = 1/(1+1-1) = 1.0 and the pair must rank first."""
+    t0 = dt.datetime(2024, 1, 1)
+    od, li = [], []
+    ok = 0
+
+    def order(cust, parts):
+        nonlocal ok
+        od.append((ok, cust, "O", 1.0, t0, "1-URGENT"))
+        for p in parts:
+            li.append((ok, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0))
+        ok += 1
+
+    order(1, [10])          # u buys p10
+    order(2, [10, 20])      # m buys p10 and p20 -> adj to both u and w
+    order(3, [20])          # w buys p20
+    # background: a clique of 4 customers on part 30 (pairwise adjacent,
+    # so they generate wedges but all closed -> excluded by the anti-join)
+    for c in (4, 5, 6, 7):
+        order(c, [30])
+    d = _trade_fixture(spark, tmp_path, od, li, "lp")
+    q = all_queries()["link_prediction_jaccard"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    top = out[0]
+    assert (top["cust_a"], top["cust_b"]) == (1, 3)
+    assert top["jacc"] == 1.0 and top["common_n"] == 1
