@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "brown_forsythe_variance", "mcnemar_purchase_halves",
     "hyperplane_lsh_near_dups", "pq_code_distortion",
     "personalized_pagerank_seeds", "link_prediction_jaccard",
+    "rocchio_feedback_topk", "tokenizer_fertility_by_lang",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

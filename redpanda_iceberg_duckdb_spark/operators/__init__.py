@@ -126,4 +126,5 @@ from . import (  # noqa: F401
     similarity11,    # banded random-hyperplane LSH cosine near-dups
     pq11,            # product-quantization encode + distortion audit
     graph11,         # personalized PageRank + Jaccard link prediction
+    ranking11,       # Rocchio feedback + tokenizer fertility by lang
 )

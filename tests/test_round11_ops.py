@@ -384,3 +384,43 @@ def test_link_prediction_planted_wedge(spark, tmp_path):
     top = out[0]
     assert (top["cust_a"], top["cust_b"]) == (1, 3)
     assert top["jacc"] == 1.0 and top["common_n"] == 1
+
+
+def test_rocchio_expansion_pulls_in_unqueried_doc(spark, tmp_path):
+    """A document with NONE of the original query terms but saturated in
+    the pseudo-relevant set's strongest term must enter the feedback
+    top-10 (initial BM25 gives it no score at all)."""
+    rows = []
+    # 'zq' is the rare query term (df=3); its docs are drenched in 'xx'.
+    for i in range(3):
+        rows.append((i, "zq xx xx xx xx filler" + str(i), "en", "s", 10))
+    rows.append((50, "xx xx xx xx xx xx", "en", "s", 10))   # feedback-only
+    # background vocabulary so the rarest-5 rule picks zq + fillers
+    for i in range(20):
+        rows.append((100 + i, "common words here every time", "en", "s", 10))
+    d = str(tmp_path / "roc")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/documents.parquet", rows,
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long")
+    q = all_queries()["rocchio_feedback_topk"]
+    run_compare(spark, q, d)
+    out = {r["doc_id"]: r["bm25_fb"] for r in q.fn(spark, d).collect()}
+    assert 50 in out and out[50] > 0
+
+
+def test_tokenizer_fertility_counts_punct_and_digits(spark, tmp_path):
+    """'ab 12 cd!' is 3 whitespace words but 4 BPE-ish tokens (word,
+    digits, word, punct) -> fertility 4/3; chars_per_token = 7/4."""
+    rows = [(1, "ab 12 cd!", "xx", "s", 9)]
+    d = str(tmp_path / "fert")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/documents.parquet", rows,
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long")
+    q = all_queries()["tokenizer_fertility_by_lang"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()[0]
+    assert (out["n_words"], out["n_tokens"]) == (3, 4)
+    assert out["fertility"] == round(4 / 3, 6)
+    assert out["chars_per_token"] == round(7 / 4, 6)
