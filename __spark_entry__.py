@@ -71,6 +71,8 @@ _VERIFY_FIRST = [
     "hyperplane_lsh_near_dups", "pq_code_distortion",
     "personalized_pagerank_seeds", "link_prediction_jaccard",
     "rocchio_feedback_topk", "tokenizer_fertility_by_lang",
+    "decision_stump_hour_split", "pinball_loss_eval",
+    "fano_factor_burstiness", "davies_bouldin_clusters",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

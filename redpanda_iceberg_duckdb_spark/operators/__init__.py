@@ -127,4 +127,5 @@ from . import (  # noqa: F401
     pq11,            # product-quantization encode + distortion audit
     graph11,         # personalized PageRank + Jaccard link prediction
     ranking11,       # Rocchio feedback + tokenizer fertility by lang
+    eval11,          # decision stump, pinball loss, Fano, Davies-Bouldin
 )

@@ -424,3 +424,102 @@ def test_tokenizer_fertility_counts_punct_and_digits(spark, tmp_path):
     assert (out["n_words"], out["n_tokens"]) == (3, 4)
     assert out["fertility"] == round(4 / 3, 6)
     assert out["chars_per_token"] == round(7 / 4, 6)
+
+
+def test_decision_stump_perfect_split(spark, tmp_path):
+    """Purchases fill hours 0-11 exactly and never appear after ->
+    the stump must split at hour 11 with gini_split = 0 and
+    gain = gini_parent (= 0.5 on a balanced corpus)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        for _ in range(5):
+            et = "purchase" if h <= 11 else "view"
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, et, 1.0, ""))
+            eid += 1
+    d = str(tmp_path / "stump")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["decision_stump_hour_split"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()[0]
+    assert out["split_hour"] == 11
+    assert out["gini_split"] == 0.0
+    assert out["gain"] == out["gini_parent"] == 0.5
+
+
+def test_pinball_loss_constant_bias(spark, tmp_path):
+    """Seasonal-naive with a constant +2 residual (every hour has 2 more
+    events than 24h earlier): pinball(tau) = 2*tau exactly."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        c = 3 + 2 * (h // 24)        # day 1: 3/hour, day 2: 5/hour
+        for _ in range(c):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "click",
+                         1.0, ""))
+            eid += 1
+    d = str(tmp_path / "pin")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["pinball_loss_eval"]
+    run_compare(spark, q, d)
+    out = {r["tau"]: r for r in q.fn(spark, d).collect()}
+    for tau in (0.1, 0.5, 0.9):
+        assert out[tau]["n"] == 24
+        assert out[tau]["pinball"] == round(2 * tau, 6)
+
+
+def test_fano_factor_known_dispersion(spark, tmp_path):
+    """'view' alternates 1/3 per hour (mean 2, pop var 1 -> fano 0.5);
+    'click' is constant (fano 0.0 exactly)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        for _ in range(1 if h % 2 == 0 else 3):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "view",
+                         1.0, ""))
+            eid += 1
+        for _ in range(2):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "click",
+                         1.0, ""))
+            eid += 1
+    d = str(tmp_path / "fano")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["fano_factor_burstiness"]
+    run_compare(spark, q, d)
+    out = {r["event_type"]: r for r in q.fn(spark, d).collect()}
+    assert out["click"]["fano"] == 0.0
+    assert out["view"]["fano"] == 0.5 and out["view"]["mean_rate"] == 2.0
+
+
+def test_davies_bouldin_zero_scatter_clusters(spark, tmp_path):
+    """Each label's vectors are IDENTICAL -> scatter 0 -> every
+    db_term = 0.0 exactly (separation finite, numerator zero)."""
+    rows = []
+    vid = 0
+    for lbl in range(3):
+        base = [float(lbl + 1) * 0.1] * 64
+        for _ in range(4):
+            rows.append((vid, base, lbl))
+            vid += 1
+    d = str(tmp_path / "db")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/embeddings.parquet", rows,
+           "vec_id long, embedding array<float>, label long")
+    q = all_queries()["davies_bouldin_clusters"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["scatter_sq"] == 0.0 and r["db_term"] == 0.0
