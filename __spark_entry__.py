@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "rocchio_feedback_topk", "tokenizer_fertility_by_lang",
     "decision_stump_hour_split", "pinball_loss_eval",
     "fano_factor_burstiness", "davies_bouldin_clusters",
+    "token_kl_by_source_pair", "cochran_armitage_trend",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -128,4 +128,5 @@ from . import (  # noqa: F401
     graph11,         # personalized PageRank + Jaccard link prediction
     ranking11,       # Rocchio feedback + tokenizer fertility by lang
     eval11,          # decision stump, pinball loss, Fano, Davies-Bouldin
+    text11,          # inter-source unigram KL divergence matrix
 )

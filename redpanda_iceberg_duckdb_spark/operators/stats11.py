@@ -358,6 +358,70 @@ def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6).alias("f_bf"))
 
 
+def _ca_oracle() -> str:
+    return """
+WITH h AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS w,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
+  FROM events GROUP BY 1),
+agg AS (
+  SELECT cast(sum(n) AS bigint) AS nt, cast(sum(r) AS bigint) AS rt,
+         cast(sum(w * n) AS bigint) AS swn,
+         cast(sum(w * w * n) AS bigint) AS sw2n,
+         cast(sum(w * (r * (SELECT sum(n) FROM h)
+                       - n * (SELECT sum(r) FROM h))) AS hugeint) AS t_num
+  FROM h)
+SELECT nt AS n, rt AS r, cast(t_num AS bigint) AS t_stat,
+       round(cast(t_num AS double)
+             / sqrt(cast(cast(rt AS hugeint) * (nt - rt)
+                         * (cast(nt AS hugeint) * sw2n - cast(swn AS hugeint)
+                            * swn) AS double)
+                    / cast(nt AS double)), 6) AS z_ca
+FROM agg"""
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle=_ca_oracle(),
+    tags=("evaluation", "statistics"),
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n, r, t_stat, z_ca): Cochran-Armitage trend test of purchase
+    proportion across hour-of-day scores 0..23 — T = sum w*(r_h*N -
+    n_h*R) is an exact integer (N x the classical statistic), its
+    variance R(N-R)*(N*sum(w^2 n) - (sum w n)^2)/N an exact rational,
+    one sqrt (IEEE correctly rounded) and one division for z."""
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    h = (e.groupBy(F.expr("(unix_micros(ts) div 3600000000) % 24")
+                   .alias("w"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("r")))
+    tot = h.agg(F.sum("n").alias("nt0"), F.sum("r").alias("rt0"))
+    agg = (h.crossJoin(F.broadcast(tot))
+           .agg(F.max("nt0").cast("long").alias("nt"),
+                F.max("rt0").cast("long").alias("rt"),
+                F.sum(F.col("w") * F.col("n")).cast("long").alias("swn"),
+                F.sum(F.col("w") * F.col("w") * F.col("n"))
+                .cast("long").alias("sw2n"),
+                F.sum(F.col("w").cast(dec)
+                      * (F.col("r") * F.col("nt0")
+                         - F.col("n") * F.col("rt0"))).alias("t_num")))
+    # t_num = N*T, so Var(t_num) = N^2 * Var(T)
+    #        = R(N-R) * (N*sum(w^2 n) - (sum w n)^2) / N.
+    var = (F.col("rt").cast(dec) * (F.col("nt") - F.col("rt"))
+           * (F.col("nt").cast(dec) * F.col("sw2n")
+              - F.col("swn").cast(dec) * F.col("swn"))).cast("double") \
+        / F.col("nt").cast("double")
+    return agg.select(
+        F.col("nt").alias("n"), F.col("rt").alias("r"),
+        F.col("t_num").cast("long").alias("t_stat"),
+        F.round(F.col("t_num").cast("double") / F.sqrt(var), 6)
+        .alias("z_ca"))
+
+
 _HALF_CUT = "2024-01-16"
 # "Engaged purchaser" = at least _THR purchases in the half-month; the
 # raw any-purchase indicator saturates on this corpus (~13 purchases per

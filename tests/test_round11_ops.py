@@ -523,3 +523,62 @@ def test_davies_bouldin_zero_scatter_clusters(spark, tmp_path):
     assert len(out) == 3
     for r in out:
         assert r["scatter_sq"] == 0.0 and r["db_term"] == 0.0
+
+
+def test_token_kl_identical_sources_zero(spark, tmp_path):
+    """Two sources with IDENTICAL token multisets -> KL = 0 exactly in
+    both directions; a divergent third source scores > 0 against both."""
+    rows = [
+        (1, "aa bb cc aa", "en", "s1", 11),
+        (2, "aa bb cc aa", "en", "s2", 11),
+        (3, "zz zz yy xx", "en", "s3", 11),
+    ]
+    d = str(tmp_path / "kl")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/documents.parquet", rows,
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long")
+    q = all_queries()["token_kl_by_source_pair"]
+    run_compare(spark, q, d)
+    out = {(r["source_a"], r["source_b"]): r for r in q.fn(spark, d).collect()}
+    assert out[("s1", "s2")]["kl_micronat_num"] == 0
+    assert out[("s1", "s2")]["kl_nats"] == 0.0
+    assert out[("s2", "s1")]["kl_nats"] == 0.0
+    assert out[("s1", "s3")]["kl_nats"] > 0
+    assert out[("s3", "s1")]["kl_nats"] > 0
+
+
+def test_cochran_armitage_flat_and_rising(spark, tmp_path):
+    """Exactly proportional per-hour positives -> T = 0 and z = 0; a
+    rising purchase share must give z > 0."""
+    t0 = dt.datetime(2024, 1, 1)
+
+    def build(tmpname, pos_of_hour):
+        rows = []
+        eid = 0
+        for h in range(24):
+            pos = pos_of_hour(h)
+            for _ in range(pos):
+                rows.append((eid, t0 + dt.timedelta(hours=h), 1,
+                             "purchase", 1.0, ""))
+                eid += 1
+            for _ in range(10 - pos):
+                rows.append((eid, t0 + dt.timedelta(hours=h), 1,
+                             "view", 1.0, ""))
+                eid += 1
+        d = str(tmp_path / tmpname)
+        os.makedirs(d, exist_ok=True)
+        _write(spark, f"{d}/events.parquet", rows,
+               "event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string")
+        return d
+
+    q = all_queries()["cochran_armitage_trend"]
+    d_flat = build("flat", lambda h: 3)          # constant 30% share
+    run_compare(spark, q, d_flat)
+    out = q.fn(spark, d_flat).collect()[0]
+    assert out["t_stat"] == 0 and out["z_ca"] == 0.0
+    d_rise = build("rise", lambda h: min(9, h // 3))   # rising share
+    run_compare(spark, q, d_rise)
+    out = q.fn(spark, d_rise).collect()[0]
+    assert out["t_stat"] > 0 and out["z_ca"] > 3
