@@ -123,7 +123,17 @@ def main() -> None:
                  "bh_fdr_discoveries", "sssp_cheapest_paths",
                  "t_closeness_audit", "temperature_mixture_allocation",
                  "sprt_sequential_decision", "rendezvous_shard_audit",
-                 "binary_segmentation_splits"]:
+                 "binary_segmentation_splits",
+                 # round-11 batch
+                 "sprt_stream_decision_replay", "mann_kendall_trend",
+                 "spearman_value_hour", "brown_forsythe_variance",
+                 "mcnemar_purchase_halves", "hyperplane_lsh_near_dups",
+                 "pq_code_distortion", "personalized_pagerank_seeds",
+                 "link_prediction_jaccard", "rocchio_feedback_topk",
+                 "tokenizer_fertility_by_lang", "decision_stump_hour_split",
+                 "pinball_loss_eval", "fano_factor_burstiness",
+                 "davies_bouldin_clusters", "token_kl_by_source_pair",
+                 "cochran_armitage_trend"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -20,11 +20,17 @@ Scale stance (100 TB):
   (built once per dataset). Seed discovery is one combinable aggregate
   + a bounded top-5 collect.
 - Link prediction: candidate pairs enumerate as WEDGES (edge ⋈ edge on
-  the shared middle vertex) — cost Σ_v deg(v)^2, the triangle-counting
-  bound, kept small by the co-purchase graph's rare-part degree cap;
-  existing edges drop via one anti-join; the all-pairs product never
-  appears. Top-20 via distributed TakeOrdered, never a global window
-  over the candidate set.
+  the shared middle vertex) — cost Σ_v deg(v)^2. The co-purchase graph
+  is dense enough that hubs dominate that sum (measured at sf0.1:
+  350M wedges unrestricted), so middles above a degree cap are DROPPED
+  before pairing — the stop-node rule of graph10.py's bipartite
+  projection and dedup.py's df-cap, applied identically in the oracle
+  (measured: cap 64 keeps 3.8M wedges, ~100x less). Common-neighbor
+  counts therefore mean "common LOW-DEGREE neighbors" — the standard
+  production trade: hub co-membership carries almost no similarity
+  signal and all the cost. Existing edges drop via one anti-join; the
+  all-pairs product never appears. Top-20 via distributed TakeOrdered,
+  never a global window over the candidate set.
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ from .graphrank import _SCALE, _TELEPORT, _edges_with_deg
 _ITER = 5
 _TOPN = 20
 _NSEEDS = 5
+_MID_CAP = 64    # wedge middles above this degree are stop-nodes
 
 
 def _ppr_oracle() -> str:
@@ -124,9 +131,11 @@ def _lp_oracle() -> str:
     return f"""
 WITH {_edges_sql()},
 deg AS (SELECT src AS c, count(*) AS dg FROM e GROUP BY 1),
+mid AS (SELECT c FROM deg WHERE dg <= {_MID_CAP}),
 wedge AS (
   SELECT a.dst AS u, b.dst AS w, count(*) AS cn
   FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+  JOIN mid m ON m.c = a.src
   GROUP BY 1, 2),
 cand AS (
   SELECT w.u, w.w, w.cn
@@ -153,14 +162,17 @@ FROM ranked WHERE rn <= {_TOPN} ORDER BY rn"""
 def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(rn, cust_a, cust_b, common_n, deg_a, deg_b, jacc): top-20
     NON-adjacent customer pairs of the rare-part co-purchase graph by
-    neighbor-set Jaccard — wedge enumeration for candidates, one
-    anti-join to drop existing edges, exact-rational scores (module
-    docstring)."""
+    neighbor-set Jaccard — wedge enumeration through middles of degree
+    <= _MID_CAP (stop-node rule, mirrored in the oracle), one anti-join
+    to drop existing edges, exact-rational scores (module docstring)."""
     e = copurchase_edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+    mid = deg.filter(F.col("dg") <= _MID_CAP) \
+        .select(F.col("src").alias("m"))
     a = e.select(F.col("src").alias("m"), F.col("dst").alias("u"))
     b = e.select(F.col("src").alias("m"), F.col("dst").alias("w"))
-    wedge = (a.join(b, "m").filter(F.col("u") < F.col("w"))
+    wedge = (a.join(mid, "m").join(b, "m")
+             .filter(F.col("u") < F.col("w"))
              .groupBy("u", "w").agg(F.count(F.lit(1)).alias("cn")))
     cand = wedge.join(
         e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
