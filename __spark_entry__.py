@@ -74,6 +74,9 @@ _VERIFY_FIRST = [
     "decision_stump_hour_split", "pinball_loss_eval",
     "fano_factor_burstiness", "davies_bouldin_clusters",
     "token_kl_by_source_pair", "cochran_armitage_trend",
+    # Round-11 perf fallout (re-verify after the O(len^2) split fix +
+    # merge-table memoization in bpe_train.py):
+    "bpe_train_merges", "bpe_train_merges_wordcount", "bpe_encode_stats",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

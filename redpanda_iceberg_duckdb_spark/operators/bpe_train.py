@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..dataset_cache import data_fingerprint
 from ..registry import register
 from ..tables import load_table
 
@@ -102,10 +103,19 @@ _WRAP = ("concat(char(1), replace(text, ' ', concat(char(1), ' ', char(1))),"
          " char(1))")
 
 
+# (applicationId, data fingerprint, unique_weighted) -> learned merges.
+# The trained merge table is pure data derived from the corpus; the apply
+# pass (bpe_encode_stats) and both train queries share it, so retraining
+# per invocation re-paid the 10-round driver-synchronized loop every call
+# (the graphrank/quantizer_train keyed-singleton discipline, r9).
+_MERGE_CACHE: dict[tuple[str, str, bool], list] = {}
+
+
 def _train(spark: SparkSession, sf_dir: str, *,
            unique_weighted: bool = False) -> list[tuple[int, str, str, int]]:
     """Run the merge-learning loop; returns [(rank, marked_l, marked_r,
-    count)] with tokens still wrapped in \x01 markers.
+    count)] with tokens still wrapped in \x01 markers. Memoized per
+    (application, dataset, granularity) — see _MERGE_CACHE.
 
     unique_weighted=True trains at (unique text, multiplicity)
     granularity — the representation real BPE trainers use (Sennrich ACL
@@ -115,6 +125,11 @@ def _train(spark: SparkSession, sf_dir: str, *,
     corpus size to distinct-text vocabulary size. The learned merge table
     is IDENTICAL by construction (sum of mult over collapsed rows = the
     per-row count)."""
+    key = (spark.sparkContext.applicationId,
+           data_fingerprint(sf_dir, "documents") or sf_dir,
+           unique_weighted)
+    if key in _MERGE_CACHE:
+        return _MERGE_CACHE[key]
     d = load_table(spark, sf_dir, "documents")
     if unique_weighted:
         enc = (d.groupBy("text").agg(F.count(F.lit(1)).alias("mult"))
@@ -122,7 +137,10 @@ def _train(spark: SparkSession, sf_dir: str, *,
     else:
         enc = d.select(F.expr(_WRAP).alias("enc"),
                        F.lit(1).alias("mult"))
-    return _train_encoded(enc)
+    merges = _train_encoded(enc)
+    _MERGE_CACHE.clear()   # at most one live entry — bounded memory
+    _MERGE_CACHE[key] = merges
+    return merges
 
 
 def _train_encoded(enc: DataFrame) -> list[tuple[int, str, str, int]]:
@@ -131,12 +149,17 @@ def _train_encoded(enc: DataFrame) -> list[tuple[int, str, str, int]]:
     for t in range(1, _N_MERGES + 1):
         # Spark's sequence(1, 0) counts DOWN (unlike DuckDB's empty
         # generate_series), so single-token docs need the explicit guard.
-        pairs = (enc.select("mult", F.explode(F.expr(
-            "CASE WHEN size(split(enc, ' ')) < 2 THEN "
-            "  array() "
-            "ELSE transform(sequence(1, size(split(enc, ' ')) - 1), "
-            "i -> struct(split(enc, ' ')[i - 1] AS l, "
-            "            split(enc, ' ')[i] AS r)) END")).alias("p"))
+        # The token array is materialized in its OWN select below the
+        # explode: fused into one select, the analyzer parks the
+        # projection above the Generate and split() re-evaluates once
+        # per EXPLODED pair — O(len^2) splitting per row (the
+        # quantizer_train PLAN TRAP, same fix).
+        pairs = (enc.select("mult", F.split("enc", " ").alias("tk"))
+                 .select("mult", F.explode(F.expr(
+                     "CASE WHEN size(tk) < 2 THEN array() "
+                     "ELSE transform(sequence(1, size(tk) - 1), "
+                     "i -> struct(tk[i - 1] AS l, tk[i] AS r)) END"))
+                     .alias("p"))
             .select("mult", "p.l", "p.r")
             .groupBy("l", "r").agg(F.sum("mult").alias("c")))
         best_rows = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
