@@ -582,3 +582,26 @@ def test_cochran_armitage_flat_and_rising(spark, tmp_path):
     run_compare(spark, q, d_rise)
     out = q.fn(spark, d_rise).collect()[0]
     assert out["t_stat"] > 0 and out["z_ca"] > 3
+
+
+def test_pq_adc_perfect_recall_on_pure_clusters(spark, tmp_path):
+    """Every label's vectors are identical -> each query's ADC distance
+    to same-label candidates is exactly 0 and positive elsewhere, and
+    exact cosine ranks same-label candidates first with the same cid
+    tie-break -> recall@5 = 1.0 for every probe."""
+    import random
+
+    rng = random.Random(3)
+    protos = [[float(rng.uniform(-0.5, 0.5)) for _ in range(64)]
+              for _ in range(10)]
+    rows = [(vid, protos[vid // 60], vid // 60) for vid in range(600)]
+    d = str(tmp_path / "adc")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/embeddings.parquet", rows,
+           "vec_id long, embedding array<float>, label long")
+    q = all_queries()["pq_adc_recall_at_5"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    assert len(out) == 6          # qids 0, 100, ..., 500
+    for r in out:
+        assert r["recall_at_5"] == 1.0, tuple(r)
