@@ -77,7 +77,7 @@ _VERIFY_FIRST = [
     # Round-11 perf fallout (re-verify after the O(len^2) split fix +
     # merge-table memoization in bpe_train.py):
     "bpe_train_merges", "bpe_train_merges_wordcount", "bpe_encode_stats",
-    "pq_adc_recall_at_5",
+    "pq_adc_recall_at_5", "ivf_pq_recall_at_5",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

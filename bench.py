@@ -133,7 +133,8 @@ def main() -> None:
                  "tokenizer_fertility_by_lang", "decision_stump_hour_split",
                  "pinball_loss_eval", "fano_factor_burstiness",
                  "davies_bouldin_clusters", "token_kl_by_source_pair",
-                 "cochran_armitage_trend", "pq_adc_recall_at_5"]:
+                 "cochran_armitage_trend", "pq_adc_recall_at_5",
+                 "ivf_pq_recall_at_5"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

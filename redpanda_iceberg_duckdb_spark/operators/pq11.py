@@ -298,3 +298,153 @@ def pq_adc_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.coalesce("n_hits", F.lit(0)) / float(_K), 6)
                     .alias(f"recall_at_{_K}"))
             .orderBy("qid"))
+
+
+def _ivfpq_oracle() -> str:
+    from .similarity import _NORMS_DUCK, _SCALE as _DOT_SCALE
+    return f"""
+WITH qd AS (
+  SELECT vec_id, label,
+         (generate_subscripts(embedding, 1) - 1) // {_DSUB} AS sub,
+         generate_subscripts(embedding, 1) - 1 AS k,
+         cast(floor(cast(unnest(embedding) AS double) * 1e4) AS bigint)
+           AS qv
+  FROM embeddings),
+cb AS (
+  SELECT label AS code, sub, k, sum(qv) AS s, count(*) AS n
+  FROM qd GROUP BY 1, 2, 3),
+dist AS (
+  SELECT q.vec_id, q.sub, c.code,
+         sum(cast(q.qv * c.n - c.s AS hugeint) * (q.qv * c.n - c.s))
+           AS d_int,
+         max(c.n) AS n
+  FROM qd q JOIN cb c ON c.sub = q.sub AND c.k = q.k
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (
+             PARTITION BY vec_id, sub
+             ORDER BY cast(d_int AS double) / (cast(n AS double) * n),
+                      code) AS rn
+    FROM dist)
+  WHERE rn = 1),
+qset AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+         WHERE vec_id % {_NQ_MOD} = 0 AND vec_id < {_NQ_MAX}),
+dq AS (
+  SELECT d.vec_id AS qid, d.sub, d.code,
+         (d.d_int * {_SCALE}) // (cast(d.n AS hugeint) * d.n) AS ds
+  FROM dist d JOIN qset ON qset.qid = d.vec_id),
+adc AS (  -- IVF prune first: only candidates in the query's cell
+  SELECT dq.qid, c.vec_id AS cid, sum(dq.ds) AS adc
+  FROM codes c
+  JOIN embeddings el ON el.vec_id = c.vec_id
+  JOIN qset qs ON qs.qlabel = el.label
+  JOIN dq ON dq.qid = qs.qid AND dq.sub = c.sub AND dq.code = c.code
+  WHERE c.vec_id <> qs.qid
+  GROUP BY 1, 2),
+adc5 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+    FROM adc)
+  WHERE rn <= {_K}),
+pairs AS (SELECT q.qid, e.vec_id AS cid, eq.embedding AS qe,
+                 e.embedding AS ce
+          FROM qset q JOIN embeddings eq ON eq.vec_id = q.qid
+               JOIN embeddings e ON e.vec_id <> q.qid),
+dots AS (SELECT qid, cid,
+                cast(sum(cast(floor(cast(x AS double) * cast(y AS double)
+                                    * {_DOT_SCALE}) AS bigint)) AS double)
+                  AS dot
+         FROM (SELECT qid, cid, unnest(qe) x, unnest(ce) y FROM pairs)
+         GROUP BY 1, 2),
+{_NORMS_DUCK},
+exact5 AS (SELECT qid, cid FROM
+             (SELECT d.qid, d.cid,
+                     row_number() OVER (PARTITION BY d.qid
+                       ORDER BY round(d.dot / (nq.nrm * nc.nrm), 6) DESC,
+                                d.cid) AS rank
+              FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+                          JOIN norms nc ON nc.vec_id = d.cid)
+           WHERE rank <= {_K}),
+hits AS (SELECT a.qid, count(*) AS n_hits
+         FROM adc5 a JOIN exact5 x ON x.qid = a.qid AND x.cid = a.cid
+         GROUP BY 1)
+SELECT q.qid, cast(coalesce(h.n_hits, 0) AS bigint) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {_K}.0, 6) AS recall_at_{_K}
+FROM qset q LEFT JOIN hits h ON h.qid = q.qid
+ORDER BY q.qid"""
+
+
+@register(
+    "ivf_pq_recall_at_5",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "quantization", "evaluation",
+          "scale-pattern"),
+)
+def ivf_pq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, n_hits, recall_at_5): the FULL production ANN query path —
+    IVF cell pruning (probe the query's label cell) followed by PQ
+    asymmetric-distance ranking of the surviving byte codes — graded
+    against exact brute-force cosine top-5. The end-to-end loss of the
+    billion-scale layout (cell-miss + quantization together), next to
+    the isolated dials: ann_recall_mrr_by_nprobe (cell-miss alone) and
+    pq_adc_recall_at_5 (quantization alone).
+
+    Scale stance: the scan side touches ONLY the cell-pruned code table
+    (bytes per vector); the per-query lookup table is codes x subspaces
+    fixed-point integers, broadcast; exact ground truth is the fixed 1%
+    probe set against numpy-batched dots (the existing harness)."""
+    from .similarity import (_norms, _numpy_pair_dots, _ranked_topk,
+                             _sims_from_dots)
+    dec = "decimal(38,0)"
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_codes(spark, sf_dir)
+    qset = (emb.filter((F.col("vec_id") % _NQ_MOD == 0)
+                       & (F.col("vec_id") < _NQ_MAX))
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("label").alias("qlabel")))
+    cb = pq_codebook(spark, sf_dir)
+    qd = (emb.join(F.broadcast(qset), emb.vec_id == qset.qid)
+          .select("qid", F.posexplode(F.expr(
+              "transform(embedding, x -> cast(floor("
+              "cast(x as double) * 1e4) as bigint))")).alias("k", "qv"))
+          .withColumn("sub", F.expr(f"k div {_DSUB}")))
+    t = F.col("qv") * F.col("n") - F.col("s")
+    prod = F.col("d_int") * F.lit(_SCALE)
+    nsq = F.col("n").cast(dec) * F.col("n")
+    dq = (qd.join(F.broadcast(cb), ["sub", "k"])
+          .groupBy("qid", "sub", "code")
+          .agg(F.sum(t.cast(dec) * t).alias("d_int"),
+               F.max("n").alias("n"))
+          .select("qid", "sub", "code",
+                  ((prod - prod % nsq) / nsq).cast(dec).alias("ds")))
+    cand = (codes.join(emb.select(F.col("vec_id"), "label"), "vec_id")
+            .join(F.broadcast(qset),
+                  (F.col("label") == F.col("qlabel"))
+                  & (F.col("vec_id") != F.col("qid")))
+            .select(F.col("vec_id").alias("cid"), "qid", "sub", "code"))
+    adc = (cand.join(F.broadcast(dq), ["qid", "sub", "code"])
+           .groupBy("qid", "cid").agg(F.sum("ds").alias("adc")))
+    wq = W.partitionBy("qid").orderBy("adc", "cid")
+    adc5 = (adc.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= _K).select("qid", "cid"))
+    norms = _norms(emb)
+    q = (emb.join(F.broadcast(qset), emb.vec_id == qset.qid)
+         .select("qid", F.col("embedding").alias("qe")))
+    candx = emb.select(F.col("vec_id").alias("cid"),
+                       F.col("embedding").alias("ce"))
+    pairs_x = candx.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+    exact5 = (_ranked_topk(
+        _sims_from_dots(_numpy_pair_dots(pairs_x), norms), _K)
+        .select("qid", "cid"))
+    hits = (adc5.join(exact5, ["qid", "cid"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (qset.select("qid").join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0)) / float(_K), 6)
+                    .alias(f"recall_at_{_K}"))
+            .orderBy("qid"))

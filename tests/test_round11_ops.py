@@ -605,3 +605,25 @@ def test_pq_adc_perfect_recall_on_pure_clusters(spark, tmp_path):
     assert len(out) == 6          # qids 0, 100, ..., 500
     for r in out:
         assert r["recall_at_5"] == 1.0, tuple(r)
+
+
+def test_ivf_pq_perfect_recall_on_pure_clusters(spark, tmp_path):
+    """Pure clusters again: cell pruning keeps exactly the same-label
+    candidates and ADC ranks them at distance 0 with the cid tie-break
+    matching exact cosine's -> end-to-end IVF-PQ recall@5 = 1.0."""
+    import random
+
+    rng = random.Random(4)
+    protos = [[float(rng.uniform(-0.5, 0.5)) for _ in range(64)]
+              for _ in range(10)]
+    rows = [(vid, protos[vid // 60], vid // 60) for vid in range(600)]
+    d = str(tmp_path / "ivfpq")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/embeddings.parquet", rows,
+           "vec_id long, embedding array<float>, label long")
+    q = all_queries()["ivf_pq_recall_at_5"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["recall_at_5"] == 1.0, tuple(r)
