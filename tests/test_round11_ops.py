@@ -627,3 +627,57 @@ def test_ivf_pq_perfect_recall_on_pure_clusters(spark, tmp_path):
     assert len(out) == 6
     for r in out:
         assert r["recall_at_5"] == 1.0, tuple(r)
+
+
+def test_sprt_state_fold_is_partition_invariant(spark):
+    """Linearity property: folding ANY partition of an event list through
+    apply_events_delta (in order, state carried) equals the one-shot
+    daily rollup — the algebraic fact that makes the streaming gate's
+    state maintainable. Three seeded random partitions of a random
+    30-day event set."""
+    import random
+
+    from redpanda_iceberg_duckdb_spark.operators.sprt10 import daily_stats
+    from redpanda_iceberg_duckdb_spark.streaming.sprt_sink import (
+        apply_events_delta, empty_daily)
+
+    rng = random.Random(1101)
+    rows = [(dt.datetime(2024, 1, 1 + rng.randrange(28), rng.randrange(24)),
+             rng.choice(["purchase", "view", "click"]))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    want = sorted(map(tuple, daily_stats(df).collect()))
+    for trial in range(3):
+        cuts = sorted(rng.sample(range(1, 300), rng.randrange(1, 6)))
+        bounds = [0] + cuts + [300]
+        state = empty_daily(spark)
+        for lo, hi in zip(bounds, bounds[1:]):
+            batch = spark.createDataFrame(
+                rows[lo:hi], "ts timestamp, event_type string")
+            state = apply_events_delta(state, batch) \
+                .localCheckpoint(eager=False)
+        assert sorted(map(tuple, state.collect())) == want, f"trial {trial}"
+
+
+def test_token_kl_nonnegative_on_random_corpus(spark, tmp_path):
+    """Gibbs' inequality: every pairwise KL is >= 0 on a random corpus
+    (equality only for identical smoothed distributions) — the micro-nat
+    snapping must not break the sign."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randrange(5, 40))),
+             "en", f"s{i % 4}", 0) for i in range(60)]
+    d = str(tmp_path / "klrand")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/documents.parquet", rows,
+           "doc_id long, text string, lang string, source string, "
+           "n_chars long")
+    q = all_queries()["token_kl_by_source_pair"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    assert len(out) == 12          # 4 sources, ordered pairs
+    for r in out:
+        assert r["kl_nats"] >= 0, tuple(r)
+        assert r["kl_micronat_num"] > 0   # random corpora never coincide
