@@ -86,7 +86,12 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = []
+_PENDING_NEXT_WINDOW: list[str] = [
+    # Registered after the round-11 window filled (50 named slots); each
+    # passes the local oracle replica (tests/test_round11_ops.py planted
+    # checks) and heads round 12's window.
+    "rolling_origin_cv_folds", "woe_iv_hour_bins",
+]
 
 
 def _ordered_queries():

@@ -129,4 +129,5 @@ from . import (  # noqa: F401
     ranking11,       # Rocchio feedback + tokenizer fertility by lang
     eval11,          # decision stump, pinball loss, Fano, Davies-Bouldin
     text11,          # inter-source unigram KL divergence matrix
+    features11,      # rolling-origin CV folds + WoE/IV binning
 )

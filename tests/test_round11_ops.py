@@ -681,3 +681,50 @@ def test_token_kl_nonnegative_on_random_corpus(spark, tmp_path):
     for r in out:
         assert r["kl_nats"] >= 0, tuple(r)
         assert r["kl_micronat_num"] > 0   # random corpora never coincide
+
+
+def test_rolling_origin_folds_known_counts(spark, tmp_path):
+    """35 days x 2 events/day: fold f trains on exactly 14f events over
+    7f days and tests on 14 events over 7 days, and test windows never
+    precede the training window (no future leakage by construction)."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(2 * d + j, t0 + dt.timedelta(days=d, hours=j), 1 + j,
+             "view", 1.0, "")
+            for d in range(35) for j in range(2)]
+    d = str(tmp_path / "rocv")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["rolling_origin_cv_folds"]
+    run_compare(spark, q, d)
+    out = {(r["fold"], r["split"]): r for r in q.fn(spark, d).collect()}
+    for f in range(1, 5):
+        assert out[(f, "train")]["n_events"] == 14 * f
+        assert out[(f, "train")]["n_days"] == 7 * f
+        assert out[(f, "test")]["n_events"] == 14
+        assert out[(f, "test")]["n_days"] == 7
+
+
+def test_woe_iv_balanced_bins_zero(spark, tmp_path):
+    """Every hour has 2 purchases and 2 views -> each bin's smoothed
+    odds equal the global odds exactly -> WoE = 0 micro-nats and
+    iv_term = 0.0 in all 24 bins."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        for et in ("purchase", "purchase", "view", "view"):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, et, 1.0, ""))
+            eid += 1
+    d = str(tmp_path / "woe")
+    os.makedirs(d, exist_ok=True)
+    _write(spark, f"{d}/events.parquet", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    q = all_queries()["woe_iv_hour_bins"]
+    run_compare(spark, q, d)
+    out = q.fn(spark, d).collect()
+    assert len(out) == 24
+    for r in out:
+        assert r["woe_micronat"] == 0 and r["iv_term"] == 0.0
