@@ -38,46 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # promote window evidence to green evidence at the start of the next round
 # with `--promote`.
 _VERIFY_FIRST = [
-    # HEAD: the round-10 closing-batch queue — the only 17 registered
-    # queries with zero driver evidence across ten rounds (round-10
-    # verdict item 1). Each already passes the local oracle replica
-    # (tests/test_round10c/d_ops planted checks); this window produces
-    # their first driver CORRECTNESS rows.
-    "basket_frequent_pairs", "max_concurrent_open_lines",
-    "naive_bayes_lang_confusion", "bigram_surprisal_bands",
-    "heaps_law_fit", "conformal_interval_coverage",
-    "kcenter_farthest_points", "ams_f2_sketch",
-    "kcore_degree_histogram", "label_propagation_sizes",
-    "bh_fdr_discoveries", "sssp_cheapest_paths",
-    "t_closeness_audit", "temperature_mixture_allocation",
-    "sprt_sequential_decision", "rendezvous_shard_audit",
-    "binary_segmentation_splits",
-    # Round-11 fingerprint fallout (re-verify after source change):
-    # resampling-tier 99x/64x md5-constant cut (one digest per cell,
-    # bit b = replicate b's side), ANOVA exact-integer between_raw
-    # (round-10 ADVICE #4), Theil-Sen oracle-side thinning parity
-    # (ADVICE #1), k-means farthest-point seeding (verdict item 4),
-    # dataset_cache content-robust fingerprints (ADVICE #2).
-    "hash_permutation_test", "kruskal_wallis_value", "anova_f_oneway",
-    "ks_two_sample_value",
-    "theilsen_hourly_trend", "kmeans_train_converged",
-    "pagerank_trade_graph", "pagerank_converged", "triangle_count_neardup",
-    "graph_degree_stats", "ann_recall_retrained",
-    # Round-11 new queries (registered below the 50-slot window tail, so
-    # they must be named here to enter the window):
-    "sprt_stream_decision_replay",
-    "mann_kendall_trend", "spearman_value_hour",
-    "brown_forsythe_variance", "mcnemar_purchase_halves",
-    "hyperplane_lsh_near_dups", "pq_code_distortion",
-    "personalized_pagerank_seeds", "link_prediction_jaccard",
-    "rocchio_feedback_topk", "tokenizer_fertility_by_lang",
-    "decision_stump_hour_split", "pinball_loss_eval",
-    "fano_factor_burstiness", "davies_bouldin_clusters",
-    "token_kl_by_source_pair", "cochran_armitage_trend",
-    # Round-11 perf fallout (re-verify after the O(len^2) split fix +
-    # merge-table memoization in bpe_train.py):
-    "bpe_train_merges", "bpe_train_merges_wordcount", "bpe_encode_stats",
-    "pq_adc_recall_at_5", "ivf_pq_recall_at_5",
+    # HEAD: the round-11 pending queue — the only two registered queries
+    # with zero driver evidence (round-11 verdict item 1). Green rows here
+    # make every query in the engine's history driver-verified.
+    "rolling_origin_cv_folds", "woe_iv_hour_bins",
+    # Round-12 perf fallout: pagerank_converged driver-sync cut (verdict
+    # item 2) changes graphrank.py, so every query fingerprinting through
+    # it re-verifies.
+    "pagerank_converged", "pagerank_trade_graph",
+    "personalized_pagerank_seeds", "graph_degree_stats",
+    "link_prediction_jaccard", "triangle_count_neardup",
+    # Round-12 new queries (verdict items 3-5) are appended here as they
+    # are registered: exact-substring dedup, trained-codebook IVF-PQ,
+    # multimodal pixel stats.
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
@@ -86,12 +59,7 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = [
-    # Registered after the round-11 window filled (50 named slots); each
-    # passes the local oracle replica (tests/test_round11_ops.py planted
-    # checks) and heads round 12's window.
-    "rolling_origin_cv_folds", "woe_iv_hour_bins",
-]
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 def _ordered_queries():
