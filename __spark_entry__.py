@@ -48,9 +48,8 @@ _VERIFY_FIRST = [
     "pagerank_converged", "pagerank_trade_graph",
     "personalized_pagerank_seeds", "graph_degree_stats",
     "link_prediction_jaccard", "triangle_count_neardup",
-    # Round-12 new queries (verdict items 3-5) are appended here as they
-    # are registered: exact-substring dedup, trained-codebook IVF-PQ,
-    # multimodal pixel stats.
+    # Round-12 new queries (verdict items 3-5), appended as registered:
+    "exact_substring_spans", "exact_substring_cutlist",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

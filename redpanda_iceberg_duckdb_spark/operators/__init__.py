@@ -130,4 +130,5 @@ from . import (  # noqa: F401
     eval11,          # decision stump, pinball loss, Fano, Davies-Bouldin
     text11,          # inter-source unigram KL divergence matrix
     features11,      # rolling-origin CV folds + WoE/IV binning
+    substring_dedup,  # per-doc duplicated-span stats + removal cut-list
 )

@@ -1,0 +1,162 @@
+"""Exact-substring deduplication over the documents corpus: find maximal
+verbatim spans (>= K words) shared by two or more documents.
+
+This is the span-level dedup family from "Deduplicating Training Data Makes
+Language Models Better" (Lee et al., 2022): doc-level exact/MinHash/SimHash
+dedup (dedup.py) misses the common failure mode of mostly-unique documents
+that embed a shared boilerplate paragraph; substring dedup finds the
+paragraph itself. The reference pipeline has no dedup at all — this is part
+of the training-data surface built beyond it (SURVEY.md section 7).
+
+Relation to spans.py (shared_ngram_span_pairs): that operator answers WHO
+shares a span with whom (pairwise, via the rare-gram diagonal join); this
+module answers WHAT to cut from each document — the removal-oriented form
+the Lee et al. pipeline actually applies. It deliberately never joins doc
+pairs: span detection only needs each shingle's duplicated FLAG, so the
+pair-join quadratic never exists and no df-cap approximation is needed.
+
+Algorithm (the distributed re-expression of the paper's suffix array —
+a sorted n-gram-key neighborhood, NOT a driver-side suffix array):
+
+1. positional K-word shingles: (doc_id, pos, sh) for every word offset.
+2. a shingle is DUPLICATED iff it occurs in >= 2 distinct documents
+   (one groupBy on the shingle key — the sorted-neighborhood step: equal
+   shingles land in the same hash bucket, which is what the suffix
+   array's sort achieves with global order we don't need).
+3. maximal duplicated spans per document by islands-and-gaps: positions
+   whose shingle is duplicated, grouped by pos - row_number() runs; a run
+   of L consecutive duplicated K-shingles is a verbatim span of L+K-1
+   words shared with at least one other document.
+
+Scale stance (100 TB): the shingle table is ~words-per-corpus rows but the
+flow is linear — one shuffle on the shingle hash for the df filter (with
+map-side partial aggregation), one per-doc window (documents bound the
+partition size), one per-doc agg. No all-pairs product anywhere; the
+candidate-pair explosion of the naive approach never materializes because
+span detection needs only the duplicated FLAG, not the partner doc ids.
+Stop-phrase skew on the shingle key is bounded: the groupBy aggregates to
+one row per shingle before any join back (two-stage distinct), so a
+mega-shingle costs one skewed reduce task, not a row blowup; AQE skew-join
+handles the join back. K=8 keeps chance collisions negligible while
+catching sentence-scale boilerplate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import register
+from ..tables import load_table_spread
+
+_K = 8          # words per shingle == minimum detectable span length
+_TOP = 50       # result rows: top docs by longest duplicated span
+
+# Positional K-shingle array; ws must be materialized in its OWN select
+# below the explode (Generate-plan trap: inlining split(text) would
+# re-split the doc once per exploded element).
+_SH_ARRAY_SPARK = (
+    f"case when size(ws) >= {_K} then "
+    f"transform(sequence(0, size(ws) - {_K}), i -> "
+    "concat_ws(' ', " + ", ".join(f"ws[i + {j}]" for j in range(_K)) + ")) "
+    "else array() end"
+)
+
+_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+p AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+{_K}], ' ') AS sh
+      FROM w, unnest(range(greatest(len(ws) - {_K} + 1, 0))) r(i)),
+dup AS (SELECT sh FROM p GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM p JOIN dup USING (sh)),
+sp AS (SELECT doc_id, pos - rn AS grp, count(*) AS run_len
+       FROM d GROUP BY doc_id, pos - rn),
+agg AS (SELECT doc_id,
+               count(*) AS n_spans,
+               cast(max(run_len + {_K} - 1) AS bigint) AS max_span_tokens,
+               cast(sum(run_len + {_K} - 1) AS bigint) AS span_token_mass
+        FROM sp GROUP BY doc_id)
+SELECT doc_id, n_spans, max_span_tokens, span_token_mass
+FROM agg ORDER BY max_span_tokens DESC, doc_id LIMIT {_TOP}"""
+
+
+def _positional_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, sh): every word offset's K-word shingle."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    return (d.select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id",
+                    F.posexplode_outer(F.expr(_SH_ARRAY_SPARK))
+                     .alias("pos", "sh"))
+            .filter(F.col("sh").isNotNull()))
+
+
+def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span statistics (see module docstring)."""
+    p = _positional_shingles(spark, sf_dir)
+    # two-stage distinct: (sh, doc_id) distinct first so the df count is a
+    # plain count — partial aggregation absorbs stop-phrase skew map-side.
+    dup = (p.select("sh", "doc_id").distinct()
+           .groupBy("sh").agg(F.count(F.lit(1)).alias("ndocs"))
+           .filter(F.col("ndocs") >= 2).select("sh"))
+    dpos = p.join(dup, "sh").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    spans = (dpos.withColumn("rn", F.row_number().over(w))
+             .withColumn("grp", F.col("pos") - F.col("rn"))
+             .groupBy("doc_id", "grp")
+             .agg(F.count(F.lit(1)).alias("run_len")))
+    span_toks = F.col("run_len") + F.lit(_K - 1)
+    return (spans.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.max(span_toks).cast("bigint").alias("max_span_tokens"),
+                 F.sum(span_toks).cast("bigint").alias("span_token_mass"))
+            .orderBy(F.desc("max_span_tokens"), "doc_id")
+            .limit(_TOP))
+
+
+register(
+    "exact_substring_spans",
+    oracle=_ORACLE,
+    tags=("dedup", "substring", "llm-pipeline"),
+)(duplicated_span_stats)
+
+
+_CUT_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+p AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+{_K}], ' ') AS sh
+      FROM w, unnest(range(greatest(len(ws) - {_K} + 1, 0))) r(i)),
+dup AS (SELECT sh FROM p GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM p JOIN dup USING (sh)),
+sp AS (SELECT doc_id, min(pos) AS span_start,
+              cast(count(*) + {_K} - 1 AS bigint) AS span_tokens
+       FROM d GROUP BY doc_id, pos - rn)
+SELECT doc_id, span_start, span_tokens
+FROM sp ORDER BY span_tokens DESC, doc_id, span_start LIMIT {_TOP}"""
+
+
+@register(
+    "exact_substring_cutlist",
+    oracle=_CUT_ORACLE,
+    tags=("dedup", "substring", "llm-pipeline"),
+)
+def duplicate_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal list itself: (doc_id, span_start word offset,
+    span_tokens) for each maximal duplicated span — what a training-data
+    pipeline feeds to the span-stripping rewrite. Top {_TOP} spans by
+    length for the driver compare; production would keep them all."""
+    p = _positional_shingles(spark, sf_dir)
+    dup = (p.select("sh", "doc_id").distinct()
+           .groupBy("sh").agg(F.count(F.lit(1)).alias("ndocs"))
+           .filter(F.col("ndocs") >= 2).select("sh"))
+    dpos = p.join(dup, "sh").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (dpos.withColumn("rn", F.row_number().over(w))
+            .withColumn("grp", F.col("pos") - F.col("rn"))
+            .groupBy("doc_id", "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.count(F.lit(1)) + F.lit(_K - 1))
+                 .cast("bigint").alias("span_tokens"))
+            .select("doc_id", "span_start", "span_tokens")
+            .orderBy(F.desc("span_tokens"), "doc_id", "span_start")
+            .limit(_TOP))
