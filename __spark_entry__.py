@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     "link_prediction_jaccard", "triangle_count_neardup",
     # Round-12 new queries (verdict items 3-5), appended as registered:
     "exact_substring_spans", "exact_substring_cutlist",
+    "pq_trained_distortion", "ivf_pq_trained_recall",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

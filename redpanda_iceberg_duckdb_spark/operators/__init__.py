@@ -131,4 +131,5 @@ from . import (  # noqa: F401
     text11,          # inter-source unigram KL divergence matrix
     features11,      # rolling-origin CV folds + WoE/IV binning
     substring_dedup,  # per-doc duplicated-span stats + removal cut-list
+    pq_train,        # trained per-subspace PQ codebooks + recall delta
 )
