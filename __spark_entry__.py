@@ -51,6 +51,9 @@ _VERIFY_FIRST = [
     # Round-12 new queries (verdict items 3-5), appended as registered:
     "exact_substring_spans", "exact_substring_cutlist",
     "pq_trained_distortion", "ivf_pq_trained_recall",
+    "multimodal_pixel_stats",
+    # multimodal.py fingerprint fallout (PPM decoder added to the module):
+    "multimodal_meta", "multimodal_byte_features", "multimodal_frame_dedup",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

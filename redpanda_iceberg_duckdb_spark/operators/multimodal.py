@@ -1,7 +1,9 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata,
-processed with Arrow-batched mapInPandas. The image/audio decode libraries are
-not in this container, so the decode step is stubbed (clearly marked), while
-everything Spark-side — schema, binary columns, batch iteration, UDF
+processed with Arrow-batched mapInPandas. Binary PPM (P6) decodes for real
+via the dependency-free decode_ppm below (exercised end-to-end by the
+oracle-checked multimodal_pixel_stats query); other image/audio formats
+need libraries absent from this container and stay clearly-marked stubs.
+Everything Spark-side — schema, binary columns, batch iteration, UDF
 signatures, partitioning — is real and tested.
 
 Pipeline shape for a real 100 TB multimodal corpus:
@@ -47,13 +49,50 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Dependency-free binary-PPM (P6) decoder: returns (width, height,
+    maxval, raw RGB bytes). Full header grammar — magic, whitespace,
+    '#' comments, three ASCII ints, single whitespace before the raster —
+    so real P6 files decode, not just the fixture generator's output.
+    maxval > 255 (2-byte samples) is rejected explicitly."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("2-byte-sample PPM (maxval > 255) not supported")
+    n = w * h * 3
+    px = payload[pos:pos + n]
+    if len(px) != n:
+        raise ValueError(f"raster truncated: want {n} bytes, got {len(px)}")
+    return w, h, maxval, px
+
+
 def decode_image(payload: bytes) -> object:
-    """STUB: real image decode requires PIL/opencv, absent from this
-    container. The Spark-side contract (bytes in, array out) is what the
-    pipeline tests exercise via extract_byte_features."""
+    """Image decode dispatch: binary PPM (P6) decodes dependency-free via
+    decode_ppm; every other format needs PIL/opencv, absent from this
+    container, and stays a clearly-marked stub."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; not available in this environment")
+            "non-PPM image decode requires PIL; not available in this "
+            "environment")
     raise NotImplementedError("wire to PIL.Image.open when available")
 
 
@@ -220,3 +259,79 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_docs") > 1)
             .select("frame_md5", "n_docs", "n_occurrences", "first_doc")
             .orderBy(F.desc("n_docs"), "frame_md5"))
+
+
+_IMG_W, _IMG_H = 8, 4
+_IMG_BYTES = _IMG_W * _IMG_H * 3     # 96 raster bytes per fixture image
+
+_PIXEL_ORACLE = f"""
+WITH b AS (SELECT doc_id, encode(text) AS eb,
+                  octet_length(encode(text)) AS n FROM documents),
+px AS (SELECT doc_id,
+              [CASE WHEN i < n
+                    THEN cast('0x' || substring(hex(eb), 2*i+1, 2) AS bigint)
+                    ELSE 0 END FOR i IN range({_IMG_BYTES})] AS p
+       FROM b)
+SELECT doc_id,
+       cast({_IMG_W} AS int) AS width,
+       cast({_IMG_H} AS int) AS height,
+       cast(list_sum(p) AS bigint) AS px_sum,
+       cast(list_sum([p[3*j+1] FOR j IN range({_IMG_W * _IMG_H})])
+            AS double) / {_IMG_W * _IMG_H} AS r_avg,
+       cast(list_sum([p[3*j+2] FOR j IN range({_IMG_W * _IMG_H})])
+            AS double) / {_IMG_W * _IMG_H} AS g_avg,
+       cast(list_sum([p[3*j+3] FOR j IN range({_IMG_W * _IMG_H})])
+            AS double) / {_IMG_W * _IMG_H} AS b_avg
+FROM px ORDER BY doc_id"""
+
+
+def ppm_fixture(text_bytes: bytes) -> bytes:
+    """Deterministic byte-image: an 8x4 P6 whose raster is the payload's
+    first 96 bytes zero-padded — same bytes both engines can reason about,
+    with a comment line so the decoder's comment handling is exercised on
+    every row."""
+    px = text_bytes[:_IMG_BYTES].ljust(_IMG_BYTES, b"\x00")
+    return (b"P6\n# deterministic byte-image fixture\n"
+            + f"{_IMG_W} {_IMG_H}\n255\n".encode("ascii") + px)
+
+
+@register(
+    "multimodal_pixel_stats",
+    oracle=_PIXEL_ORACLE,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-and-measure over byte images: each document's payload becomes
+    a deterministic 8x4 P6 fixture, goes through the REAL dependency-free
+    PPM decoder (decode_ppm — full header grammar, not the generator
+    inverted), and per-channel pixel statistics come off the decoded
+    raster only. The oracle recomputes the stats from the same bytes in
+    SQL, so a green row proves the decode path end to end. Channel means
+    are integer sums divided by 32 (2^5) — exact doubles, no rounding
+    hazard. Scale stance: decode + stats are one Arrow-batched
+    mapInPandas pass; payloads never cross a shuffle (narrow stats out)."""
+    from collections.abc import Iterator as _It
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = with_payload(docs).select("doc_id", "payload")
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+        npx = float(_IMG_W * _IMG_H)
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _mx, px = decode_ppm(ppm_fixture(bytes(payload)))
+                arr = (np.frombuffer(px, dtype=np.uint8)
+                       .astype(np.int64).reshape(-1, 3))
+                recs.append((int(doc_id), w, h, int(arr.sum()),
+                             float(arr[:, 0].sum()) / npx,
+                             float(arr[:, 1].sum()) / npx,
+                             float(arr[:, 2].sum()) / npx))
+            yield pd.DataFrame(recs, columns=[
+                "doc_id", "width", "height", "px_sum",
+                "r_avg", "g_avg", "b_avg"])
+
+    schema = ("doc_id long, width int, height int, px_sum long, "
+              "r_avg double, g_avg double, b_avg double")
+    return p.mapInPandas(gen, schema=schema).orderBy("doc_id")

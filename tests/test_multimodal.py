@@ -38,3 +38,27 @@ def test_frame_offsets_edges():
     assert mm.sample_frame_offsets(0) == []
     assert mm.sample_frame_offsets(1, 4) == [0, 0, 0, 0]
     assert mm.sample_frame_offsets(100, 4) == [0, 25, 50, 75]
+
+
+def test_ppm_decoder_roundtrip_and_grammar():
+    # multi-digit dims, multiple comment lines, full raster roundtrip
+    raster = bytes(range(108))          # 12 x 3 x 3
+    w, h, mx, px = mm.decode_ppm(b"P6\n# c1\n# c2\n12 3\n255\n" + raster)
+    assert (w, h, mx) == (12, 3, 255) and px == raster
+    # decode_image dispatches P6 to the dependency-free path (the
+    # NotImplementedError stub is unreachable for the fixture format)
+    assert mm.decode_image(b"P6\n1 1\n255\n" + b"abc") == (1, 1, 255, b"abc")
+
+
+def test_ppm_decoder_rejects_malformed():
+    with pytest.raises(ValueError):            # wrong magic
+        mm.decode_ppm(b"P5\n2 2\n255\n" + b"\0" * 12)
+    with pytest.raises(ValueError):            # truncated raster
+        mm.decode_ppm(b"P6\n2 2\n255\n" + b"\0" * 5)
+    with pytest.raises(ValueError):            # 2-byte samples unsupported
+        mm.decode_ppm(b"P6\n1 1\n65535\n" + b"\0" * 6)
+
+
+def test_pixel_stats_oracle(spark, sf_smoke):
+    from .oracle_harness import run_compare
+    run_compare(spark, all_queries()["multimodal_pixel_stats"], sf_smoke)
