@@ -54,6 +54,10 @@ _VERIFY_FIRST = [
     "multimodal_pixel_stats",
     # multimodal.py fingerprint fallout (PPM decoder added to the module):
     "multimodal_meta", "multimodal_byte_features", "multimodal_frame_dedup",
+    # Streaming state-store accounting (rows-only: engine metrics have
+    # nothing for a SQL oracle to recompute; pytest holds the closed-form
+    # assertions — see operators/state_metrics.py).
+    "stream_state_bound_replay",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

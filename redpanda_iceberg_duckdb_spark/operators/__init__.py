@@ -132,4 +132,5 @@ from . import (  # noqa: F401
     features11,      # rolling-origin CV folds + WoE/IV binning
     substring_dedup,  # per-doc duplicated-span stats + removal cut-list
     pq_train,        # trained per-subspace PQ codebooks + recall delta
+    state_metrics,   # streaming state-store size accounting (watermark)
 )

@@ -67,3 +67,63 @@ def test_half_up_cents_midpoints_and_negative_max():
                            st))
     assert st.value == (2, -450, -150)  # max is -150, NOT 0
     assert out[0]["max_value_cents"].iloc[0] == -150
+
+
+def test_watermark_bounds_dedup_state(spark, sf_smoke):
+    """stateOperators accounting of the chunked dedup replay
+    (operators/state_metrics.py): every unique key updates state exactly
+    once, eviction actually removes rows, and the held-rows peak stays
+    strictly below the total key count — watermark-bounded state, measured
+    from the engine's own metrics rather than asserted in prose."""
+    from redpanda_iceberg_duckdb_spark.operators.state_metrics import (
+        chunked_replay_metrics)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    rows = chunked_replay_metrics(spark, sf_smoke)
+    assert len(rows) == 4                      # one batch per chunk
+    n_keys = load_table(spark, sf_smoke, "events").count()  # unique ids
+    assert sum(r["input_rows"] for r in rows) == n_keys
+    # every key inserts exactly one state row in its batch
+    for r in rows:
+        assert r["state_rows_updated"] == r["input_rows"]
+    # eviction happened: quartile chunks span ~7.5 days each vs a 1-hour
+    # watermark, so earlier chunks' state must be removed as later ones
+    # arrive...
+    assert sum(r["state_rows_removed"] for r in rows) > 0
+    # ...and held state never accumulates the whole history: the peak is
+    # bounded by two consecutive chunks (eviction lags one batch), far
+    # below the total key count.
+    peak = max(r["state_rows_total"] for r in rows)
+    assert peak < n_keys
+    two_chunk_bound = 2 * max(r["input_rows"] for r in rows)
+    assert peak <= two_chunk_bound
+
+
+def test_running_totals_state_is_keycount(spark, sf_smoke, tmp_path):
+    """The applyInPandasWithState operator keeps exactly one state row per
+    user — state size equals cumulative distinct keys, the expected
+    profile for a no-TTL keyed aggregate."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_smoke, "events").select(
+        "user_id", "value", "event_id")
+    n_users = e.select("user_id").distinct().count()
+    src = tmp_path / "src2"
+    for i in range(2):
+        (e.filter(F.col("event_id") % 2 == i).drop("event_id")
+         .coalesce(1).write.parquet(str(src / f"chunk={i}")))
+    schema = T.StructType([T.StructField("user_id", T.LongType()),
+                           T.StructField("value", T.DoubleType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    q = (running_user_totals(stream)
+         .writeStream.format("memory").queryName("state_acct")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    progress = [p for p in q.recentProgress if p.get("numInputRows")]
+    q.stop()
+    assert progress, "no data batches recorded"
+    last = (progress[-1].get("stateOperators") or [{}])[0]
+    assert int(last.get("numRowsTotal", -1)) == n_users
