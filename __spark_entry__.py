@@ -58,6 +58,7 @@ _VERIFY_FIRST = [
     # nothing for a SQL oracle to recompute; pytest holds the closed-form
     # assertions — see operators/state_metrics.py).
     "stream_state_bound_replay",
+    "gopher_repetition_signals", "intra_doc_repeated_spans",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -144,7 +144,8 @@ def main() -> None:
                  # accounting
                  "exact_substring_spans", "exact_substring_cutlist",
                  "pq_trained_distortion", "ivf_pq_trained_recall",
-                 "multimodal_pixel_stats", "stream_state_bound_replay"]:
+                 "multimodal_pixel_stats", "stream_state_bound_replay",
+                 "gopher_repetition_signals", "intra_doc_repeated_spans"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

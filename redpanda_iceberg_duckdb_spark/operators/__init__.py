@@ -133,4 +133,5 @@ from . import (  # noqa: F401
     substring_dedup,  # per-doc duplicated-span stats + removal cut-list
     pq_train,        # trained per-subspace PQ codebooks + recall delta
     state_metrics,   # streaming state-store size accounting (watermark)
+    repetition12,    # Gopher repetition signals + intra-doc spans
 )

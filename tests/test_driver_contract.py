@@ -27,9 +27,18 @@ def test_queries_oracle_alignment():
                for s in osql.values())
     # every registered query carries a DuckDB oracle (round 2 gave
     # approx_aggregates a tolerance-flag oracle and multimodal_byte_features
-    # a hex-expansion oracle)
+    # a hex-expansion oracle) — EXCEPT the explicit rows-only allowlist:
+    # queries whose output is engine telemetry with nothing for SQL to
+    # recompute. Each entry must name the pytest that carries its
+    # correctness weight instead.
+    rows_only_allowed = {
+        # state-store metrics from a real streaming run; closed-form
+        # assertions live in test_stateful_streaming.py::
+        # test_watermark_bounds_dedup_state
+        "stream_state_bound_replay",
+    }
     rows_only = set(qs) - set(osql)
-    assert rows_only == set()
+    assert rows_only == rows_only_allowed
 
 
 def test_bench_emits_single_json_line(tmp_path):
