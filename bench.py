@@ -525,6 +525,12 @@ def pagerank_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     out: dict[str, float] = {}
+    # Warm the per-(application, dataset) edge-table cache first so the
+    # convergence entry times the LOOP, not the orders-joins-lineitem
+    # build — pagerank_trade_graph's own extras entry already measures
+    # the build path.
+    all_queries()["pagerank_trade_graph"].fn(spark, sf_dir).count()
+    spark.catalog.clearCache()
     for name in ("pagerank_converged", "kmeans_train_converged"):
         q = all_queries()[name]
         t0 = time.perf_counter()
