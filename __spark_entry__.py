@@ -59,6 +59,8 @@ _VERIFY_FIRST = [
     # assertions — see operators/state_metrics.py).
     "stream_state_bound_replay",
     "gopher_repetition_signals", "intra_doc_repeated_spans",
+    "cross_source_span_leakage", "degree_assortativity",
+    "ols_price_on_quantity",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -145,7 +145,9 @@ def main() -> None:
                  "exact_substring_spans", "exact_substring_cutlist",
                  "pq_trained_distortion", "ivf_pq_trained_recall",
                  "multimodal_pixel_stats", "stream_state_bound_replay",
-                 "gopher_repetition_signals", "intra_doc_repeated_spans"]:
+                 "gopher_repetition_signals", "intra_doc_repeated_spans",
+                 "cross_source_span_leakage", "degree_assortativity",
+                 "ols_price_on_quantity"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

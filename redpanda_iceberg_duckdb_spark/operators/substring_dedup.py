@@ -160,3 +160,49 @@ def duplicate_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "span_start", "span_tokens")
             .orderBy(F.desc("span_tokens"), "doc_id", "span_start")
             .limit(_TOP))
+
+
+_LEAK_ORACLE = f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') ws
+           FROM documents),
+p AS (SELECT DISTINCT source, array_to_string(ws[i+1:i+{_K}], ' ') AS sh
+      FROM w, unnest(range(greatest(len(ws) - {_K} + 1, 0))) r(i)),
+x AS (SELECT a.source AS src_a, b.source AS src_b,
+             cast(count(*) AS bigint) AS n_shared_shingles
+      FROM p a JOIN p b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared_shingles
+FROM x ORDER BY n_shared_shingles DESC, src_a, src_b LIMIT {_TOP}"""
+
+
+@register(
+    "cross_source_span_leakage",
+    oracle=_LEAK_ORACLE,
+    tags=("dedup", "substring", "contamination", "llm-pipeline"),
+)
+def cross_source_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-span leakage BETWEEN corpus sources: for every source pair,
+    the number of distinct 8-word shingles both contain — the signal that
+    tells a pipeline two nominally-independent sources share boilerplate
+    (mirror sites, syndication) before it double-counts them in a mixture,
+    and the train/eval split check when one source is held out.
+
+    Scale stance: the shingle table collapses to DISTINCT (source, sh)
+    first — one map-side-combinable distinct keyed by shingle hash — so
+    the pair self-join fans out per shingle by (sources sharing it)^2,
+    bounded by the source count squared, never by corpus size. Top {_TOP}
+    pairs by shared mass."""
+    d = load_table_spread(spark, sf_dir, "documents", "doc_id")
+    p = (d.select("source", F.split("text", " ").alias("ws"))
+         .select("source",
+                 F.explode_outer(F.expr(_SH_ARRAY_SPARK)).alias("sh"))
+         .filter(F.col("sh").isNotNull())
+         .distinct())
+    a = p.select(F.col("source").alias("src_a"), "sh")
+    b = p.select(F.col("source").alias("src_b"), "sh")
+    return (a.join(b, "sh")
+            .filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+            .orderBy(F.desc("n_shared_shingles"), "src_a", "src_b")
+            .limit(_TOP))
