@@ -26,7 +26,7 @@ dataset and removed before returning (metrics live in 4 driver rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..streaming.dedup_stream import dedup_exact_stream
@@ -48,8 +48,18 @@ def chunked_replay_metrics(spark: SparkSession, sf_dir: str,
 
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id",
                                                    "ts")
+    # Event-TIME-range chunking (not ntile): two scalar aggregates and a
+    # map-side bucket expression — no global single-partition sort, the
+    # same split at any corpus size. Chunks are near-equal because event
+    # times are ~uniform; the test's bounds don't assume equality.
+    lo, hi = e.agg(F.min(F.unix_micros("ts")),
+                   F.max(F.unix_micros("ts"))).head()
+    span = max(int(hi) - int(lo) + 1, 1)
     chunked = e.withColumn(
-        "chunk", F.ntile(_N_CHUNKS).over(W.orderBy("ts", "event_id")) - 1)
+        "chunk", F.least(
+            ((F.unix_micros("ts") - F.lit(int(lo)))
+             * _N_CHUNKS / F.lit(span)).cast("int"),
+            F.lit(_N_CHUNKS - 1)))
     tmp = tempfile.mkdtemp(prefix="state_metrics_")
     try:
         for i in range(_N_CHUNKS):
