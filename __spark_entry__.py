@@ -61,6 +61,8 @@ _VERIFY_FIRST = [
     "gopher_repetition_signals", "intra_doc_repeated_spans",
     "cross_source_span_leakage", "degree_assortativity",
     "ols_price_on_quantity",
+    "funnel_view_click_purchase", "time_decayed_engagement",
+    "part_name_fuzzy_blocks",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

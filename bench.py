@@ -147,7 +147,8 @@ def main() -> None:
                  "multimodal_pixel_stats", "stream_state_bound_replay",
                  "gopher_repetition_signals", "intra_doc_repeated_spans",
                  "cross_source_span_leakage", "degree_assortativity",
-                 "ols_price_on_quantity"]:
+                 "ols_price_on_quantity", "funnel_view_click_purchase",
+                 "time_decayed_engagement", "part_name_fuzzy_blocks"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

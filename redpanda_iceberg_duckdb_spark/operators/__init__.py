@@ -135,4 +135,6 @@ from . import (  # noqa: F401
     state_metrics,   # streaming state-store size accounting (watermark)
     repetition12,    # Gopher repetition signals + intra-doc spans
     metrics12,       # degree assortativity + one-pass closed-form OLS
+    events12,        # ordered funnel + exact time-decayed engagement
+    fuzzy12,         # blocked Levenshtein fuzzy matching (ER join)
 )
