@@ -558,3 +558,51 @@ def test_round11_batch_plan_gates(spark, sf_smoke):
                  "sprt_stream_decision_replay"):
         p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
         assert "CartesianProduct" not in p, (name, p[:1200])
+
+
+def test_round12_batch_plan_gates(spark, sf_smoke):
+    """Plan-shape gates for the round-12 additions:
+    - substring dedup family: no cartesian anywhere (the dup flag is a
+      groupBy, never a pair join), and the per-doc window never runs
+      unpartitioned;
+    - cross-source leakage: the pair join is an equi-join on the shingle
+      key, no cartesian;
+    - OLS: ONE aggregate over one scan — no join operator at all, at most
+      the two exchanges of a global two-phase aggregate;
+    - assortativity: the degree table joins broadcast;
+    - fuzzy blocking: equi-join on the block token, never cartesian;
+    - funnel: per-step joins are equi-joins on user_id (the final 1-row
+      combine is the only cartesian, 1x1x1);
+    - pixel stats: payload dropped before any exchange (no shuffle ever
+      sees the binary column)."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    qs = all_queries()
+
+    for name in ("exact_substring_spans", "exact_substring_cutlist",
+                 "cross_source_span_leakage", "gopher_repetition_signals",
+                 "intra_doc_repeated_spans", "part_name_fuzzy_blocks",
+                 "time_decayed_engagement"):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "CartesianProduct" not in p, (name, p[:1200])
+        # no unpartitioned window: a Window over SinglePartition is the
+        # global-sort-on-one-core smell (caught live in state_metrics'
+        # original ntile split)
+        assert not ("Window" in p and "SinglePartition" in p), (
+            name, "window over SinglePartition")
+
+    p = plans.physical_plan(qs["ols_price_on_quantity"].fn(spark, sf_smoke))
+    assert "Join" not in p, ("ols joins", p[:800])
+    assert plans.exchange_count(
+        qs["ols_price_on_quantity"].fn(spark, sf_smoke)) <= 2
+
+    p = plans.physical_plan(qs["degree_assortativity"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+    df = qs["multimodal_pixel_stats"].fn(spark, sf_smoke)
+    p = plans.physical_plan(df)
+    # the binary payload exists only below the mapInPandas node; nothing
+    # named payload crosses an Exchange
+    tail = p.split("MapInPandas", 1)[0]
+    assert "payload" not in tail, ("payload above decode", tail[:800])
