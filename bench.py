@@ -60,6 +60,7 @@ def main() -> None:
     extras.update(graph_trio_scaling_demo(spark, sf_dir))
     extras.update(bpe_wordcount_demo(spark, sf_dir))
     extras.update(pq_trained_demo(spark, sf_dir))
+    extras.update(substring_scaling_demo(spark, sf_dir))
     # Round-7 heavy operators tracked per round without inflating the
     # headline series (which older rounds are compared against).
     for name in ["shared_ngram_span_pairs", "semdedup_survivors",
@@ -722,6 +723,52 @@ def pagerank_hot_vertex_demo(spark, sf_dir: str) -> dict[str, float]:
             spark.catalog.clearCache()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def substring_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Linearity of the exact-substring dedup flow (substring_dedup.py):
+    the corpus doubled with a DISJOINT-VOCABULARY copy (every word of the
+    copy prefixed, doc_ids offset), so the copy shares no shingle with
+    the original and the x2 run is exactly twice the x1 workload with an
+    identical duplicated-span structure per copy. wall(x2)/wall(x1) well
+    under 2 on idle cores is the no-pair-join linear-flow claim,
+    measured. (A verbatim copy would instead make EVERY position
+    duplicated — a different, worst-case workload — so the prefix is
+    what keeps the comparison apples-to-apples.)"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    q = all_queries()["exact_substring_spans"]
+    q.fn(spark, sf_dir).count()       # warm-up: codegen + scan listing
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    q.fn(spark, sf_dir).count()
+    out["substring_spans_x1"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stride = (d.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    copy = d.select(
+        (F.col("doc_id") + stride).alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.split("text", " "), lambda w: F.concat(F.lit("zz"), w)))
+        .alias("text"),
+        *[c for c in d.columns if c not in ("doc_id", "text")])
+    tmp = tempfile.mkdtemp(prefix="ss_scale_")
+    try:
+        (d.unionByName(copy.select(*d.columns))
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+        t0 = time.perf_counter()
+        q.fn(spark, tmp).count()
+        out["substring_spans_x2"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.clearCache()
+    print(f"# substring spans x1 {out['substring_spans_x1']}s "
+          f"x2 {out['substring_spans_x2']}s", file=sys.stderr)
     return out
 
 
