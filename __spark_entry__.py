@@ -71,7 +71,14 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = []
+_PENDING_NEXT_WINDOW: list[str] = [
+    # Round-12 third batch — each passes the local oracle replica at
+    # sf0.001 AND sf0.01 (tests/test_operator_oracles.py); queued for the
+    # round-13 driver window.
+    "clustering_coefficient_parts", "er_fuzzy_clusters",
+    "average_precision_purchases", "feature_hashing_collisions",
+    "dp_noisy_counts", "mutual_nn_pairs",
+]
 
 
 def _ordered_queries():

@@ -149,7 +149,11 @@ def main() -> None:
                  "gopher_repetition_signals", "intra_doc_repeated_spans",
                  "cross_source_span_leakage", "degree_assortativity",
                  "ols_price_on_quantity", "funnel_view_click_purchase",
-                 "time_decayed_engagement", "part_name_fuzzy_blocks"]:
+                 "time_decayed_engagement", "part_name_fuzzy_blocks",
+                 # round-12 third batch
+                 "clustering_coefficient_parts", "er_fuzzy_clusters",
+                 "average_precision_purchases", "feature_hashing_collisions",
+                 "dp_noisy_counts", "mutual_nn_pairs"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -137,4 +137,10 @@ from . import (  # noqa: F401
     metrics12,       # degree assortativity + one-pass closed-form OLS
     events12,        # ordered funnel + exact time-decayed engagement
     fuzzy12,         # blocked Levenshtein fuzzy matching (ER join)
+    graph12,         # co-purchase clustering coefficients (ordered triangles)
+    er12,            # ER clusters: fuzzy edges -> transitive closure
+    evalrank12,      # average precision via two-phase (no-global-sort) ranks
+    features12,      # hashing-trick collision audit (bucket-load histogram)
+    privacy12,       # Laplace-mechanism DP counts on the micro-nat lattice
+    mutualnn12,      # mutual nearest neighbors (bitext-mining primitive)
 )

