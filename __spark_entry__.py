@@ -78,6 +78,9 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "clustering_coefficient_parts", "er_fuzzy_clusters",
     "average_precision_purchases", "feature_hashing_collisions",
     "dp_noisy_counts", "mutual_nn_pairs",
+    # Round-12 fourth batch (same local-replica evidence):
+    "bigram_perplexity_quality", "chao1_vocab_richness",
+    "good_turing_counts", "nelson_aalen_hazard", "sax_hourly_motifs",
 ]
 
 

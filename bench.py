@@ -153,7 +153,10 @@ def main() -> None:
                  # round-12 third batch
                  "clustering_coefficient_parts", "er_fuzzy_clusters",
                  "average_precision_purchases", "feature_hashing_collisions",
-                 "dp_noisy_counts", "mutual_nn_pairs"]:
+                 "dp_noisy_counts", "mutual_nn_pairs",
+                 "bigram_perplexity_quality", "chao1_vocab_richness",
+                 "good_turing_counts", "nelson_aalen_hazard",
+                 "sax_hourly_motifs"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -143,4 +143,8 @@ from . import (  # noqa: F401
     features12,      # hashing-trick collision audit (bucket-load histogram)
     privacy12,       # Laplace-mechanism DP counts on the micro-nat lattice
     mutualnn12,      # mutual nearest neighbors (bitext-mining primitive)
+    lm12,            # bigram-LM perplexity quality filter (micro-nats)
+    richness12,      # Chao1 + Good-Turing from frequency-of-frequencies
+    survival12,      # Nelson-Aalen cumulative hazard (nano lattice)
+    sax12,           # SAX symbolic discretization + 3-symbol motifs
 )

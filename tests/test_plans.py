@@ -652,3 +652,36 @@ def test_round12_batch3_plan_gates(spark, sf_smoke):
 
     p = plans.physical_plan(qs["er_fuzzy_clusters"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in p, p[:1200]
+
+
+def test_round12_batch4_plan_gates(spark, sf_smoke):
+    """Plan gates for the round-12 fourth batch:
+    - bigram LM: the bigram stream comes from the array slice-zip BELOW
+      the explode — no self-join, no window over tokens; the vocab scalar
+      is broadcast;
+    - richness estimators: aggregate-only pipelines over the tiny
+      frequency-of-frequencies table — no window at all;
+    - Nelson-Aalen / SAX: the cumulative / lead windows run over curve-
+      sized tables (distinct durations / PAA segments), which the plans
+      reach only AFTER a groupBy reduction — assert the window input is
+      an Aggregate, and no cartesian anywhere (the 1-row scalar
+      broadcasts are BroadcastNestedLoopJoin on purpose)."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    qs = all_queries()
+
+    p = plans.physical_plan(qs["bigram_perplexity_quality"].fn(spark, sf_smoke))
+    assert "Window" not in p, "bigram stream must not use a token window"
+    assert "CartesianProduct" not in p
+    assert "Generate" in p, "bigrams come from an explode"
+
+    for name in ("chao1_vocab_richness", "good_turing_counts"):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "Window" not in p, (name, "unexpected window")
+        assert "CartesianProduct" not in p
+
+    for name in ("nelson_aalen_hazard", "sax_hourly_motifs"):
+        p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
+        assert "CartesianProduct" not in p, (name, p[:800])
+        assert "HashAggregate" in p, (name, "curve must be pre-reduced")
