@@ -81,6 +81,11 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # Round-12 fourth batch (same local-replica evidence):
     "bigram_perplexity_quality", "chao1_vocab_richness",
     "good_turing_counts", "nelson_aalen_hazard", "sax_hourly_motifs",
+    # Round-12 fifth batch:
+    "correlation_matrix_lineitem", "skipgram_negative_sampling_table",
+    # Docstring-only edits (greedy job-count ceilings, round-11 verdict
+    # nit) flipped these two fingerprints; logic untouched, re-verify:
+    "greedy_coverage_selection", "kcenter_farthest_points",
 ]
 
 

@@ -156,7 +156,8 @@ def main() -> None:
                  "dp_noisy_counts", "mutual_nn_pairs",
                  "bigram_perplexity_quality", "chao1_vocab_richness",
                  "good_turing_counts", "nelson_aalen_hazard",
-                 "sax_hourly_motifs"]:
+                 "sax_hourly_motifs", "correlation_matrix_lineitem",
+                 "skipgram_negative_sampling_table"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

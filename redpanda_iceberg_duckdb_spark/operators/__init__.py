@@ -147,4 +147,6 @@ from . import (  # noqa: F401
     richness12,      # Chao1 + Good-Turing from frequency-of-frequencies
     survival12,      # Nelson-Aalen cumulative hazard (nano lattice)
     sax12,           # SAX symbolic discretization + 3-symbol motifs
+    corr12,          # one-pass Pearson correlation matrix (exact moments)
+    sampling12,      # skip-gram count^0.75 negative-sampling table
 )

@@ -19,6 +19,13 @@ so no accumulating state frame needs checkpointing. k is a constant;
 corpus size enters only the per-round anti-join, which is
 hash-partitioned on the trigram.
 
+JOB-COUNT CEILING: the greedy is inherently sequential — one Spark job
+per pick, k jobs total. That is fine for k <= ~50 (driver round-trips,
+not compute, dominate each job); for hundreds of picks use stochastic
+greedy (Mirzasoleiman et al. 2015: per round, argmax over a sampled
+candidate subset — same (1-1/e)-epsilon bound, constant rounds of
+batched picks) rather than scaling this loop.
+
 The oracle unrolls the same k rounds (NOT EXISTS against the union of
 prior picks' trigrams), so a green row proves every round's gain counts
 and tie-breaks.

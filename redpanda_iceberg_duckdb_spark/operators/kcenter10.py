@@ -19,6 +19,12 @@ one-scalar-per-round discipline as k-means / PageRank-to-convergence
 (quantizer_train.py, graphrank.py). Nothing quadratic ever materializes:
 cost is O(k * N * d) with k and d constants.
 
+JOB-COUNT CEILING: farthest-point traversal is inherently sequential —
+one job per selected center, k jobs total. Sound for coreset-sized
+k (<= ~100, where per-job driver latency dominates); for large k switch
+to over-sampled batched variants (k-means|| style: sample multiple
+far points per round, then reduce) instead of lengthening this loop.
+
 Oracle: the same traversal unrolled as four chained CTEs (each "round" a
 window argmin over exact integers) — structurally different SQL computing
 the identical selection, per the independent-oracle bar.

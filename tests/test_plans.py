@@ -685,3 +685,24 @@ def test_round12_batch4_plan_gates(spark, sf_smoke):
         p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
         assert "CartesianProduct" not in p, (name, p[:800])
         assert "HashAggregate" in p, (name, "curve must be pre-reduced")
+
+
+def test_round12_batch5_plan_gates(spark, sf_smoke):
+    """Correlation matrix: ONE aggregate pass — no join, and exactly the
+    two exchanges of a global two-phase aggregate (the stack() unpivot
+    is a projection, so a per-pair re-execution of the scan would show up
+    as extra exchanges/joins). Negative-sampling table: no window; the
+    vocabulary total reaches the rows via a broadcast."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    qs = all_queries()
+    df = qs["correlation_matrix_lineitem"].fn(spark, sf_smoke)
+    p = plans.physical_plan(df)
+    assert "Join" not in p, ("corr matrix joins", p[:800])
+    assert plans.exchange_count(df) <= 3  # partial->final agg + output sort
+
+    p = plans.physical_plan(
+        qs["skipgram_negative_sampling_table"].fn(spark, sf_smoke))
+    assert "Window" not in p
+    assert "Broadcast" in p, "vocab total must broadcast"
