@@ -86,6 +86,8 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # Docstring-only edits (greedy job-count ceilings, round-11 verdict
     # nit) flipped these two fingerprints; logic untouched, re-verify:
     "greedy_coverage_selection", "kcenter_farthest_points",
+    # Round-12 sixth batch:
+    "haar_energy_by_level", "ridge_price_model",
 ]
 
 

@@ -157,7 +157,8 @@ def main() -> None:
                  "bigram_perplexity_quality", "chao1_vocab_richness",
                  "good_turing_counts", "nelson_aalen_hazard",
                  "sax_hourly_motifs", "correlation_matrix_lineitem",
-                 "skipgram_negative_sampling_table"]:
+                 "skipgram_negative_sampling_table",
+                 "haar_energy_by_level", "ridge_price_model"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -149,4 +149,6 @@ from . import (  # noqa: F401
     sax12,           # SAX symbolic discretization + 3-symbol motifs
     corr12,          # one-pass Pearson correlation matrix (exact moments)
     sampling12,      # skip-gram count^0.75 negative-sampling table
+    wavelet12,       # Haar energy decomposition, one-shuffle transform
+    ridge12,         # ridge regression via exact Cramer on one moment row
 )

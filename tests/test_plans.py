@@ -706,3 +706,23 @@ def test_round12_batch5_plan_gates(spark, sf_smoke):
         qs["skipgram_negative_sampling_table"].fn(spark, sf_smoke))
     assert "Window" not in p
     assert "Broadcast" in p, "vocab total must broadcast"
+
+
+def test_round12_batch6_plan_gates(spark, sf_smoke):
+    """Haar: the whole L-level transform is one explode + two groupBys —
+    no window, no join beyond the single broadcast of the 1-row origin.
+    Ridge: ONE aggregate over one scan, join-free, <= 2 exchanges (same
+    gate as the OLS sibling)."""
+    from redpanda_iceberg_duckdb_spark import plans
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    qs = all_queries()
+    p = plans.physical_plan(qs["haar_energy_by_level"].fn(spark, sf_smoke))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate" in p, "levels come from one explode"
+
+    df = qs["ridge_price_model"].fn(spark, sf_smoke)
+    p = plans.physical_plan(df)
+    assert "Join" not in p, ("ridge joins", p[:800])
+    assert plans.exchange_count(df) <= 2
