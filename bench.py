@@ -61,6 +61,7 @@ def main() -> None:
     extras.update(bpe_wordcount_demo(spark, sf_dir))
     extras.update(pq_trained_demo(spark, sf_dir))
     extras.update(substring_scaling_demo(spark, sf_dir))
+    extras.update(triangle_scaling_demo(spark, sf_dir))
     # Round-7 heavy operators tracked per round without inflating the
     # headline series (which older rounds are compared against).
     for name in ["shared_ngram_span_pairs", "semdedup_survivors",
@@ -778,6 +779,49 @@ def substring_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
     spark.catalog.clearCache()
     print(f"# substring spans x1 {out['substring_spans_x1']}s "
           f"x2 {out['substring_spans_x2']}s", file=sys.stderr)
+    return out
+
+
+def triangle_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Scaling probe for degree-ordered triangle enumeration (graph12.py):
+    lineitem doubled with a DISJOINT copy (orderkeys and partkeys offset
+    past the originals), so the co-purchase graph becomes two isomorphic
+    components and the x2 run is exactly twice the x1 edge/wedge
+    workload. Wedge volume is the superlinear term (O(m^1.5) worst
+    case); wall(x2)/wall(x1) staying near 2 on this graph shows the
+    degree-ordered orientation keeps the constant small at doubled m."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    q = all_queries()["clustering_coefficient_parts"]
+    q.fn(spark, sf_dir).count()       # warm-up
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    q.fn(spark, sf_dir).count()
+    out["triangles_x1"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    mx = li.agg(F.max("l_orderkey"), F.max("l_partkey")).collect()[0]
+    so, sp = (mx[0] or 0) + 1, (mx[1] or 0) + 1
+    copy = li.select(
+        (F.col("l_orderkey") + so).alias("l_orderkey"),
+        (F.col("l_partkey") + sp).alias("l_partkey"),
+        *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")])
+    tmp = tempfile.mkdtemp(prefix="tri_scale_")
+    try:
+        (li.unionByName(copy.select(*li.columns))
+         .write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet"))
+        t0 = time.perf_counter()
+        q.fn(spark, tmp).count()
+        out["triangles_x2"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.clearCache()
+    print(f"# triangles x1 {out['triangles_x1']}s "
+          f"x2 {out['triangles_x2']}s", file=sys.stderr)
     return out
 
 

@@ -167,3 +167,39 @@ def test_nelson_aalen_vs_km_inequality(spark, sf_smoke):
         s = km[t]["survival"]
         if s and s > 0:
             assert r["cum_hazard"] <= -math.log(s) + 1e-6
+
+
+def test_mutual_nn_cell_recall_vs_exact(spark, sf_smoke):
+    """The cell restriction's exact guarantee: a corpus-wide mutual pair
+    whose endpoints SHARE a cell can never be lost (restricting the
+    candidate set cannot dethrone a global argmax that survives the
+    restriction), so the same-cell subset of the exact numpy mutual-NN
+    pairs must be a subset of the operator's output. Corpus-wide recall
+    is a property of how cosine-coherent the cells are — on THIS corpus
+    the labels are class ids, not proximity cells (measured ~5%), which
+    is exactly the approximation the ann_recall_retrained family
+    quantifies and retrains away; no floor is asserted on it."""
+    import numpy as np
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT vec_id, label, embedding
+            FROM read_parquet('{sf_smoke}/embeddings.parquet')
+            ORDER BY vec_id""").fetchall()
+    ids = [r[0] for r in rows]
+    lab = {r[0]: r[1] for r in rows}
+    X = np.stack([np.array(r[2], "f8") for r in rows])
+    dots = np.floor(X[:, None, :] * X[None, :, :] * 1e12).sum(2)
+    nrm = np.sqrt(np.floor(X * X * 1e12).sum(1))
+    sim = np.round(dots / (nrm[:, None] * nrm[None, :]), 6)
+    np.fill_diagonal(sim, -np.inf)
+    top1 = {ids[i]: ids[int(np.argmax(sim[i]))] for i in range(len(ids))}
+    exact = {(a, b) for a, b in top1.items() if top1.get(b) == a and a < b}
+    same_cell = {(a, b) for a, b in exact if lab[a] == lab[b]}
+    got = {(r["vec_a"], r["vec_b"])
+           for r in _rows(spark, "mutual_nn_pairs", sf_smoke)}
+    assert exact, "corpus must produce exact mutual pairs"
+    assert same_cell, "some exact mutual pairs must share a cell"
+    assert same_cell <= got, same_cell - got
