@@ -87,7 +87,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # nit) flipped these two fingerprints; logic untouched, re-verify:
     "greedy_coverage_selection", "kcenter_farthest_points",
     # Round-12 sixth batch:
-    "haar_energy_by_level", "ridge_price_model",
+    "haar_energy_by_level", "ridge_price_model", "mutual_nn_retrained",
 ]
 
 

@@ -159,7 +159,8 @@ def main() -> None:
                  "good_turing_counts", "nelson_aalen_hazard",
                  "sax_hourly_motifs", "correlation_matrix_lineitem",
                  "skipgram_negative_sampling_table",
-                 "haar_energy_by_level", "ridge_price_model"]:
+                 "haar_energy_by_level", "ridge_price_model",
+                 "mutual_nn_retrained"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
