@@ -88,6 +88,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "greedy_coverage_selection", "kcenter_farthest_points",
     # Round-12 sixth batch:
     "haar_energy_by_level", "ridge_price_model", "mutual_nn_retrained",
+    "logistic_first_newton_step",
 ]
 
 

@@ -151,4 +151,5 @@ from . import (  # noqa: F401
     sampling12,      # skip-gram count^0.75 negative-sampling table
     wavelet12,       # Haar energy decomposition, one-shuffle transform
     ridge12,         # ridge regression via exact Cramer on one moment row
+    glm12,           # logistic first Newton/IRLS step on exact moments
 )
