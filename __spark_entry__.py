@@ -63,6 +63,18 @@ _VERIFY_FIRST = [
     "ols_price_on_quantity",
     "funnel_view_click_purchase", "time_decayed_engagement",
     "part_name_fuzzy_blocks",
+    # Round-12 third..seventh batches, registered AFTER the 25 slots above
+    # were pinned: the window still has room (44 named <= 50), so they get
+    # driver evidence THIS round instead of waiting in the pending queue.
+    "clustering_coefficient_parts", "er_fuzzy_clusters",
+    "average_precision_purchases", "feature_hashing_collisions",
+    "dp_noisy_counts", "mutual_nn_pairs",
+    "bigram_perplexity_quality", "chao1_vocab_richness",
+    "good_turing_counts", "nelson_aalen_hazard", "sax_hourly_motifs",
+    "correlation_matrix_lineitem", "skipgram_negative_sampling_table",
+    "greedy_coverage_selection", "kcenter_farthest_points",
+    "haar_energy_by_level", "ridge_price_model", "mutual_nn_retrained",
+    "logistic_first_newton_step",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
@@ -71,25 +83,7 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = [
-    # Round-12 third batch — each passes the local oracle replica at
-    # sf0.001 AND sf0.01 (tests/test_operator_oracles.py); queued for the
-    # round-13 driver window.
-    "clustering_coefficient_parts", "er_fuzzy_clusters",
-    "average_precision_purchases", "feature_hashing_collisions",
-    "dp_noisy_counts", "mutual_nn_pairs",
-    # Round-12 fourth batch (same local-replica evidence):
-    "bigram_perplexity_quality", "chao1_vocab_richness",
-    "good_turing_counts", "nelson_aalen_hazard", "sax_hourly_motifs",
-    # Round-12 fifth batch:
-    "correlation_matrix_lineitem", "skipgram_negative_sampling_table",
-    # Docstring-only edits (greedy job-count ceilings, round-11 verdict
-    # nit) flipped these two fingerprints; logic untouched, re-verify:
-    "greedy_coverage_selection", "kcenter_farthest_points",
-    # Round-12 sixth batch:
-    "haar_energy_by_level", "ridge_price_model", "mutual_nn_retrained",
-    "logistic_first_newton_step",
-]
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 def _ordered_queries():
