@@ -83,7 +83,12 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = []
+_PENDING_NEXT_WINDOW: list[str] = [
+    # Round-12 eighth batch — window already at 50; local-replica green at
+    # sf0.001 + sf0.01, queued for the round-13 driver window.
+    "rich_club_coefficient", "circular_hour_stats", "hill_tail_index",
+    "yule_k_lexical_diversity",
+]
 
 
 def _ordered_queries():

@@ -160,7 +160,9 @@ def main() -> None:
                  "sax_hourly_motifs", "correlation_matrix_lineitem",
                  "skipgram_negative_sampling_table",
                  "haar_energy_by_level", "ridge_price_model",
-                 "mutual_nn_retrained", "logistic_first_newton_step"]:
+                 "mutual_nn_retrained", "logistic_first_newton_step",
+                 "rich_club_coefficient", "circular_hour_stats",
+                 "hill_tail_index", "yule_k_lexical_diversity"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

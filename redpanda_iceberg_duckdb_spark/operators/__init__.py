@@ -152,4 +152,7 @@ from . import (  # noqa: F401
     wavelet12,       # Haar energy decomposition, one-shuffle transform
     ridge12,         # ridge regression via exact Cramer on one moment row
     glm12,           # logistic first Newton/IRLS step on exact moments
+    graph12b,        # rich-club coefficient (one-pass thresholds)
+    circular12,      # circular time-of-day stats (trig as shared literals)
+    tail12,          # Hill tail-index on the micro-nat lattice
 )

@@ -104,3 +104,33 @@ def _fof(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n")))
     return cnt.groupBy(F.col("n").alias("r")).agg(
         F.count(F.lit(1)).cast("long").alias("f"))
+
+
+@register(
+    "yule_k_lexical_diversity",
+    oracle=f"""
+WITH {_FOF_DUCK}
+SELECT cast(sum(r * f) AS bigint) AS n_tokens,
+       cast(sum(f) AS bigint) AS n_types,
+       cast(sum(cast(r AS bigint) * r * f) AS bigint) AS sum_r2f,
+       round(1e4 * (cast(sum(cast(r AS bigint) * r * f) AS double)
+                    - sum(r * f))
+             / (cast(sum(r * f) AS double) * sum(r * f)), 6) AS yule_k
+FROM fof""",
+    tags=("corpus-stats", "estimator"),
+)
+def yule_k_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K = 1e4 * (sum r^2 f_r - N) / N^2 — the
+    length-invariant repeat-rate measure of lexical diversity (Yule 1944),
+    a third pure function of the same frequency-of-frequencies table as
+    Chao1/Good-Turing: high K = repetitive vocabulary use, low K =
+    diverse. Exact integer moments, one final division."""
+    fof = _fof(spark, sf_dir)
+    n = F.sum(F.col("r") * F.col("f"))
+    r2f = F.sum(F.col("r") * F.col("r") * F.col("f"))
+    return fof.agg(
+        n.cast("long").alias("n_tokens"),
+        F.sum("f").cast("long").alias("n_types"),
+        r2f.cast("long").alias("sum_r2f"),
+        F.round(1e4 * (r2f.cast("double") - n)
+                / (n.cast("double") * n), 6).alias("yule_k"))

@@ -35,7 +35,8 @@ ALLOW: dict[str, dict[str, str]] = {
                          "(time-range-bounded)"},
 }
 
-_WINDOW = [n for n in entry_mod._VERIFY_FIRST
+_WINDOW = [n for n in (entry_mod._VERIFY_FIRST
+                       + entry_mod._PENDING_NEXT_WINDOW)
            # Streaming replays drive a full availableNow stream inside the
            # builder; their returned frame is a tiny telemetry table whose
            # plan says nothing about the streaming job — skip.
