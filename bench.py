@@ -62,6 +62,8 @@ def main() -> None:
     extras.update(pq_trained_demo(spark, sf_dir))
     extras.update(substring_scaling_demo(spark, sf_dir))
     extras.update(triangle_scaling_demo(spark, sf_dir))
+    extras.update(hashing_vs_dictionary_demo(spark, sf_dir))
+    extras.update(mutual_nn_scaling_demo(spark, sf_dir))
     # Round-7 heavy operators tracked per round without inflating the
     # headline series (which older rounds are compared against).
     for name in ["shared_ngram_span_pairs", "semdedup_survivors",
@@ -825,6 +827,103 @@ def triangle_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
     spark.catalog.clearCache()
     print(f"# triangles x1 {out['triangles_x1']}s "
           f"x2 {out['triangles_x2']}s", file=sys.stderr)
+    return out
+
+
+def hashing_vs_dictionary_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Measure (honestly) the hash-vs-dictionary featurization trade.
+    Three paths, same output arity (token -> int feature id):
+    - hash via xxhash64: the PRODUCTION hashing trick — one map-side JVM
+      expression, zero coordination at any vocabulary size;
+    - hash via md5-tail (what feature_hashing_collisions uses): the
+      ORACLE-PARITY hash — same zero-coordination shape, paying string
+      md5 cost for cross-engine verifiability;
+    - dictionary: global distinct + row_number over the WHOLE vocabulary
+      (a single-partition sort) + join back.
+    On this corpus the vocabulary is tiny (~5k types), so the dictionary
+    sort is cheap and md5's per-token cost can exceed it — the published
+    numbers show exactly that. The asymmetry is in the SCALING variable:
+    the hash paths scale only with corpus size (embarrassingly parallel),
+    the dictionary path degrades with VOCABULARY size (its global sort
+    and broadcast grow), which is what kills it on open-vocabulary
+    100 TB text."""
+    from pyspark.sql import Window as W, functions as F
+
+    from redpanda_iceberg_duckdb_spark.functions.hashing import \
+        md5_mod_spark
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    out: dict[str, float] = {}
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .filter(F.col("tok") != ""))
+
+    def hashed():
+        return (toks.select(F.expr(md5_mod_spark("tok", 512))
+                            .alias("fid"))
+                .groupBy("fid").count())
+
+    def hashed_xx():
+        return (toks.select((F.abs(F.xxhash64("tok")) % 512).alias("fid"))
+                .groupBy("fid").count())
+
+    def dictionary():
+        vocab = (toks.distinct()
+                 .withColumn("fid", F.row_number().over(
+                     W.orderBy("tok")) % 512))
+        return (toks.join(vocab, "tok")
+                .groupBy("fid").count())
+
+    for name, fn in (("feature_hash_md5_path", hashed),
+                     ("feature_hash_xxhash_path", hashed_xx),
+                     ("feature_dict_path", dictionary)):
+        fn().count()                       # codegen warm-up
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn().count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    print(f"# featurize md5 {out['feature_hash_md5_path']}s xxhash "
+          f"{out['feature_hash_xxhash_path']}s dictionary "
+          f"{out['feature_dict_path']}s", file=sys.stderr)
+    return out
+
+
+def mutual_nn_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Per-cell boundedness of mutual-NN: double the embeddings with a
+    DISJOINT copy (vec_ids and labels offset), so cells double in number
+    but not in size — the per-cell quadratic work doubles linearly.
+    wall(x2)/wall(x1) near 2 is the sum-over-cells claim, measured."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    q = all_queries()["mutual_nn_pairs"]
+    q.fn(spark, sf_dir).count()
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    q.fn(spark, sf_dir).count()
+    out["mutual_nn_x1"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mx = e.agg(F.max("vec_id"), F.max("label")).collect()[0]
+    sv, sl = (mx[0] or 0) + 1, (mx[1] or 0) + 1
+    copy = e.select((F.col("vec_id") + sv).alias("vec_id"),
+                    "embedding",
+                    (F.col("label") + sl).cast("int").alias("label"))
+    tmp = tempfile.mkdtemp(prefix="mnn_scale_")
+    try:
+        (e.unionByName(copy.select(*e.columns))
+         .write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet"))
+        t0 = time.perf_counter()
+        q.fn(spark, tmp).count()
+        out["mutual_nn_x2"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.clearCache()
+    print(f"# mutual-NN x1 {out['mutual_nn_x1']}s x2 {out['mutual_nn_x2']}s",
+          file=sys.stderr)
     return out
 
 
