@@ -87,7 +87,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # Round-12 eighth batch — window already at 50; local-replica green at
     # sf0.001 + sf0.01, queued for the round-13 driver window.
     "rich_club_coefficient", "circular_hour_stats", "hill_tail_index",
-    "yule_k_lexical_diversity",
+    "yule_k_lexical_diversity", "funnel_stream_replay",
 ]
 
 

@@ -164,7 +164,8 @@ def main() -> None:
                  "haar_energy_by_level", "ridge_price_model",
                  "mutual_nn_retrained", "logistic_first_newton_step",
                  "rich_club_coefficient", "circular_hour_stats",
-                 "hill_tail_index", "yule_k_lexical_diversity"]:
+                 "hill_tail_index", "yule_k_lexical_diversity",
+                 "funnel_stream_replay"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

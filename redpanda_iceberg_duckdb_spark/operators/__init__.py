@@ -155,4 +155,5 @@ from . import (  # noqa: F401
     graph12b,        # rich-club coefficient (one-pass thresholds)
     circular12,      # circular time-of-day stats (trig as shared literals)
     tail12,          # Hill tail-index on the micro-nat lattice
+    funnel_stream,   # incrementally-maintained ordered funnel (replay)
 )

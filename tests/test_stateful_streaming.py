@@ -127,3 +127,50 @@ def test_running_totals_state_is_keycount(spark, sf_smoke, tmp_path):
     assert progress, "no data batches recorded"
     last = (progress[-1].get("stateOperators") or [{}])[0]
     assert int(last.get("numRowsTotal", -1)) == n_users
+
+
+def test_funnel_foreachbatch_stream_equals_batch(spark, sf_smoke, tmp_path):
+    """Drive merge_funnel through a REAL availableNow file stream with
+    foreachBatch (events written as 4 event-time-ordered files so the
+    micro-batch order matches the sink's ordering contract) and assert
+    the final maintained funnel equals the batch funnel query."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+    from redpanda_iceberg_duckdb_spark.streaming.funnel_sink import (
+        empty_funnel_state, funnel_counts, merge_funnel)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id", "event_type", "ts")
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    bounds = list(zip([None] + cuts, cuts + [None]))
+    src = tmp_path / "stream_src"
+    for i, (lo, hi) in enumerate(bounds):
+        cond = F.lit(True)
+        if lo:
+            cond = cond & (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+        if hi:
+            cond = cond & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        ev.filter(cond).coalesce(1).write.parquet(str(src / f"b={i}"))
+
+    holder = {"state": empty_funnel_state(spark), "batches": 0}
+
+    def sink(batch_df, _bid):
+        holder["state"] = merge_funnel(holder["state"],
+                                       batch_df.drop("b"))
+        holder["batches"] += 1
+
+    stream = (spark.readStream.schema(ev.withColumn("b", F.lit(0)).schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src))
+              .writeStream.foreachBatch(sink)
+              .trigger(availableNow=True).start())
+    stream.awaitTermination(120)
+    assert holder["batches"] >= 1
+    got = funnel_counts(holder["state"]).collect()[0]
+    want = all_queries()["funnel_view_click_purchase"].fn(
+        spark, sf_smoke).collect()[0]
+    assert got["n_view"] == want["n_view"]
+    assert got["n_click_after_view"] == want["n_click_after_view"]
+    assert got["n_purchase_after_click"] == want["n_purchase_after_click"]
