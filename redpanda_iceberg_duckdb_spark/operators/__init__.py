@@ -156,4 +156,5 @@ from . import (  # noqa: F401
     circular12,      # circular time-of-day stats (trig as shared literals)
     tail12,          # Hill tail-index on the micro-nat lattice
     funnel_stream,   # incrementally-maintained ordered funnel (replay)
+    infotheory12,    # Markov entropy rate on the micro-nat lattice
 )
