@@ -88,7 +88,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # sf0.001 + sf0.01, queued for the round-13 driver window.
     "rich_club_coefficient", "circular_hour_stats", "hill_tail_index",
     "yule_k_lexical_diversity", "funnel_stream_replay",
-    "markov_entropy_rate",
+    "markov_entropy_rate", "permutation_entropy_hourly",
 ]
 
 

@@ -165,7 +165,8 @@ def main() -> None:
                  "mutual_nn_retrained", "logistic_first_newton_step",
                  "rich_club_coefficient", "circular_hour_stats",
                  "hill_tail_index", "yule_k_lexical_diversity",
-                 "funnel_stream_replay", "markov_entropy_rate"]:
+                 "funnel_stream_replay", "markov_entropy_rate",
+                 "permutation_entropy_hourly"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

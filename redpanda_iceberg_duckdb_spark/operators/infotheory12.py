@@ -85,3 +85,82 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("h_num").cast("double") / F.sum("n_out") / 1e6, 6)
          .alias("entropy_nats"))
     return rows.unionAll(total).orderBy("src")
+
+
+_PERM_ORACLE = f"""
+WITH hc AS (SELECT epoch_us(ts) // {3_600_000_000} AS h,
+                   cast(count(*) AS bigint) AS c
+            FROM events GROUP BY 1),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+grid AS (SELECT g.h, coalesce(hc.c, 0) AS c
+         FROM (SELECT unnest(generate_series((SELECT h0 FROM b),
+                                             (SELECT h1 FROM b))) AS h) g
+         LEFT JOIN hc ON hc.h = g.h),
+tri AS (SELECT c AS c1, lead(c, 1) OVER (ORDER BY h) AS c2,
+               lead(c, 2) OVER (ORDER BY h) AS c3
+        FROM grid),
+codes AS (SELECT 4 * (CASE WHEN c1 <= c2 THEN 1 ELSE 0 END)
+               + 2 * (CASE WHEN c1 <= c3 THEN 1 ELSE 0 END)
+               + (CASE WHEN c2 <= c3 THEN 1 ELSE 0 END) AS code
+          FROM tri WHERE c3 IS NOT NULL),
+hist AS (SELECT code, cast(count(*) AS bigint) AS n FROM codes GROUP BY code),
+tot AS (SELECT sum(n) AS nt FROM hist),
+lp AS (SELECT n, cast(round(ln(cast(n AS double)
+                             / (SELECT nt FROM tot)) * 1e6) AS bigint) AS lpm
+       FROM hist)
+SELECT (SELECT cast(nt AS bigint) FROM tot) AS n_windows,
+       (SELECT cast(count(*) AS bigint) FROM hist) AS n_codes,
+       round(cast(-sum(n * lpm) AS double)
+             / (SELECT nt FROM tot) / 1e6, 6) AS perm_entropy_nats,
+       round(cast(-sum(n * lpm) AS double)
+             / (SELECT nt FROM tot) / 1e6 / ln(8), 6)
+         AS perm_entropy_norm
+FROM lp"""
+
+
+@register(
+    "permutation_entropy_hourly",
+    oracle=_PERM_ORACLE,
+    tags=("timeseries", "information", "complexity"),
+)
+def permutation_entropy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation (ordinal-pattern) entropy of the zero-filled hourly
+    series (Bandt & Pompe 2002): each 3-hour window maps to a 3-bit
+    comparison code (<=-ties resolved toward the earlier index, stated so
+    both engines agree), the code histogram's entropy — snapped to
+    micro-nats — measures series complexity: low = trending/periodic,
+    ln(6)-ish = white noise. Normalization uses ln(8), the code-space
+    size under this tie rule. One hour-bucket aggregate; everything else
+    runs on the time-range-bounded grid."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    hc = (ev.select(F.expr(f"unix_micros(ts) div {hour_us}").alias("h"))
+          .groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    b = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (b.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+            .join(hc, "h", "left_outer")
+            .select("h", F.coalesce("c", F.lit(0)).alias("c")))
+    wl = W.orderBy("h")
+    tri = grid.select(F.col("c").alias("c1"),
+                      F.lead("c", 1).over(wl).alias("c2"),
+                      F.lead("c", 2).over(wl).alias("c3"))
+    codes = (tri.filter(F.col("c3").isNotNull())
+             .select((4 * (F.col("c1") <= F.col("c2")).cast("int")
+                      + 2 * (F.col("c1") <= F.col("c3")).cast("int")
+                      + (F.col("c2") <= F.col("c3")).cast("int"))
+                     .alias("code")))
+    hist = codes.groupBy("code").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = hist.agg(F.sum("n").alias("nt"),
+                   F.count(F.lit(1)).cast("long").alias("k"))
+    lp = (hist.crossJoin(F.broadcast(tot))
+          .select("n", "nt", "k",
+                  F.round(F.log(F.col("n").cast("double") / F.col("nt"))
+                          * 1e6).cast("long").alias("lpm")))
+    return lp.agg(
+        F.first("nt").cast("long").alias("n_windows"),
+        F.first("k").alias("n_codes"),
+        F.round((-F.sum(F.col("n") * F.col("lpm"))).cast("double")
+                / F.first("nt") / 1e6, 6).alias("perm_entropy_nats"),
+        F.round((-F.sum(F.col("n") * F.col("lpm"))).cast("double")
+                / F.first("nt") / 1e6 / F.log(F.lit(8.0)), 6)
+         .alias("perm_entropy_norm"))
