@@ -38,43 +38,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # promote window evidence to green evidence at the start of the next round
 # with `--promote`.
 _VERIFY_FIRST = [
-    # HEAD: the round-11 pending queue — the only two registered queries
-    # with zero driver evidence (round-11 verdict item 1). Green rows here
-    # make every query in the engine's history driver-verified.
-    "rolling_origin_cv_folds", "woe_iv_hour_bins",
-    # Round-12 perf fallout: pagerank_converged driver-sync cut (verdict
-    # item 2) changes graphrank.py, so every query fingerprinting through
-    # it re-verifies.
-    "pagerank_converged", "pagerank_trade_graph",
-    "personalized_pagerank_seeds", "graph_degree_stats",
-    "link_prediction_jaccard", "triangle_count_neardup",
-    # Round-12 new queries (verdict items 3-5), appended as registered:
-    "exact_substring_spans", "exact_substring_cutlist",
+    # HEAD: the round-12 pending queue — the only registered queries with
+    # zero driver evidence (round-12 verdict item 1). Green rows here make
+    # every query in the engine's history driver-verified.
+    "rich_club_coefficient", "circular_hour_stats", "hill_tail_index",
+    "yule_k_lexical_diversity", "funnel_stream_replay",
+    "markov_entropy_rate", "permutation_entropy_hourly",
+    # Round-12 verdict item 2: stream_state_bound_replay split into an
+    # oracled expected-state query (state_metrics.py derives held/evicted
+    # per batch from event timestamps; DuckDB recomputes the same bounds)
+    # + the engine-metric equality kept in test_stateful_streaming.py.
+    "stream_state_expected",
+    # Verdict item 3 fallout: pq_train.py Lloyd block-chaining changes the
+    # module fingerprint, so both trained-PQ queries re-verify.
     "pq_trained_distortion", "ivf_pq_trained_recall",
-    "multimodal_pixel_stats",
-    # multimodal.py fingerprint fallout (PPM decoder added to the module):
-    "multimodal_meta", "multimodal_byte_features", "multimodal_frame_dedup",
-    # Streaming state-store accounting (rows-only: engine metrics have
-    # nothing for a SQL oracle to recompute; pytest holds the closed-form
-    # assertions — see operators/state_metrics.py).
-    "stream_state_bound_replay",
-    "gopher_repetition_signals", "intra_doc_repeated_spans",
-    "cross_source_span_leakage", "degree_assortativity",
-    "ols_price_on_quantity",
-    "funnel_view_click_purchase", "time_decayed_engagement",
-    "part_name_fuzzy_blocks",
-    # Round-12 third..seventh batches, registered AFTER the 25 slots above
-    # were pinned: the window still has room (44 named <= 50), so they get
-    # driver evidence THIS round instead of waiting in the pending queue.
-    "clustering_coefficient_parts", "er_fuzzy_clusters",
-    "average_precision_purchases", "feature_hashing_collisions",
-    "dp_noisy_counts", "mutual_nn_pairs",
-    "bigram_perplexity_quality", "chao1_vocab_richness",
-    "good_turing_counts", "nelson_aalen_hazard", "sax_hourly_motifs",
-    "correlation_matrix_lineitem", "skipgram_negative_sampling_table",
-    "greedy_coverage_selection", "kcenter_farthest_points",
-    "haar_energy_by_level", "ridge_price_model", "mutual_nn_retrained",
-    "logistic_first_newton_step",
+    # quantizer_train.py fingerprints mutual_nn_retrained via its import.
+    "mutual_nn_retrained",
+    # Verdict item 5: logistic regression to convergence (glm12.py).
+    "logistic_irls_converged", "logistic_first_newton_step",
+    # Verdict item 6: funnel-sink state accounting (oracled per item 2's
+    # pattern) + fingerprint fallout on the existing funnel replay row.
+    "funnel_state_expected",
+    # Verdict item 7: substring-dedup shingle keys hashed (xxhash64 both
+    # engines) — module fingerprint changes, all three rows re-verify.
+    "exact_substring_spans", "exact_substring_cutlist",
+    "cross_source_span_leakage",
+    # ADVICE fallout: graph12.py / infotheory12.py unpersist fixes change
+    # those modules' fingerprints (markov/permutation entropy are already
+    # at the head as pending-queue entries).
+    "clustering_coefficient_parts",
+    # Round-13 new queries, appended as registered (window has room):
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
@@ -83,13 +76,7 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = [
-    # Round-12 eighth batch — window already at 50; local-replica green at
-    # sf0.001 + sf0.01, queued for the round-13 driver window.
-    "rich_club_coefficient", "circular_hour_stats", "hill_tail_index",
-    "yule_k_lexical_diversity", "funnel_stream_replay",
-    "markov_entropy_rate", "permutation_entropy_hourly",
-]
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 def _ordered_queries():

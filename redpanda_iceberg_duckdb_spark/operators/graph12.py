@@ -94,11 +94,15 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db")))
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # Eager localCheckpoint, not persist(): eo feeds three join branches, so
+    # materializing once is right, but a persist with no unpersist leaks
+    # storage into later queries in the same session (round-12 advice);
+    # checkpoint blocks are GC-reclaimed with the frame (graphrank pattern).
     eo = (e.join(da, "a").join(db, "b")
           .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
                   F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
                   F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"))
-          ).persist()
+          ).localCheckpoint(eager=True)
     e1 = eo.select("src", F.col("dst").alias("u"), F.col("dd").alias("ud"))
     e2 = eo.select("src", F.col("dst").alias("v"), F.col("dd").alias("vd"))
     u_first = (F.col("ud") < F.col("vd")) | (

@@ -70,21 +70,18 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("src", "n",
                   F.round(F.log(F.col("n").cast("double") / F.col("nr"))
                           * 1e6).cast("long").alias("lpm")))
-    per = (lp.groupBy("src")
+    # rollup gives the per-state rows AND the grand total (null src) in ONE
+    # aggregate — no persist, no double read of the lead-window pass (the
+    # round-12 advice flagged the never-unpersisted cache this replaces).
+    per = (lp.rollup("src")
            .agg(F.sum("n").cast("long").alias("n_out"),
                 (-F.sum(F.col("n") * F.col("lpm"))).cast("long")
-                .alias("h_num"))
-           .persist())   # read by both the per-state and __ALL__ branches
-    rows = per.select(
-        "src", "n_out",
+                .alias("h_num")))
+    return (per.select(
+        F.coalesce("src", F.lit("__ALL__")).alias("src"), "n_out",
         F.round(F.col("h_num").cast("double") / F.col("n_out") / 1e6, 6)
          .alias("entropy_nats"))
-    total = per.agg(
-        F.lit("__ALL__").alias("src"),
-        F.sum("n_out").cast("long").alias("n_out"),
-        F.round(F.sum("h_num").cast("double") / F.sum("n_out") / 1e6, 6)
-         .alias("entropy_nats"))
-    return rows.unionAll(total).orderBy("src")
+        .orderBy("src"))
 
 
 _PERM_ORACLE = f"""

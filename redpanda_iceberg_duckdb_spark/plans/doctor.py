@@ -29,11 +29,71 @@ runs a registered query's builder and audits the resulting frame.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 from . import physical_plan
 
 CHECKS = ("cartesian", "global-window", "python-row-udf", "unpushed-scan")
+
+
+def _tree_depth(line: str) -> int:
+    m = re.search(r"[+:]-", line)
+    return m.start() if m else -1  # root nodes have no connector
+
+
+def _global_window_detail(plan: str) -> str | None:
+    """Detect a Window with an EMPTY partition spec in FORMATTED explain
+    output, two ways (the single-line ``Exchange SinglePartition`` form
+    only appears in 'simple' explain — matching it was dead code,
+    round-12 advice):
+
+    1. an ``(n) Exchange`` whose details block says ``Arguments:
+       SinglePartition`` feeding a Window/Sort chain in the tree — the
+       dangerous repartition-to-one of distributed data;
+    2. a ``windowspecdefinition`` whose FIRST argument is an ordering
+       expression (``... ASC/DESC NULLS ...``): partition columns print
+       before order columns and never carry a sort direction, so a leading
+       direction means zero partition columns. This catches global windows
+       whose child is already single-partition (e.g. a grid exploded from
+       a 1-row aggregate — no Exchange node exists to match)."""
+    m = re.search(
+        r"windowspecdefinition\(\s*[^(),]*\s(?:ASC|DESC) NULLS", plan)
+    if m:
+        return ("Window with empty partition spec: "
+                + plan[m.start():m.start() + 60])
+    single_ids = set()
+    for block in re.split(r"\n\s*\n", plan):
+        m = re.match(r"\((\d+)\) Exchange\b", block.lstrip())
+        if m and re.search(r"^Arguments:.*SinglePartition", block, re.M):
+            single_ids.add(m.group(1))
+    if not single_ids:
+        return None
+    tree = plan.split("\n\n", 1)[0]
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"Exchange \((\d+)\)", line)
+        if not m or m.group(1) not in single_ids:
+            continue
+        # Walk ancestors (lines above with strictly smaller connector
+        # depth). Window sits above Sort above the exchange; stop at any
+        # other node class — a HashAggregate/GlobalLimit parent is the
+        # legitimate global-agg/limit shape, not a global window.
+        depth = _tree_depth(line)
+        hops = 0
+        for j in range(i - 1, -1, -1):
+            dj = _tree_depth(lines[j])
+            if dj >= depth:
+                continue
+            name = lines[j]
+            if "Window" in name:
+                return f"Window over SinglePartition exchange ({m.group(1)})"
+            if re.search(r"\bSort\b|\bProject\b", name) and hops < 3:
+                depth, hops = dj, hops + 1
+                continue
+            break
+    return None
 
 
 def findings(df: DataFrame) -> list[tuple[str, str]]:
@@ -46,20 +106,10 @@ def findings(df: DataFrame) -> list[tuple[str, str]]:
     if "BatchEvalPython" in plan:
         out.append(("python-row-udf", "BatchEvalPython (row-at-a-time "
                     "Python UDF) in plan"))
-    # Global window: the formatted plan shows the Window node's partition
-    # spec; an empty spec arrives as "Exchange SinglePartition" feeding a
-    # Window. Scan line-adjacency in the tree section.
     lines = plan.splitlines()
-    if "Window" in plan and "SinglePartition" in plan:
-        for i, line in enumerate(lines):
-            if "Arguments" in line and "SinglePartition" in line:
-                continue
-            if "Exchange SinglePartition" in line:
-                ctx = "\n".join(lines[max(0, i - 4): i + 2])
-                if "Window" in ctx or "WindowGroupLimit" in ctx:
-                    out.append(("global-window",
-                                "Window over SinglePartition"))
-                    break
+    gw = _global_window_detail(plan)
+    if gw:
+        out.append(("global-window", gw))
     # Unpushed scan: a Filter node whose child is a parquet Scan that
     # pushed nothing. The details section lists per-node blocks; pair each
     # Scan's PushedFilters with whether any Filter references it above.
@@ -78,3 +128,9 @@ def findings(df: DataFrame) -> list[tuple[str, str]]:
 def audit(df: DataFrame, allow: tuple[str, ...] = ()) -> list[tuple[str, str]]:
     """Findings not covered by ``allow`` (a tuple of check codes)."""
     return [f for f in findings(df) if f[0] not in allow]
+
+
+def audit_query(spark, q, sf_dir: str,
+                allow: tuple[str, ...] = ()) -> list[tuple[str, str]]:
+    """Run a registered query's builder and audit the resulting frame."""
+    return audit(q.fn(spark, sf_dir), allow=allow)

@@ -33,14 +33,21 @@ ALLOW: dict[str, dict[str, str]] = {
     "sax_hourly_motifs": {
         "global-window": "lead window over 4-hour PAA segments "
                          "(time-range-bounded)"},
+    "permutation_entropy_hourly": {
+        "global-window": "lead window over the zero-filled hourly grid "
+                         "(time-range-bounded; child is already a 1-row-"
+                         "aggregate explode)"},
 }
 
 _WINDOW = [n for n in (entry_mod._VERIFY_FIRST
                        + entry_mod._PENDING_NEXT_WINDOW)
            # Streaming replays drive a full availableNow stream inside the
            # builder; their returned frame is a tiny telemetry table whose
-           # plan says nothing about the streaming job — skip.
-           if "replay" not in n]
+           # plan says nothing about the streaming job — skip. Names not
+           # yet registered (window slots pre-declared for queries being
+           # built this round) are skipped here; the driver's
+           # _ordered_queries applies the same existence filter.
+           if "replay" not in n and n in all_queries()]
 
 
 @pytest.mark.parametrize("name", _WINDOW)

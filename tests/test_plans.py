@@ -638,8 +638,11 @@ def test_round12_batch3_plan_gates(spark, sf_smoke):
     p = plans.physical_plan(
         qs["average_precision_purchases"].fn(spark, sf_smoke))
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
-    assert "partitionBy=[score]" in p.replace(" ", "").replace(
-        "partitionBy=[score#", "partitionBy=[score") or "score" in p
+    # The tie-break window must be PARTITIONED by score (partition columns
+    # print first in windowspecdefinition, without a sort direction); the
+    # old `or "score" in p` fallback made this vacuous (round-12 advice).
+    import re as _re
+    assert _re.search(r"windowspecdefinition\(score#\d+L?,", p), p[:1200]
 
     for name in ("feature_hashing_collisions", "dp_noisy_counts"):
         p = plans.physical_plan(qs[name].fn(spark, sf_smoke))
