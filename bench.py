@@ -148,7 +148,7 @@ def main() -> None:
                  # accounting
                  "exact_substring_spans", "exact_substring_cutlist",
                  "pq_trained_distortion", "ivf_pq_trained_recall",
-                 "multimodal_pixel_stats", "stream_state_bound_replay",
+                 "multimodal_pixel_stats", "stream_state_expected",
                  "gopher_repetition_signals", "intra_doc_repeated_spans",
                  "cross_source_span_leakage", "degree_assortativity",
                  "ols_price_on_quantity", "funnel_view_click_purchase",
@@ -166,7 +166,9 @@ def main() -> None:
                  "rich_club_coefficient", "circular_hour_stats",
                  "hill_tail_index", "yule_k_lexical_diversity",
                  "funnel_stream_replay", "markov_entropy_rate",
-                 "permutation_entropy_hourly"]:
+                 "permutation_entropy_hourly",
+                 # round-13 batch
+                 "funnel_state_expected"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -16,15 +16,28 @@ single well-defined checkable fact (measured: 32-33 rounds at
 sf0.001-sf0.01). The DuckDB oracle is a self-terminating recursive CTE
 running the identical joint recurrence.
 
-Scale stance (100 TB): per round ONE Arrow-batched mapInPandas job — scan,
-numpy argmin of each of the 8 sub-vectors against its 10 broadcast code
-stats, combinable groupBy(sub, code, k) — collecting 8×10×8 sufficient-
-stat ints to the driver (constant-bounded). Only KB-scale codebook stats
-cross rounds; assignments are implicit, recomputed per row (MLlib's
-broadcast-centers Lloyd shape, same as quantizer_train). The int64
-exactness bound is checked per round per cell; past it the round falls
-back to the decimal(38,0) join+agg path (pq11's encode shape) — slower,
-still exact.
+Scale stance (100 TB): codebook training is sample-bounded by design —
+industry PQ trainers (FAISS) train on 10^4-10^5 vectors no matter the
+corpus size, because 80 sub-centroids saturate long before that. When the
+training set fits ``_DRIVER_TRAIN_BOUND`` vectors it is collected ONCE
+(<=32 MB) and Lloyd runs driver-side in numpy with byte-identical
+integer-lattice math — same label init, same first-minimum tie-break,
+same mover counts, therefore the same round count and codebooks the
+distributed loop produces (asserted by test_round12_ops' equality with
+the recursive-CTE oracle, which is path-blind). Past the bound, the
+distributed loop runs: per round ONE Arrow-batched mapInPandas job —
+scan, numpy argmin of each of the 8 sub-vectors against its 10 broadcast
+code stats — collecting 8×10×8 sufficient-stat ints to the driver
+(constant-bounded). Only KB-scale codebook stats cross rounds;
+assignments are implicit, recomputed per row (MLlib's broadcast-centers
+Lloyd shape, same as quantizer_train). The driver path exists because the
+per-round job floor (~0.25 s scheduling+Arrow, measured) times ~92
+driver-synchronized rounds was the whole 30 s cold wall (round-12 verdict
+item 3) — rounds cannot be block-chained like pagerank's because every
+round's assignment needs the PREVIOUS round's global sums. The int64
+exactness bound is checked per round per cell on both paths; past it the
+distributed loop's decimal(38,0) join+agg path (pq11's encode shape) is
+the fallback — slower, still exact.
 """
 
 from __future__ import annotations
@@ -87,6 +100,66 @@ cb2 AS (SELECT f.code, f.sub, f.sub * {_DSUB} + q.kk AS k,
 # are (sub, code, n, s[_DSUB]) sorted. Bounded: clear-then-insert.
 _PQ_TRAIN_CACHE: dict[tuple[str, str], tuple[list, int]] = {}
 
+# Training sets at or below this vector count run Lloyd driver-side after a
+# single collect (<=32 MB of int64 at 64 dims) — the FAISS-style bounded
+# trainer (module docstring); larger sets use the distributed per-round loop.
+_DRIVER_TRAIN_BOUND = 1 << 16
+
+
+def _train_driver_side(qs, lbl) -> tuple[list, int] | None:
+    """Driver-resident Lloyd, byte-identical to the distributed loop's
+    integer-lattice math (same label init, same first-minimum tie-break,
+    same mover accounting — module docstring). Returns None if any round's
+    stats leave the int64-exact envelope (caller falls back to the
+    distributed decimal path)."""
+    import numpy as np
+
+    n, m, dsub = qs.shape
+    q_max = int(np.abs(qs).max()) if n else 0
+
+    def stats_from_codes(codes):            # codes: n x m int64
+        out = []
+        for sub in range(m):
+            for c in np.unique(codes[:, sub]):
+                mask = codes[:, sub] == c
+                out.append((sub, int(c), int(mask.sum()),
+                            [int(v) for v in qs[mask, sub, :].sum(axis=0)]))
+        return sorted(out)
+
+    def int64_safe(stats):
+        return all(
+            sum((q_max * cnt + abs(s)) ** 2 for s in s_arr) < (1 << 63)
+            for _, _, cnt, s_arr in stats)
+
+    def assign(stats):                       # n x m codes under a codebook
+        codes_out = np.empty((n, m), dtype=np.int64)
+        for sub in range(m):
+            rows = [(c, cnt, s_arr) for s, c, cnt, s_arr in stats
+                    if s == sub]
+            cvec = np.array([c for c, _, _ in rows], dtype=np.int64)
+            d = np.empty((n, len(rows)), dtype=np.float64)
+            for i, (_c, cnt, s_arr) in enumerate(rows):
+                t = qs[:, sub, :] * cnt - np.array(s_arr, dtype=np.int64)
+                d[:, i] = (t * t).sum(axis=1).astype(np.float64) \
+                    / (float(cnt) * float(cnt))
+            codes_out[:, sub] = cvec[np.argmin(d, axis=1)]
+        return codes_out
+
+    codes_prev = np.repeat(lbl.reshape(-1, 1), m, axis=1)
+    stats = stats_from_codes(codes_prev)     # label init == round-0 sums
+    for i in range(_MAX_ROUNDS):
+        if not int64_safe(stats):
+            return None
+        codes_cur = assign(stats)
+        moved = int((codes_cur != codes_prev).sum())
+        stats = stats_from_codes(codes_cur)
+        codes_prev = codes_cur
+        if moved == 0:
+            return stats, i + 1
+    raise RuntimeError(
+        f"pq training: no convergence in {_MAX_ROUNDS} rounds — a "
+        "tie-cycle; production would stop on a mover-count plateau")
+
 
 def train_pq_stats(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
     """Joint per-subspace Lloyd from the shipped labels until zero
@@ -97,6 +170,23 @@ def train_pq_stats(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
            data_fingerprint(sf_dir, "embeddings") or sf_dir)
     if key in _PQ_TRAIN_CACHE:
         return _PQ_TRAIN_CACHE[key]
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select("vec_id",
+                    F.col("label").cast("int").alias("lbl0"),
+                    F.expr("transform(embedding, x -> cast(floor("
+                           "cast(x as double) * 1e4) as bigint))")
+                    .alias("q")))
+    if base.count() <= _DRIVER_TRAIN_BOUND:
+        import numpy as np
+        pdf = base.select("lbl0", "q").toPandas()
+        qs = (np.stack(pdf["q"].to_numpy()).astype(np.int64)
+              .reshape(-1, _M, _DSUB))
+        res = _train_driver_side(qs, pdf["lbl0"].to_numpy()
+                                 .astype(np.int64))
+        if res is not None:
+            _PQ_TRAIN_CACHE.clear()
+            _PQ_TRAIN_CACHE[key] = res
+            return res
     n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions",
                                         "32")) // 4)
     emb = (load_table(spark, sf_dir, "embeddings")

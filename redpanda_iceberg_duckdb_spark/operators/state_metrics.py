@@ -4,14 +4,23 @@ surface the state store's own metrics (``stateOperators`` from the query
 progress) — rows held, rows updated — proving the watermark actually
 BOUNDS state instead of asserting it in prose.
 
-Why this query has no DuckDB oracle: the numbers come from the engine's
-state store, not from the data — there is nothing for SQL to recompute
-(the driver records the weaker rows-only check). The correctness weight
-sits in tests/test_stateful_streaming.py, which asserts the closed-form
-expectations this module's docstrings claim: every unique key updates
-state exactly once (rows_updated == batch input), eviction keeps the
-held-rows peak strictly below the total key count, and the final batch
-retains only the un-expired horizon.
+Round-13 split (round-12 verdict item 1): the engine metrics DO have a
+closed form computable from event timestamps alone, so the registered,
+DuckDB-oracled query is now ``stream_state_expected`` — the per-batch
+state accounting the engine MUST produce under the protocol below —
+and tests/test_stateful_streaming.py asserts the real streaming run's
+``stateOperators`` metrics equal that expected table row-for-row. The
+replay itself (``stream_state_bound_replay``) stays as the unregistered
+helper feeding that equality check.
+
+Engine semantics, probed empirically on Spark 4.1.2 and encoded in both
+engines' expected queries: dropDuplicatesWithinWatermark holds one state
+row per key with expiry = event ts + delay; eviction at the end of batch
+i uses the LAG-ONE watermark W_i = max(event ts over batches 0..i-1) -
+delay, removing keys with ts + delay < W_i (strictly), i.e. ts <
+max_prev - 2*delay. numRowsUpdated = new distinct keys in the batch;
+numRowsTotal = cumulative inserts - cumulative removals. (All 16 numbers
+across the 4 batches reproduce exactly at sf0.001 and sf0.01.)
 
 Protocol: events split into 4 event-time quartiles (one parquet file
 each), replayed availableNow with maxFilesPerTrigger=1 through
@@ -101,17 +110,12 @@ def chunked_replay_metrics(spark: SparkSession, sf_dir: str,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@register(
-    "stream_state_bound_replay",
-    oracle=None,   # engine state-store metrics: nothing for SQL to recompute
-    tags=("streaming", "state", "watermark", "metrics"),
-)
 def stream_state_bound_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch state accounting of the watermarked streaming dedup
     (module docstring has the protocol): batch_id, rows in, state rows
-    updated/held/removed — the numbers that prove bounded state. Returned
-    as a 4-row driver frame (rows-only check; the pytest holds the
-    closed-form assertions)."""
+    updated/held/removed. UNREGISTERED since round 13 — the registered,
+    oracled surface is stream_state_expected; this real-engine replay is
+    compared to it row-for-row in test_stateful_streaming.py."""
     rows = chunked_replay_metrics(spark, sf_dir)
     return spark.createDataFrame(
         [(i, r["input_rows"], r["state_rows_updated"],
@@ -119,3 +123,95 @@ def stream_state_bound_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
          for i, r in enumerate(rows)],
         "batch_id int, input_rows long, state_rows_updated long, "
         "state_rows_total long, state_rows_removed long")
+
+
+_H_US = 3_600_000_000          # the 1-hour watermark delay, in micros
+_EXPECTED_ORACLE = f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+ev AS (SELECT event_id, us,
+              least(((us - (SELECT lo FROM b)) * {_N_CHUNKS})
+                    // ((SELECT hi FROM b) - (SELECT lo FROM b) + 1),
+                    {_N_CHUNKS - 1}) AS chunk
+       FROM e),
+cm AS (SELECT chunk, max(us) AS mx, cast(count(*) AS bigint) AS n_in,
+              cast(count(DISTINCT event_id) AS bigint) AS n_up
+       FROM ev GROUP BY chunk),
+cmax AS (SELECT a.chunk, max(a.n_in) AS n_in, max(a.n_up) AS n_up,
+                max(b.mx) AS m
+         FROM cm a JOIN cm b ON b.chunk <= a.chunk GROUP BY a.chunk),
+ti AS (SELECT chunk + 1 AS batch, m - {2 * _H_US} AS cut
+       FROM cmax WHERE chunk + 1 <= {_N_CHUNKS - 1}),
+evb AS (SELECT ev.event_id, min(ti.batch) AS eb
+        FROM ev JOIN ti ON ti.batch > ev.chunk AND ev.us < ti.cut
+        GROUP BY ev.event_id),
+rem AS (SELECT eb AS chunk, cast(count(*) AS bigint) AS removed
+        FROM evb GROUP BY eb),
+acct AS (SELECT cmax.chunk, n_in, n_up, coalesce(removed, 0) AS rm
+         FROM cmax LEFT JOIN rem ON rem.chunk = cmax.chunk)
+SELECT cast(a.chunk AS int) AS batch_id,
+       max(a.n_in) AS input_rows,
+       max(a.n_up) AS state_rows_updated,
+       cast(sum(b.n_up) - sum(b.rm) AS bigint) AS state_rows_total,
+       cast(max(a.rm) AS bigint) AS state_rows_removed
+FROM acct a JOIN acct b ON b.chunk <= a.chunk
+GROUP BY a.chunk ORDER BY batch_id"""
+
+
+@register(
+    "stream_state_expected",
+    oracle=_EXPECTED_ORACLE,
+    tags=("streaming", "state", "watermark", "metrics"),
+)
+def stream_state_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED per-batch state accounting of the chunked watermarked
+    dedup replay, derived from event timestamps alone under the probed
+    engine semantics (module docstring): lag-one watermark, strict
+    ``ts + delay < W`` eviction. The real streaming run must (and does —
+    test_stateful_streaming.py) produce exactly these numbers. Assumes
+    every time-quartile chunk is nonempty (uniform event times; holds at
+    every shipped SF). Scale stance: one scan for min/max, one bucketed
+    aggregate per chunk, the rest is 4-row-grid algebra on broadcast
+    frames — no window, no global sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us"))
+    b = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    ev = (e.crossJoin(F.broadcast(b))
+          .select("event_id", "us",
+                  F.least(F.expr(f"((us - lo) * {_N_CHUNKS}) "
+                                 "div (hi - lo + 1)"),
+                          F.lit(_N_CHUNKS - 1)).cast("int").alias("chunk")))
+    cm = ev.groupBy("chunk").agg(
+        F.max("us").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.count_distinct("event_id").cast("long").alias("n_up"))
+    # Cumulative max over the 4-row chunk grid via a tiny self-join (no
+    # global window — keeps the plan-doctor sweep clean by construction).
+    cmax = (cm.alias("a")
+            .join(F.broadcast(cm.alias("b")),
+                  F.col("b.chunk") <= F.col("a.chunk"))
+            .groupBy(F.col("a.chunk").alias("chunk"))
+            .agg(F.max("a.n_in").alias("n_in"), F.max("a.n_up").alias("n_up"),
+                 F.max("b.mx").alias("m")))
+    ti = (cmax.select((F.col("chunk") + 1).alias("batch"),
+                      (F.col("m") - 2 * _H_US).alias("cut"))
+          .filter(F.col("batch") <= _N_CHUNKS - 1))
+    evb = (ev.join(F.broadcast(ti),
+                   (F.col("batch") > F.col("chunk"))
+                   & (F.col("us") < F.col("cut")))
+           .groupBy("event_id").agg(F.min("batch").alias("eb")))
+    rem = (evb.groupBy(F.col("eb").alias("chunk"))
+           .agg(F.count(F.lit(1)).cast("long").alias("removed")))
+    acct = (cmax.join(rem, "chunk", "left_outer")
+            .select("chunk", "n_in", "n_up",
+                    F.coalesce("removed", F.lit(0)).cast("long").alias("rm")))
+    out = (acct.alias("a")
+           .join(F.broadcast(acct.alias("b")),
+                 F.col("b.chunk") <= F.col("a.chunk"))
+           .groupBy(F.col("a.chunk").cast("int").alias("batch_id"))
+           .agg(F.max("a.n_in").alias("input_rows"),
+                F.max("a.n_up").alias("state_rows_updated"),
+                (F.sum("b.n_up") - F.sum("b.rm")).cast("long")
+                .alias("state_rows_total"),
+                F.max("a.rm").alias("state_rows_removed")))
+    return out.orderBy("batch_id")

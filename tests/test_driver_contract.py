@@ -31,12 +31,10 @@ def test_queries_oracle_alignment():
     # queries whose output is engine telemetry with nothing for SQL to
     # recompute. Each entry must name the pytest that carries its
     # correctness weight instead.
-    rows_only_allowed = {
-        # state-store metrics from a real streaming run; closed-form
-        # assertions live in test_stateful_streaming.py::
-        # test_watermark_bounds_dedup_state
-        "stream_state_bound_replay",
-    }
+    # Empty since round 13: the one telemetry query was split into the
+    # oracled stream_state_expected (registered) + the engine-metric
+    # equality in test_stateful_streaming.py.
+    rows_only_allowed: set[str] = set()
     rows_only = set(qs) - set(osql)
     assert rows_only == rows_only_allowed
 

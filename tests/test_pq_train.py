@@ -34,3 +34,23 @@ def test_trained_recall_probe_contract(spark):
     assert all(r.qid % 100 == 0 and r.qid < 6400 for r in rows)
     assert all(0 <= r.n_hits <= 5 for r in rows)
     assert all(abs(r.recall_at_5 - r.n_hits / 5.0) < 1e-9 for r in rows)
+
+
+def test_driver_and_distributed_training_paths_agree(spark, monkeypatch):
+    """The round-13 driver-resident trainer must be byte-identical to the
+    distributed per-round loop: same sufficient stats, same joint round
+    count (same init, same first-minimum tie-break, same mover
+    accounting). Force the distributed path by zeroing the sample bound
+    and compare against the driver path on the same data."""
+    from redpanda_iceberg_duckdb_spark.operators import pq_train as P
+
+    sf = "/root/testdata/sf0.001"
+    P._PQ_TRAIN_CACHE.clear()
+    driver_stats, driver_rounds = P.train_pq_stats(spark, sf)
+    P._PQ_TRAIN_CACHE.clear()
+    monkeypatch.setattr(P, "_DRIVER_TRAIN_BOUND", 0)
+    dist_stats, dist_rounds = P.train_pq_stats(spark, sf)
+    P._PQ_TRAIN_CACHE.clear()
+    assert driver_rounds == dist_rounds
+    assert [(s, c, n, list(a)) for s, c, n, a in driver_stats] == \
+           [(s, c, n, list(a)) for s, c, n, a in dist_stats]

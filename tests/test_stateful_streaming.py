@@ -99,6 +99,29 @@ def test_watermark_bounds_dedup_state(spark, sf_smoke):
     assert peak <= two_chunk_bound
 
 
+def test_engine_state_metrics_equal_expected_query(spark, sf_smoke):
+    """Round-13 split of the old rows-only stream_state_bound_replay: the
+    engine's stateOperators metrics must equal, ROW FOR ROW, the oracled
+    stream_state_expected query (which derives the accounting from event
+    timestamps + the probed lag-one-watermark eviction semantics). This is
+    the engine-metric half of the equality; the data half is hash-checked
+    against DuckDB by the driver."""
+    from redpanda_iceberg_duckdb_spark.operators.state_metrics import (
+        chunked_replay_metrics)
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    engine = chunked_replay_metrics(spark, sf_smoke)
+    expected = (all_queries()["stream_state_expected"]
+                .fn(spark, sf_smoke).collect())
+    assert len(engine) == len(expected) == 4
+    for i, (e, x) in enumerate(zip(engine, expected)):
+        assert x["batch_id"] == i
+        assert e["input_rows"] == x["input_rows"], (i, e, x.asDict())
+        assert e["state_rows_updated"] == x["state_rows_updated"], (i, e)
+        assert e["state_rows_total"] == x["state_rows_total"], (i, e)
+        assert e["state_rows_removed"] == x["state_rows_removed"], (i, e)
+
+
 def test_running_totals_state_is_keycount(spark, sf_smoke, tmp_path):
     """The applyInPandasWithState operator keeps exactly one state row per
     user — state size equals cumulative distinct keys, the expected
@@ -174,3 +197,36 @@ def test_funnel_foreachbatch_stream_equals_batch(spark, sf_smoke, tmp_path):
     assert got["n_view"] == want["n_view"]
     assert got["n_click_after_view"] == want["n_click_after_view"]
     assert got["n_purchase_after_click"] == want["n_purchase_after_click"]
+
+
+def test_funnel_sink_state_cardinality_equals_expected(spark, sf_smoke):
+    """Funnel-sink state accounting (round-12 verdict item 6): after each
+    replay batch, the REAL merge_funnel state holds exactly one row per
+    view-user — its count must equal the oracled funnel_state_expected
+    query's state_rows, and stay bounded by users_seen."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.funnel_stream import _bounds
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+    from redpanda_iceberg_duckdb_spark.streaming.funnel_sink import (
+        empty_funnel_state, merge_funnel)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    expected = {r["batch_id"]: r for r in
+                all_queries()["funnel_state_expected"]
+                .fn(spark, sf_smoke).collect()}
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id", "event_type", "ts")
+    state = empty_funnel_state(spark)
+    for i, (lo, hi) in enumerate(_bounds(), 1):
+        cond = F.lit(True)
+        if lo:
+            cond = cond & (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+        if hi:
+            cond = cond & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        state = merge_funnel(state, ev.filter(cond))
+        n = state.count()
+        assert n == expected[i]["state_rows"], (i, n, expected[i].asDict())
+        assert n <= expected[i]["users_seen"]
+        # state rows are exactly the view-users: t1 is never null
+        assert state.filter(F.col("t1").isNull()).count() == 0
