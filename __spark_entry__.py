@@ -54,9 +54,8 @@ _VERIFY_FIRST = [
     "pq_trained_distortion", "ivf_pq_trained_recall",
     # quantizer_train.py fingerprints mutual_nn_retrained via its import.
     "mutual_nn_retrained",
-    # Verdict item 5: glm12.py fingerprint fallout (logistic_irls_converged
-    # joins this list when registered later this round).
-    "logistic_first_newton_step",
+    # Verdict item 5: logistic regression to convergence (glm12.py).
+    "logistic_irls_converged", "logistic_first_newton_step",
     # Verdict item 6: funnel-sink state accounting (oracled per item 2's
     # pattern) + fingerprint fallout on the existing funnel replay row.
     "funnel_state_expected",

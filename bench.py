@@ -168,7 +168,7 @@ def main() -> None:
                  "funnel_stream_replay", "markov_entropy_rate",
                  "permutation_entropy_hourly",
                  # round-13 batch
-                 "funnel_state_expected"]:
+                 "funnel_state_expected", "logistic_irls_converged"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -39,6 +39,15 @@ one row per shingle before any join back (two-stage distinct), so a
 mega-shingle costs one skewed reduce task, not a row blowup; AQE skew-join
 handles the join back. K=8 keeps chance collisions negligible while
 catching sentence-scale boilerplate.
+
+Shingle keys are 64-BIT HASHES, not strings (round-12 verdict item 7):
+every groupBy/join shuffles xxhash64(shingle) — 8 bytes instead of the
+~50-byte 8-word string, a several-fold shuffle-width cut at corpus scale.
+The DuckDB oracles use hash(shingle), DuckDB's own 64-bit hash: the two
+engines need not agree on hash VALUES, only on the grouping they induce,
+which differs only under a 64-bit collision among equal-position shingles
+(~words^2 / 2^64 — negligible, and it would have to occur in exactly one
+engine to flip a row).
 """
 
 from __future__ import annotations
@@ -63,12 +72,13 @@ _SH_ARRAY_SPARK = (
 
 _ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-p AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+{_K}], ' ') AS sh
+p AS (SELECT doc_id, i AS pos,
+             hash(array_to_string(ws[i+1:i+{_K}], ' ')) AS h
       FROM w, unnest(range(greatest(len(ws) - {_K} + 1, 0))) r(i)),
-dup AS (SELECT sh FROM p GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
 d AS (SELECT doc_id, pos,
              row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-      FROM p JOIN dup USING (sh)),
+      FROM p JOIN dup USING (h)),
 sp AS (SELECT doc_id, pos - rn AS grp, count(*) AS run_len
        FROM d GROUP BY doc_id, pos - rn),
 agg AS (SELECT doc_id,
@@ -81,13 +91,16 @@ FROM agg ORDER BY max_span_tokens DESC, doc_id LIMIT {_TOP}"""
 
 
 def _positional_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, sh): every word offset's K-word shingle."""
+    """(doc_id, pos, h): every word offset's K-word shingle, as its
+    64-bit xxhash64 key (module docstring: hash keys cut shuffle width;
+    the string itself never leaves the map side)."""
     d = load_table_spread(spark, sf_dir, "documents", "doc_id")
     return (d.select("doc_id", F.split("text", " ").alias("ws"))
             .select("doc_id",
                     F.posexplode_outer(F.expr(_SH_ARRAY_SPARK))
                      .alias("pos", "sh"))
-            .filter(F.col("sh").isNotNull()))
+            .filter(F.col("sh").isNotNull())
+            .select("doc_id", "pos", F.xxhash64("sh").alias("h")))
 
 
 def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,10 +108,10 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _positional_shingles(spark, sf_dir)
     # two-stage distinct: (sh, doc_id) distinct first so the df count is a
     # plain count — partial aggregation absorbs stop-phrase skew map-side.
-    dup = (p.select("sh", "doc_id").distinct()
-           .groupBy("sh").agg(F.count(F.lit(1)).alias("ndocs"))
-           .filter(F.col("ndocs") >= 2).select("sh"))
-    dpos = p.join(dup, "sh").select("doc_id", "pos")
+    dup = (p.select("h", "doc_id").distinct()
+           .groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+           .filter(F.col("ndocs") >= 2).select("h"))
+    dpos = p.join(dup, "h").select("doc_id", "pos")
     w = W.partitionBy("doc_id").orderBy("pos")
     spans = (dpos.withColumn("rn", F.row_number().over(w))
              .withColumn("grp", F.col("pos") - F.col("rn"))
@@ -122,12 +135,13 @@ register(
 
 _CUT_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-p AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+{_K}], ' ') AS sh
+p AS (SELECT doc_id, i AS pos,
+             hash(array_to_string(ws[i+1:i+{_K}], ' ')) AS h
       FROM w, unnest(range(greatest(len(ws) - {_K} + 1, 0))) r(i)),
-dup AS (SELECT sh FROM p GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
 d AS (SELECT doc_id, pos,
              row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-      FROM p JOIN dup USING (sh)),
+      FROM p JOIN dup USING (h)),
 sp AS (SELECT doc_id, min(pos) AS span_start,
               cast(count(*) + {_K} - 1 AS bigint) AS span_tokens
        FROM d GROUP BY doc_id, pos - rn)
@@ -146,10 +160,10 @@ def duplicate_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline feeds to the span-stripping rewrite. Top {_TOP} spans by
     length for the driver compare; production would keep them all."""
     p = _positional_shingles(spark, sf_dir)
-    dup = (p.select("sh", "doc_id").distinct()
-           .groupBy("sh").agg(F.count(F.lit(1)).alias("ndocs"))
-           .filter(F.col("ndocs") >= 2).select("sh"))
-    dpos = p.join(dup, "sh").select("doc_id", "pos")
+    dup = (p.select("h", "doc_id").distinct()
+           .groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+           .filter(F.col("ndocs") >= 2).select("h"))
+    dpos = p.join(dup, "h").select("doc_id", "pos")
     w = W.partitionBy("doc_id").orderBy("pos")
     return (dpos.withColumn("rn", F.row_number().over(w))
             .withColumn("grp", F.col("pos") - F.col("rn"))
@@ -165,11 +179,12 @@ def duplicate_span_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEAK_ORACLE = f"""
 WITH w AS (SELECT doc_id, source, string_split(text, ' ') ws
            FROM documents),
-p AS (SELECT DISTINCT source, array_to_string(ws[i+1:i+{_K}], ' ') AS sh
+p AS (SELECT DISTINCT source,
+             hash(array_to_string(ws[i+1:i+{_K}], ' ')) AS h
       FROM w, unnest(range(greatest(len(ws) - {_K} + 1, 0))) r(i)),
 x AS (SELECT a.source AS src_a, b.source AS src_b,
              cast(count(*) AS bigint) AS n_shared_shingles
-      FROM p a JOIN p b ON a.sh = b.sh AND a.source < b.source
+      FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
       GROUP BY 1, 2)
 SELECT src_a, src_b, n_shared_shingles
 FROM x ORDER BY n_shared_shingles DESC, src_a, src_b LIMIT {_TOP}"""
@@ -197,10 +212,11 @@ def cross_source_span_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("source",
                  F.explode_outer(F.expr(_SH_ARRAY_SPARK)).alias("sh"))
          .filter(F.col("sh").isNotNull())
+         .select("source", F.xxhash64("sh").alias("h"))
          .distinct())
-    a = p.select(F.col("source").alias("src_a"), "sh")
-    b = p.select(F.col("source").alias("src_b"), "sh")
-    return (a.join(b, "sh")
+    a = p.select(F.col("source").alias("src_a"), "h")
+    b = p.select(F.col("source").alias("src_b"), "h")
+    return (a.join(b, "h")
             .filter(F.col("src_a") < F.col("src_b"))
             .groupBy("src_a", "src_b")
             .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
