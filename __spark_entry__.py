@@ -68,6 +68,8 @@ _VERIFY_FIRST = [
     # at the head as pending-queue entries).
     "clustering_coefficient_parts",
     # Round-13 new queries, appended as registered (window has room):
+    "kneser_ney_perplexity_by_source", "mahalanobis_outliers_topk",
+    "holt_linear_hourly", "edge_triangle_support",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

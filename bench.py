@@ -168,7 +168,9 @@ def main() -> None:
                  "funnel_stream_replay", "markov_entropy_rate",
                  "permutation_entropy_hourly",
                  # round-13 batch
-                 "funnel_state_expected", "logistic_irls_converged"]:
+                 "funnel_state_expected", "logistic_irls_converged",
+                 "kneser_ney_perplexity_by_source", "mahalanobis_outliers_topk",
+                 "holt_linear_hourly", "edge_triangle_support"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

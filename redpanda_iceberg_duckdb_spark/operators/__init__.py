@@ -157,4 +157,8 @@ from . import (  # noqa: F401
     tail12,          # Hill tail-index on the micro-nat lattice
     funnel_stream,   # incrementally-maintained ordered funnel (replay)
     infotheory12,    # Markov entropy rate on the micro-nat lattice
+    lm13,            # interpolated Kneser-Ney bigram perplexity by source
+    stats13,         # Mahalanobis outlier top-k on exact integer moments
+    timeseries13,    # Holt linear level+trend on the micro lattice
+    graph13,         # per-edge triangle support histogram (truss edge stat)
 )

@@ -1,0 +1,110 @@
+"""Per-EDGE triangle support over the part co-purchase graph — the edge
+statistic under k-truss decomposition and the complement of the per-NODE
+clustering coefficients in graph12.py: support(e) = number of triangles
+containing edge e. The support histogram separates tree-like fringes
+(support 0) from dense co-purchase cores (high support), which is what a
+recommender prunes on before mining association rules.
+
+Triangle enumeration is graph12.py's degree-ordered orientation verbatim
+(lower (degree, id) endpoint -> higher; wedges on the common source;
+closing edge looked up in the oriented list), so wedge volume stays
+O(m^1.5) by the arboricity bound and each triangle is produced exactly
+once. Support attribution then unions the three edges of each triangle —
+all as ORIENTED pairs, which is bijective with the undirected edges — and
+a left join back to the edge list keeps the support-0 edges the
+triangle-only path would drop.
+
+Scale stance (100 TB): identical join budget to
+clustering_coefficient_parts (one per-order self-join bounded by order
+sizes, one broadcast degree orientation, one orientation-pruned wedge
+join, one closing-edge join) plus one union-aggregate keyed by edge; the
+result is histogram-sized. No window, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+_SUPPORT_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+deg AS (SELECT node, cast(count(*) AS bigint) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+eo AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+              CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst,
+              CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dd
+       FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+w AS (SELECT e1.src AS c, e1.dst AS u, e2.dst AS v
+      FROM eo e1 JOIN eo e2
+        ON e1.src = e2.src AND (e1.dd, e1.dst) < (e2.dd, e2.dst)),
+tri AS (SELECT w.c, w.u, w.v FROM w JOIN eo ON eo.src = w.u AND eo.dst = w.v),
+te AS (SELECT c AS src, u AS dst FROM tri
+       UNION ALL SELECT c, v FROM tri
+       UNION ALL SELECT u, v FROM tri),
+es AS (SELECT eo.src, eo.dst, cast(count(te.src) AS bigint) AS support
+       FROM eo LEFT JOIN te ON te.src = eo.src AND te.dst = eo.dst
+       GROUP BY eo.src, eo.dst)
+SELECT support, cast(count(*) AS bigint) AS n_edges
+FROM es GROUP BY support ORDER BY support"""
+
+
+@register(
+    "edge_triangle_support",
+    oracle=_SUPPORT_ORACLE,
+    tags=("graph", "triangles", "truss"),
+)
+def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-edge triangle support on the part co-purchase
+    graph (module docstring): (support, n_edges), support-0 edges
+    included. Cites graph12.clustering_coefficient_parts for the shared
+    orientation discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    e = (op.alias("x").join(op.alias("y"), "o")
+         .filter(F.col("x.p") < F.col("y.p"))
+         .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    da = F.broadcast(deg.select(F.col("node").alias("a"),
+                                F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"),
+                                F.col("d").alias("db")))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # Eager localCheckpoint: eo feeds the wedge join twice, the closing
+    # lookup, and the final support join (graph12's cache discipline).
+    eo = (e.join(da, "a").join(db, "b")
+          .select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
+                  .alias("src"),
+                  F.when(a_first, F.col("b")).otherwise(F.col("a"))
+                  .alias("dst"),
+                  F.when(a_first, F.col("db")).otherwise(F.col("da"))
+                  .alias("dd"))
+          ).localCheckpoint(eager=True)
+    e1 = eo.select("src", F.col("dst").alias("u"), F.col("dd").alias("ud"))
+    e2 = eo.select("src", F.col("dst").alias("v"), F.col("dd").alias("vd"))
+    u_first = (F.col("ud") < F.col("vd")) | (
+        (F.col("ud") == F.col("vd")) & (F.col("u") < F.col("v")))
+    w = (e1.join(e2, "src").filter(u_first)
+         .select(F.col("src").alias("c"), "u", "v"))
+    tri = w.join(eo.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+                 ["u", "v"])
+    te = (tri.select(F.col("c").alias("src"), F.col("u").alias("dst"))
+          .unionAll(tri.select(F.col("c").alias("src"),
+                               F.col("v").alias("dst")))
+          .unionAll(tri.select(F.col("u").alias("src"),
+                               F.col("v").alias("dst"))))
+    ts = te.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("nt"))
+    es = (eo.select("src", "dst").join(ts, ["src", "dst"], "left_outer")
+          .select(F.coalesce("nt", F.lit(0)).cast("long").alias("support")))
+    return (es.groupBy("support")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            .orderBy("support"))
