@@ -69,7 +69,9 @@ _VERIFY_FIRST = [
     "clustering_coefficient_parts",
     # Round-13 new queries, appended as registered (window has room):
     "kneser_ney_perplexity_by_source", "mahalanobis_outliers_topk",
-    "holt_linear_hourly", "edge_triangle_support",
+    "holt_linear_hourly", "edge_triangle_support", "ivm_state_expected",
+    # ivm_stream.py fingerprint fallout (state-expected addition):
+    "ivm_stream_refresh_replay", "ivm_retraction_replay",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -170,7 +170,7 @@ def main() -> None:
                  # round-13 batch
                  "funnel_state_expected", "logistic_irls_converged",
                  "kneser_ney_perplexity_by_source", "mahalanobis_outliers_topk",
-                 "holt_linear_hourly", "edge_triangle_support"]:
+                 "holt_linear_hourly", "edge_triangle_support", "ivm_state_expected"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -174,3 +174,81 @@ def ivm_retraction_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in views[1:]:
         out = out.unionByName(v)
     return out.orderBy("batch_id", "c_custkey")
+
+
+# -------------------------------------------- state-size accounting (r13)
+
+def _state_oracle() -> str:
+    """Expected cardinality of each maintained state table after every
+    batch (round-12 verdict item 6, the ivm edition of
+    stream_state_expected): orders state holds every order seen so far,
+    lines state compacts to one row per order with any line seen, and the
+    view holds one row per customer with at least one MATCHED (order,
+    line) pair — i.e. min over the customer's orders of max(o_orderdate,
+    first l_shipdate) is below the cut."""
+    parts = []
+    for i, (_lo, hi) in enumerate(_batch_bounds(), 1):
+        wo = f"WHERE o_orderdate < TIMESTAMP '{hi}'" if hi else ""
+        wl = f"WHERE l_shipdate < TIMESTAMP '{hi}'" if hi else ""
+        wv = (f"WHERE o.o_orderdate < TIMESTAMP '{hi}' "
+              f"AND l.l_shipdate < TIMESTAMP '{hi}'" if hi else "")
+        parts.append(f"""
+SELECT {i} AS batch_id,
+       (SELECT cast(count(*) AS bigint) FROM orders {wo}) AS orders_rows,
+       (SELECT cast(count(DISTINCT l_orderkey) AS bigint)
+        FROM lineitem {wl}) AS lines_rows,
+       (SELECT cast(count(DISTINCT o.o_custkey) AS bigint)
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        {wv}) AS view_rows""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY batch_id"
+
+
+@register(
+    "ivm_state_expected",
+    oracle=_state_oracle(),
+    tags=("ivm", "streaming", "state", "metrics"),
+)
+def ivm_state_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED per-batch state-table cardinalities of the streaming IVM
+    sink (orders / lines / view rows — _state_oracle docstring); the real
+    apply_delta state is asserted equal table-for-table, batch-for-batch
+    in test_round10_ops.py. Proves the maintained state stays order/
+    customer-cardinality, never line-cardinality.
+
+    Scale stance: orders and lineitem each reduce ONCE to per-order rows
+    (orderkey, custkey, o_orderdate / first l_shipdate); only those
+    O(orders) frames fan out over the broadcast 4-row cut grid. No
+    window, no repeated fact scans."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    ol = line.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"))
+    per_order = (orders.join(ol,
+                             orders.o_orderkey == ol.l_orderkey,
+                             "left_outer")
+                 .select("o_orderkey", "o_custkey", "o_orderdate",
+                         "first_ship",
+                         # Spark's greatest() IGNORES nulls (returns the
+                         # non-null side), so a line-less order must be
+                         # nulled explicitly or it would count as matched.
+                         F.when(F.col("first_ship").isNotNull(),
+                                F.greatest("o_orderdate", "first_ship"))
+                         .alias("pair_date")))
+    cuts = spark.createDataFrame(
+        [(i, hi) for i, (_lo, hi) in enumerate(_batch_bounds(), 1)],
+        "batch_id int, hi string")
+    hi_ts = F.col("hi").cast("timestamp")
+    before = lambda c: F.col("hi").isNull() | (F.col(c) < hi_ts)  # noqa: E731
+    g = per_order.crossJoin(F.broadcast(cuts))
+    counts = g.groupBy("batch_id").agg(
+        F.count(F.when(before("o_orderdate"), 1)).cast("long")
+         .alias("orders_rows"),
+        F.count(F.when(before("first_ship")
+                       & F.col("first_ship").isNotNull(), 1)).cast("long")
+         .alias("lines_rows"),
+        F.count_distinct(
+            F.when(before("pair_date") & F.col("pair_date").isNotNull(),
+                   F.col("o_custkey"))).cast("long").alias("view_rows"))
+    return counts.orderBy("batch_id")

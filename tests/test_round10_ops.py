@@ -596,3 +596,46 @@ def test_shapley_efficiency_and_planted_attribution(spark, tmp_path):
     got = {r.grp: r.shapley_value for r in
            shapley_source_value(spark, d).collect()}
     assert got[0] > 0 and got[1] < 0 and got[2] < 0, got
+
+
+def test_ivm_state_cardinality_equals_expected(spark, sf_smoke):
+    """Round-13 state accounting for the IVM sink (round-12 verdict item
+    6): after each replay batch, the REAL apply_delta state tables must
+    hold exactly the cardinalities the oracled ivm_state_expected query
+    derives from the data — orders/lines stay order-cardinality, the view
+    customer-cardinality, proving no line-cardinality state leak."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.ivm_stream import (
+        _REV, _batch_bounds)
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+    from redpanda_iceberg_duckdb_spark.streaming.ivm_sink import (
+        IvmState, apply_delta, empty_state)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    expected = {r["batch_id"]: r for r in
+                all_queries()["ivm_state_expected"]
+                .fn(spark, sf_smoke).collect()}
+    orders = load_table(spark, sf_smoke, "orders")
+    line = load_table(spark, sf_smoke, "lineitem")
+    state = empty_state(spark)
+    for i, (lo, hi) in enumerate(_batch_bounds(), 1):
+        def rng(col, lo=lo, hi=hi):
+            cond = F.lit(True)
+            if lo:
+                cond = cond & (col >= F.lit(lo).cast("timestamp"))
+            if hi:
+                cond = cond & (col < F.lit(hi).cast("timestamp"))
+            return cond
+        d_o = (orders.filter(rng(F.col("o_orderdate")))
+               .select("o_orderkey", "o_custkey"))
+        d_l = (line.filter(rng(F.col("l_shipdate")))
+               .select("l_orderkey", F.expr(_REV).alias("rev")))
+        nxt = apply_delta(state, d_o, d_l)
+        state = IvmState(nxt.view.localCheckpoint(eager=False),
+                         nxt.orders.localCheckpoint(eager=False),
+                         nxt.lines.localCheckpoint(eager=False))
+        x = expected[i]
+        assert state.orders.count() == x["orders_rows"], i
+        assert state.lines.count() == x["lines_rows"], i
+        assert state.view.count() == x["view_rows"], i
