@@ -72,6 +72,9 @@ _VERIFY_FIRST = [
     "holt_linear_hourly", "edge_triangle_support", "ivm_state_expected",
     # ivm_stream.py fingerprint fallout (state-expected addition):
     "ivm_stream_refresh_replay", "ivm_retraction_replay",
+    "sprt_state_expected", "sprt_stream_decision_replay",
+    "wasserstein_value_by_type_pair", "circular_emd_hours",
+    "multimodal_wav_stats",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

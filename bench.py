@@ -170,7 +170,9 @@ def main() -> None:
                  # round-13 batch
                  "funnel_state_expected", "logistic_irls_converged",
                  "kneser_ney_perplexity_by_source", "mahalanobis_outliers_topk",
-                 "holt_linear_hourly", "edge_triangle_support", "ivm_state_expected"]:
+                 "holt_linear_hourly", "edge_triangle_support", "ivm_state_expected",
+                 "sprt_state_expected", "wasserstein_value_by_type_pair",
+                 "circular_emd_hours", "multimodal_wav_stats"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

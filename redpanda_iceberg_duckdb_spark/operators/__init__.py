@@ -161,4 +161,6 @@ from . import (  # noqa: F401
     stats13,         # Mahalanobis outlier top-k on exact integer moments
     timeseries13,    # Holt linear level+trend on the micro lattice
     graph13,         # per-edge triangle support histogram (truss edge stat)
+    ot13,            # exact 1-D / circular Wasserstein distances
+    multimodal13,    # WAV/PCM decode-and-measure (audio modality)
 )

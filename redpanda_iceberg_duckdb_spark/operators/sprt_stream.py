@@ -87,3 +87,55 @@ def sprt_stream_decision_replay(spark: SparkSession,
     for v in outs[1:]:
         out = out.unionByName(v)
     return out.orderBy("batch_id")
+
+
+# -------------------------------------------- state-size accounting (r13)
+
+def _state_oracle() -> str:
+    """Expected SPRT-sink state cardinality per batch: the maintained
+    sufficient-statistic table holds exactly one row per event DAY seen so
+    far (sprt_sink docstring), so state_rows after batch i = distinct
+    date_trunc('day', ts) below the cut; events_seen bounds the compression
+    ratio the days-sized state buys."""
+    parts = []
+    for i, (_lo, hi) in enumerate(_batch_bounds(), 1):
+        w = f"WHERE ts < TIMESTAMP '{hi}'" if hi else ""
+        parts.append(f"""
+SELECT {i} AS batch_id,
+       (SELECT cast(count(DISTINCT date_trunc('day', ts)) AS bigint)
+        FROM events {w}) AS state_rows,
+       (SELECT cast(count(*) AS bigint) FROM events {w}) AS events_seen""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY batch_id"
+
+
+@register(
+    "sprt_state_expected",
+    oracle=_state_oracle(),
+    tags=("evaluation", "sequential", "streaming", "state", "metrics"),
+)
+def sprt_state_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED per-batch state cardinality of the streaming SPRT monitor
+    (one row per event day — _state_oracle docstring) beside the raw
+    event count it compresses; the real apply_events_delta state is
+    asserted equal per batch in test_round11_ops.py. Completes the
+    state-accounting family: dedup (stream_state_expected), funnel, IVM,
+    SPRT — every stateful sink's bound is now driver-hash-checked.
+
+    Scale stance: events reduce ONCE to (first-seen day, per-day rows are
+    implicit in the distinct count); only the per-day frame fans out over
+    the broadcast 4-row cut grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"))
+    per_day = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    cuts = spark.createDataFrame(
+        [(i, hi) for i, (_lo, hi) in enumerate(_batch_bounds(), 1)],
+        "batch_id int, hi string")
+    hi_ts = F.col("hi").cast("timestamp")
+    in_cut = F.col("hi").isNull() | (F.col("day") < hi_ts)
+    return (per_day.crossJoin(F.broadcast(cuts))
+            .filter(in_cut)
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("state_rows"),
+                 F.sum("n").cast("long").alias("events_seen"))
+            .orderBy("batch_id"))

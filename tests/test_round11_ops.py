@@ -728,3 +728,37 @@ def test_woe_iv_balanced_bins_zero(spark, tmp_path):
     assert len(out) == 24
     for r in out:
         assert r["woe_micronat"] == 0 and r["iv_term"] == 0.0
+
+
+def test_sprt_state_cardinality_equals_expected(spark, sf_smoke):
+    """Round-13 state accounting for the SPRT sink: after each replay
+    batch, the REAL apply_events_delta state must hold exactly one row per
+    event day seen — equal to the oracled sprt_state_expected query's
+    state_rows, and far below events_seen (the compression the days-sized
+    sufficient statistic buys)."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.sprt_stream import (
+        _batch_bounds)
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+    from redpanda_iceberg_duckdb_spark.streaming.sprt_sink import (
+        apply_events_delta, empty_daily)
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    expected = {r["batch_id"]: r for r in
+                all_queries()["sprt_state_expected"]
+                .fn(spark, sf_smoke).collect()}
+    e = load_table(spark, sf_smoke, "events").select("ts", "event_type")
+    state = empty_daily(spark)
+    for i, (lo, hi) in enumerate(_batch_bounds(), 1):
+        cond = F.lit(True)
+        if lo:
+            cond = cond & (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            cond = cond & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        state = (apply_events_delta(state, e.filter(cond))
+                 .localCheckpoint(eager=False))
+        x = expected[i]
+        n = state.count()
+        assert n == x["state_rows"], (i, n, x.asDict())
+        assert n < x["events_seen"]
