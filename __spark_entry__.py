@@ -74,7 +74,7 @@ _VERIFY_FIRST = [
     "ivm_stream_refresh_replay", "ivm_retraction_replay",
     "sprt_state_expected", "sprt_stream_decision_replay",
     "wasserstein_value_by_type_pair", "circular_emd_hours",
-    "multimodal_wav_stats",
+    "multimodal_wav_stats", "cox_ph_converged",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

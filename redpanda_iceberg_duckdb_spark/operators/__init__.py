@@ -163,4 +163,5 @@ from . import (  # noqa: F401
     graph13,         # per-edge triangle support histogram (truss edge stat)
     ot13,            # exact 1-D / circular Wasserstein distances
     multimodal13,    # WAV/PCM decode-and-measure (audio modality)
+    cox13,           # Cox proportional hazards, Newton to convergence
 )

@@ -33,6 +33,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "sax_hourly_motifs": {
         "global-window": "lead window over 4-hour PAA segments "
                          "(time-range-bounded)"},
+    "cox_ph_converged": {
+        "global-window": "descending cumulative over the distinct-"
+                         "duration curve table (retention-window-bounded)"},
     "permutation_entropy_hourly": {
         "global-window": "lead window over the zero-filled hourly grid "
                          "(time-range-bounded; child is already a 1-row-"
