@@ -172,7 +172,8 @@ def main() -> None:
                  "kneser_ney_perplexity_by_source", "mahalanobis_outliers_topk",
                  "holt_linear_hourly", "edge_triangle_support", "ivm_state_expected",
                  "sprt_state_expected", "wasserstein_value_by_type_pair",
-                 "circular_emd_hours", "multimodal_wav_stats", "cox_ph_converged"]:
+                 "circular_emd_hours", "multimodal_wav_stats", "cox_ph_converged",
+                 "brier_decomposition_hourly"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -164,4 +164,5 @@ from . import (  # noqa: F401
     ot13,            # exact 1-D / circular Wasserstein distances
     multimodal13,    # WAV/PCM decode-and-measure (audio modality)
     cox13,           # Cox proportional hazards, Newton to convergence
+    eval13,          # Brier score + Murphy decomposition (train/eval cut)
 )
