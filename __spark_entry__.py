@@ -75,7 +75,7 @@ _VERIFY_FIRST = [
     "sprt_state_expected", "sprt_stream_decision_replay",
     "wasserstein_value_by_type_pair", "circular_emd_hours",
     "multimodal_wav_stats", "cox_ph_converged",
-    "brier_decomposition_hourly",
+    "brier_decomposition_hourly", "shared_prefix_boilerplate",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -165,4 +165,5 @@ from . import (  # noqa: F401
     multimodal13,    # WAV/PCM decode-and-measure (audio modality)
     cox13,           # Cox proportional hazards, Newton to convergence
     eval13,          # Brier score + Murphy decomposition (train/eval cut)
+    text13,          # shared-prefix boilerplate templates (hash keys)
 )
