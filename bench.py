@@ -173,7 +173,8 @@ def main() -> None:
                  "holt_linear_hourly", "edge_triangle_support", "ivm_state_expected",
                  "sprt_state_expected", "wasserstein_value_by_type_pair",
                  "circular_emd_hours", "multimodal_wav_stats", "cox_ph_converged",
-                 "brier_decomposition_hourly", "shared_prefix_boilerplate"]:
+                 "brier_decomposition_hourly", "shared_prefix_boilerplate",
+                 "sparse_cosine_topk_pairs"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -166,4 +166,5 @@ from . import (  # noqa: F401
     cox13,           # Cox proportional hazards, Newton to convergence
     eval13,          # Brier score + Murphy decomposition (train/eval cut)
     text13,          # shared-prefix boilerplate templates (hash keys)
+    sparse13,        # sparse TF-IDF cosine pairs (inverted-index dots)
 )
