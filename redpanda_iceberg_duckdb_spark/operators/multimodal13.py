@@ -60,9 +60,11 @@ def wav_fixture(text_bytes: bytes) -> bytes:
 def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     """Real RIFF walk: (sample_rate, n_samples, raw int16-LE data). Raises
     on non-RIFF, non-PCM, non-mono, non-16-bit, or a missing chunk."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    pos = 12
+    end = min(8 + struct.unpack("<I", payload[4:8])[0], len(payload))
     rate = bits = channels = fmt_tag = None
     data = None
     while pos + 8 <= end:
@@ -70,6 +72,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt_tag, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16])
         elif cid == b"data":
