@@ -76,7 +76,8 @@ _VERIFY_FIRST = [
     "wasserstein_value_by_type_pair", "circular_emd_hours",
     "multimodal_wav_stats", "cox_ph_converged",
     "brier_decomposition_hourly", "shared_prefix_boilerplate",
-    "sparse_cosine_topk_pairs",
+    "sparse_cosine_topk_pairs", "span_position_profile",
+    "qte_value_weekday_weekend",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -174,7 +174,8 @@ def main() -> None:
                  "sprt_state_expected", "wasserstein_value_by_type_pair",
                  "circular_emd_hours", "multimodal_wav_stats", "cox_ph_converged",
                  "brier_decomposition_hourly", "shared_prefix_boilerplate",
-                 "sparse_cosine_topk_pairs"]:
+                 "sparse_cosine_topk_pairs", "span_position_profile",
+                 "qte_value_weekday_weekend"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -167,4 +167,6 @@ from . import (  # noqa: F401
     eval13,          # Brier score + Murphy decomposition (train/eval cut)
     text13,          # shared-prefix boilerplate templates (hash keys)
     sparse13,        # sparse TF-IDF cosine pairs (inverted-index dots)
+    position13,      # positional profile of duplicated spans (deciles)
+    qte13,           # quantile treatment effects on exact order stats
 )
