@@ -77,7 +77,7 @@ _VERIFY_FIRST = [
     "multimodal_wav_stats", "cox_ph_converged",
     "brier_decomposition_hourly", "shared_prefix_boilerplate",
     "sparse_cosine_topk_pairs", "span_position_profile",
-    "qte_value_weekday_weekend",
+    "qte_value_weekday_weekend", "dedup_savings_by_source",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -169,4 +169,5 @@ from . import (  # noqa: F401
     sparse13,        # sparse TF-IDF cosine pairs (inverted-index dots)
     position13,      # positional profile of duplicated spans (deciles)
     qte13,           # quantile treatment effects on exact order stats
+    savings13,       # dedup savings report (token budget recovered)
 )
