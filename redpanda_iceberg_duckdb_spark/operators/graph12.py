@@ -109,11 +109,15 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ud") == F.col("vd")) & (F.col("u") < F.col("v")))
     w = (e1.join(e2, "src").filter(u_first)
          .select(F.col("src").alias("c"), "u", "v"))
-    tri = w.join(eo.select(F.col("src").alias("u"), F.col("dst").alias("v")),
-                 ["u", "v"])
-    tpn = (tri.select(F.col("c").alias("node"))
-           .unionAll(tri.select(F.col("u").alias("node")))
-           .unionAll(tri.select(F.col("v").alias("node")))
+    # Size-gated broadcast of the closing edge list (the probe side is the
+    # 34x-larger wedge stream) + ONE explode pass over the triangle stream
+    # — the prior 3-way unionAll re-ran the wedge and closing joins per
+    # branch (graph13's round-13 fix, applied here too).
+    close = eo.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if eo.count() <= 5_000_000:          # eo is checkpointed: count is free
+        close = F.broadcast(close)
+    tri = w.join(close, ["u", "v"])
+    tpn = (tri.select(F.explode(F.array("c", "u", "v")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("t")))
     pn = (deg.join(tpn, "node", "left_outer")
           .select("d", F.coalesce("t", F.lit(0)).alias("t"))
