@@ -78,6 +78,14 @@ _VERIFY_FIRST = [
     "brier_decomposition_hourly", "shared_prefix_boilerplate",
     "sparse_cosine_topk_pairs", "span_position_profile",
     "qte_value_weekday_weekend", "dedup_savings_by_source",
+    # Spare window slots: re-verify the queries whose green evidence is
+    # OLDEST (r01) — fresh driver rows on decade-old evidence instead of
+    # letting registry order pick the filler.
+    "ann_ivf_topk", "asof_join_pandas", "asof_join_window",
+    "cdc_latest_state", "conversion_funnel", "cube_type_dow",
+    "customers_above_avg_balance", "deterministic_sample_stats",
+    "doc_fingerprint", "doc_length_histogram", "embedding_near_dup_pairs",
+    "events_hourly", "heavy_hitters_users",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
