@@ -94,7 +94,11 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = []
+_PENDING_NEXT_WINDOW: list[str] = [
+    # Registered after the 50-slot window filled; local-replica green at
+    # sf0.001 + sf0.01, queued for the round-14 driver window.
+    "content_novelty_curve",
+]
 
 
 def _ordered_queries():

@@ -175,7 +175,8 @@ def main() -> None:
                  "circular_emd_hours", "multimodal_wav_stats", "cox_ph_converged",
                  "brier_decomposition_hourly", "shared_prefix_boilerplate",
                  "sparse_cosine_topk_pairs", "span_position_profile",
-                 "qte_value_weekday_weekend", "dedup_savings_by_source"]:
+                 "qte_value_weekday_weekend", "dedup_savings_by_source",
+                 "content_novelty_curve"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -170,4 +170,5 @@ from . import (  # noqa: F401
     position13,      # positional profile of duplicated spans (deciles)
     qte13,           # quantile treatment effects on exact order stats
     savings13,       # dedup savings report (token budget recovered)
+    novelty13,       # content-novelty curve (diminishing returns)
 )
