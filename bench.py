@@ -176,7 +176,8 @@ def main() -> None:
                  "brier_decomposition_hourly", "shared_prefix_boilerplate",
                  "sparse_cosine_topk_pairs", "span_position_profile",
                  "qte_value_weekday_weekend", "dedup_savings_by_source",
-                 "content_novelty_curve"]:
+                 "content_novelty_curve", "logrank_signup_conversion",
+                 "cramer_von_mises_value"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

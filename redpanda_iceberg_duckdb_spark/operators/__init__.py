@@ -171,4 +171,5 @@ from . import (  # noqa: F401
     qte13,           # quantile treatment effects on exact order stats
     savings13,       # dedup savings report (token budget recovered)
     novelty13,       # content-novelty curve (diminishing returns)
+    logrank13,       # log-rank test (Cox's score-test companion)
 )

@@ -177,3 +177,73 @@ def circular_emd_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("double")
                         / (F.col("n1") * F.col("n2")), 6)
                     .alias("emd_hours")))
+
+
+_CVM_ORACLE = """
+WITH pts AS (SELECT CASE WHEN extract(isodow FROM ts) <= 5
+                         THEN 1 ELSE 0 END AS wd,
+                    cast(round(value * 100) AS bigint) AS x
+             FROM events WHERE event_type = 'purchase'),
+c AS (SELECT x, cast(sum(wd) AS bigint) AS cn,
+             cast(sum(1 - wd) AS bigint) AS cm
+      FROM pts GROUP BY x),
+n AS (SELECT sum(cn) AS n, sum(cm) AS m FROM c),
+s AS (SELECT x, cn, cm,
+             sum(cn) OVER (ORDER BY x) AS cum_n,
+             sum(cm) OVER (ORDER BY x) AS cum_m
+      FROM c),
+terms AS (SELECT (cn + cm)
+                 * cast(((SELECT m FROM n) * cum_n
+                         - (SELECT n FROM n) * cum_m) AS hugeint)
+                 * cast(((SELECT m FROM n) * cum_n
+                         - (SELECT n FROM n) * cum_m) AS hugeint) AS t
+          FROM s)
+SELECT (SELECT cast(n AS bigint) FROM n) AS n_weekday,
+       (SELECT cast(m AS bigint) FROM n) AS n_weekend,
+       round(cast(sum(t) AS double)
+             / ((SELECT n FROM n) * (SELECT m FROM n))
+             / (((SELECT n FROM n) + (SELECT m FROM n))
+                * ((SELECT n FROM n) + (SELECT m FROM n))), 6) AS t_cvm
+FROM terms"""
+
+
+@register(
+    "cramer_von_mises_value",
+    oracle=_CVM_ORACLE,
+    tags=("statistics", "drift", "hypothesis-test"),
+)
+def cramer_von_mises_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises statistic between weekday and weekend
+    purchase-value distributions — the INTEGRAL companion of the KS
+    supremum (ks_two_sample_value): T = sum over pooled observations of
+    (F_n - G_m)^2, scaled. Per distinct cents value the term
+    (cn+cm) * (m*CN - n*CM)^2 is an exact integer (common-denominator
+    scaling clears both empirical CDFs); one double division at the end.
+
+    The cumulative window runs over the DISTINCT-value table — bounded by
+    the price lattice, not the row count — and is the allowed curve-table
+    global window (ALLOW-listed with the KM/NA family)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = (ev.filter(F.col("event_type") == "purchase")
+           .select((F.expr("extract(DAYOFWEEK_ISO FROM ts)") <= 5)
+                   .cast("int").alias("wd"),
+                   F.round(F.col("value") * 100).cast("long").alias("x")))
+    c = pts.groupBy("x").agg(
+        F.sum("wd").cast("long").alias("cn"),
+        F.sum(1 - F.col("wd")).cast("long").alias("cm"))
+    n = c.agg(F.sum("cn").alias("n"), F.sum("cm").alias("m"))
+    wcum = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = (c.select("x", "cn", "cm",
+                  F.sum("cn").over(wcum).alias("cum_n"),
+                  F.sum("cm").over(wcum).alias("cum_m"))
+         .crossJoin(F.broadcast(n)))
+    dec = "decimal(38,0)"
+    terms = s.selectExpr(
+        "n", "m",
+        f"(cn + cm) * cast(m * cum_n - n * cum_m AS {dec})"
+        f" * cast(m * cum_n - n * cum_m AS {dec}) AS t")
+    return terms.selectExpr(
+        "cast(max(n) AS bigint) AS n_weekday",
+        "cast(max(m) AS bigint) AS n_weekend",
+        "round(cast(sum(t) AS double) / (max(n) * max(m))"
+        " / ((max(n) + max(m)) * (max(n) + max(m))), 6) AS t_cvm")

@@ -33,9 +33,15 @@ ALLOW: dict[str, dict[str, str]] = {
     "sax_hourly_motifs": {
         "global-window": "lead window over 4-hour PAA segments "
                          "(time-range-bounded)"},
+    "cramer_von_mises_value": {
+        "global-window": "cumulative window over the distinct-value curve "
+                         "table (price-lattice-bounded)"},
     "cox_ph_converged": {
         "global-window": "descending cumulative over the distinct-"
                          "duration curve table (retention-window-bounded)"},
+    "logrank_signup_conversion": {
+        "global-window": "descending cumulative over the distinct-"
+                         "duration curve table (cox13's shared shape)"},
     "permutation_entropy_hourly": {
         "global-window": "lead window over the zero-filled hourly grid "
                          "(time-range-bounded; child is already a 1-row-"
