@@ -98,7 +98,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # Registered after the 50-slot window filled; local-replica green at
     # sf0.001 + sf0.01, queued for the round-14 driver window.
     "content_novelty_curve", "logrank_signup_conversion",
-    "cramer_von_mises_value",
+    "cramer_von_mises_value", "boosted_stumps_two_rounds",
 ]
 
 

@@ -172,4 +172,5 @@ from . import (  # noqa: F401
     savings13,       # dedup savings report (token budget recovered)
     novelty13,       # content-novelty curve (diminishing returns)
     logrank13,       # log-rank test (Cox's score-test companion)
+    boost13,         # two-round boosted stumps on exact residual lattice
 )
