@@ -177,7 +177,8 @@ def main() -> None:
                  "sparse_cosine_topk_pairs", "span_position_profile",
                  "qte_value_weekday_weekend", "dedup_savings_by_source",
                  "content_novelty_curve", "logrank_signup_conversion",
-                 "cramer_von_mises_value", "boosted_stumps_two_rounds"]:
+                 "cramer_von_mises_value", "boosted_stumps_two_rounds",
+                 "dtw_hour_profiles"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -173,4 +173,5 @@ from . import (  # noqa: F401
     novelty13,       # content-novelty curve (diminishing returns)
     logrank13,       # log-rank test (Cox's score-test companion)
     boost13,         # two-round boosted stumps on exact residual lattice
+    dtw13,           # dynamic time warping on the hour-profile grid
 )

@@ -130,3 +130,42 @@ def test_boilerplate_counts_nontrivial(spark):
     0-row result that matches the oracle is verification theater)."""
     rows = all_queries()["shared_prefix_boilerplate"].fn(spark, SF).collect()
     assert rows and sum(r["n_boilerplate_docs"] for r in rows) >= 2
+
+
+def test_dtw_matches_reference_dp(spark):
+    """The min-plus enter-column row update must equal the textbook
+    3-move DTW DP, verified against an independent Python implementation
+    on the same per-mille profiles."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    rows = (ev.select(F.hour("ts").cast("long").alias("h"),
+                      (F.expr("extract(DAYOFWEEK_ISO FROM ts)") <= 5)
+                      .cast("int").alias("wd"))
+            .groupBy("h").agg(F.sum("wd").alias("c1"),
+                              F.sum(1 - F.col("wd")).alias("c2"))
+            .collect())
+    byh = {r["h"]: (r["c1"], r["c2"]) for r in rows}
+    c1 = [byh.get(h, (0, 0))[0] for h in range(24)]
+    c2 = [byh.get(h, (0, 0))[1] for h in range(24)]
+    n1, n2 = sum(c1), sum(c2)
+    pa = [(2000 * c + n1) // (2 * n1) for c in c1]
+    pb = [(2000 * c + n2) // (2 * n2) for c in c2]
+    dp = [[0] * 24 for _ in range(24)]
+    for i in range(24):
+        for j in range(24):
+            c = abs(pa[i] - pb[j])
+            if i == 0 and j == 0:
+                dp[i][j] = c
+            elif i == 0:
+                dp[i][j] = c + dp[0][j - 1]
+            elif j == 0:
+                dp[i][j] = c + dp[i - 1][0]
+            else:
+                dp[i][j] = c + min(dp[i - 1][j], dp[i - 1][j - 1],
+                                   dp[i][j - 1])
+    got = all_queries()["dtw_hour_profiles"].fn(spark, SF).collect()[0]
+    assert got["dtw_cost_permille"] == dp[23][23]
+    assert (got["n_weekday"], got["n_weekend"]) == (n1, n2)
