@@ -99,7 +99,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # sf0.001 + sf0.01, queued for the round-14 driver window.
     "content_novelty_curve", "logrank_signup_conversion",
     "cramer_von_mises_value", "boosted_stumps_two_rounds",
-    "dtw_hour_profiles",
+    "dtw_hour_profiles", "seasonality_strength_hourly",
 ]
 
 

@@ -174,4 +174,5 @@ from . import (  # noqa: F401
     logrank13,       # log-rank test (Cox's score-test companion)
     boost13,         # two-round boosted stumps on exact residual lattice
     dtw13,           # dynamic time warping on the hour-profile grid
+    stl13,           # trend/seasonality strength (variance decomposition)
 )
