@@ -178,7 +178,8 @@ def main() -> None:
                  "qte_value_weekday_weekend", "dedup_savings_by_source",
                  "content_novelty_curve", "logrank_signup_conversion",
                  "cramer_von_mises_value", "boosted_stumps_two_rounds",
-                 "dtw_hour_profiles", "seasonality_strength_hourly"]:
+                 "dtw_hour_profiles", "seasonality_strength_hourly",
+                 "token_burstiness_topk"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -175,4 +175,5 @@ from . import (  # noqa: F401
     boost13,         # two-round boosted stumps on exact residual lattice
     dtw13,           # dynamic time warping on the hour-profile grid
     stl13,           # trend/seasonality strength (variance decomposition)
+    burst13,         # token burstiness cf/df (template-spam signal)
 )
