@@ -100,7 +100,8 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "content_novelty_curve", "logrank_signup_conversion",
     "cramer_von_mises_value", "boosted_stumps_two_rounds",
     "dtw_hour_profiles", "seasonality_strength_hourly",
-    "token_burstiness_topk",
+    "token_burstiness_topk", "negative_binomial_fit_by_type",
+    "weighted_jaccard_sources", "runs_test_hourly",
 ]
 
 

@@ -179,7 +179,8 @@ def main() -> None:
                  "content_novelty_curve", "logrank_signup_conversion",
                  "cramer_von_mises_value", "boosted_stumps_two_rounds",
                  "dtw_hour_profiles", "seasonality_strength_hourly",
-                 "token_burstiness_topk"]:
+                 "token_burstiness_topk", "negative_binomial_fit_by_type",
+                 "weighted_jaccard_sources", "runs_test_hourly"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -176,4 +176,5 @@ from . import (  # noqa: F401
     dtw13,           # dynamic time warping on the hour-profile grid
     stl13,           # trend/seasonality strength (variance decomposition)
     burst13,         # token burstiness cf/df (template-spam signal)
+    stats13b,        # NB overdispersion fit, weighted Jaccard, runs test
 )

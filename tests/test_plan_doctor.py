@@ -33,6 +33,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "sax_hourly_motifs": {
         "global-window": "lead window over 4-hour PAA segments "
                          "(time-range-bounded)"},
+    "runs_test_hourly": {
+        "global-window": "lag over the time-range-bounded hourly grid "
+                         "(run-boundary detection)"},
     "cramer_von_mises_value": {
         "global-window": "cumulative window over the distinct-value curve "
                          "table (price-lattice-bounded)"},
