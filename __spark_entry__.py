@@ -102,6 +102,7 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "dtw_hour_profiles", "seasonality_strength_hourly",
     "token_burstiness_topk", "negative_binomial_fit_by_type",
     "weighted_jaccard_sources", "runs_test_hourly",
+    "hapax_share_by_source",
 ]
 
 

@@ -180,7 +180,8 @@ def main() -> None:
                  "cramer_von_mises_value", "boosted_stumps_two_rounds",
                  "dtw_hour_profiles", "seasonality_strength_hourly",
                  "token_burstiness_topk", "negative_binomial_fit_by_type",
-                 "weighted_jaccard_sources", "runs_test_hourly"]:
+                 "weighted_jaccard_sources", "runs_test_hourly",
+                 "hapax_share_by_source"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

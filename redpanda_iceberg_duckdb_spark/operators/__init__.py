@@ -177,4 +177,5 @@ from . import (  # noqa: F401
     stl13,           # trend/seasonality strength (variance decomposition)
     burst13,         # token burstiness cf/df (template-spam signal)
     stats13b,        # NB overdispersion fit, weighted Jaccard, runs test
+    hapax13,         # hapax share + TTR per source (lexical richness)
 )
