@@ -43,6 +43,18 @@ from ..tables import load_table
 _HOUR_US = 3_600_000_000
 _MAX_ITERS = 40
 
+
+def _snap(x: float) -> int:
+    """Round-half-AWAY-from-zero to int — SQL round() semantics. Bare
+    Python round() is half-even, and exactly-representable .5 terms are
+    reachable here (iteration 1 has e^b = 1, so p = n1/(n0+n1) is exact
+    whenever the risk set is a power of two — round-13 advice), which
+    would shift g/h/db by one micro relative to the DuckDB oracle.
+    Decimal(float) is exact, so this is bit-faithful for every input."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
 _CURVE_SQL = f"""
 ends AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
 signup AS (
@@ -171,9 +183,9 @@ def cox_ph_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _t, d, sx, n0, n1 in rows:
             denom = n0 + n1 * eb
             p = (n1 * eb) / denom
-            g += int(round(1e6 * (sx - d * p)))
-            h += int(round(1e6 * d * p * (n0 / denom)))
-        db = int(round(1e6 * g / h))
+            g += _snap(1e6 * (sx - d * p))
+            h += _snap(1e6 * d * p * (n0 / denom))
+        db = _snap(1e6 * g / h)
         n_iters += 1
         if abs(db) <= 1:
             break          # at (or within one lattice step of) the root

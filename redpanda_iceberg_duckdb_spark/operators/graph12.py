@@ -29,8 +29,70 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..dataset_cache import data_fingerprint
 from ..registry import register
 from ..tables import load_table
+
+# (applicationId, lineitem fingerprint) -> (oriented edges eo(src,dst,dd),
+# degrees deg(node,d), n_edges). The co-purchase graph depends only on the
+# dataset, and THREE query families rebuild it per call (clustering
+# coefficients, edge triangle support, the bench triangle-scaling probes) —
+# round 12's persist() leak provided this reuse by accident (and columnar-
+# cached reads on top), round 13's leak-free per-call localCheckpoint
+# re-materialized every run (the measured ~1.5x same-box regression, A/B
+# in COVERAGE.md r14). A keyed singleton cache is the deliberate version:
+# ONE checkpointed edge table per dataset, bounded (clear-then-insert),
+# RDD-block-backed (no CacheManager entry — the leak regression test still
+# holds). Identical to graphrank._EDGE_CACHE.
+_CO_EDGE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
+
+
+def copurchase_oriented_edges(
+        spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
+    """Degree-ordered oriented edge list of the part co-purchase graph
+    (src, dst, dd=dst degree), per-node degrees (node, d), and the edge
+    count — localCheckpointed and memoized per (application, dataset).
+    Data fingerprint in the key: rewriting the parquet under sf_dir within
+    one application (bench tmp-dir scaling demos) must be a cache MISS."""
+    key = (spark.sparkContext.applicationId,
+           data_fingerprint(sf_dir, "lineitem") or sf_dir)
+    if key not in _CO_EDGE_CACHE:
+        li = load_table(spark, sf_dir, "lineitem")
+        op = li.select(F.col("l_orderkey").alias("o"),
+                       F.col("l_partkey").alias("p")).distinct()
+        e = (op.alias("x").join(op.alias("y"), "o")
+             .filter(F.col("x.p") < F.col("y.p"))
+             .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+             .distinct())
+        deg = (e.select(F.col("a").alias("node"))
+               .unionAll(e.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        # Orient each edge from lower (degree, id) to higher — the degree
+        # table is O(V), broadcast onto both endpoints.
+        da = F.broadcast(deg.select(F.col("node").alias("a"),
+                                    F.col("d").alias("da")))
+        db = F.broadcast(deg.select(F.col("node").alias("b"),
+                                    F.col("d").alias("db")))
+        a_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        eo = (e.join(da, "a").join(db, "b")
+              .select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
+                      .alias("src"),
+                      F.when(a_first, F.col("b")).otherwise(F.col("a"))
+                      .alias("dst"),
+                      F.when(a_first, F.col("db")).otherwise(F.col("da"))
+                      .alias("dd"))
+              ).localCheckpoint(eager=True)
+        # Degrees re-derived from the CHECKPOINTED bijective edge list —
+        # one cheap pass instead of re-running the per-order self-join.
+        degc = (eo.select(F.col("src").alias("node"))
+                .unionAll(eo.select(F.col("dst").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+                ).localCheckpoint(eager=True)
+        n_edges = eo.count()
+        _CO_EDGE_CACHE.clear()
+        _CO_EDGE_CACHE[key] = (eo, degc, n_edges)
+    return _CO_EDGE_CACHE[key]
 
 _CC_ORACLE = """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -78,31 +140,7 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part co-purchase graph via degree-ordered triangle enumeration (module
     docstring). Per-node coefficients ride an exact micro-integer lattice,
     so the average is order-independent."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("o"),
-                   F.col("l_partkey").alias("p")).distinct()
-    e = (op.alias("x").join(op.alias("y"), "o")
-         .filter(F.col("x.p") < F.col("y.p"))
-         .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-         .distinct())
-    deg = (e.select(F.col("a").alias("node"))
-           .unionAll(e.select(F.col("b").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-    # Orient each edge from lower (degree, id) to higher — the degree table
-    # is O(V), broadcast onto both endpoints.
-    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da")))
-    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db")))
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    # Eager localCheckpoint, not persist(): eo feeds three join branches, so
-    # materializing once is right, but a persist with no unpersist leaks
-    # storage into later queries in the same session (round-12 advice);
-    # checkpoint blocks are GC-reclaimed with the frame (graphrank pattern).
-    eo = (e.join(da, "a").join(db, "b")
-          .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-                  F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-                  F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"))
-          ).localCheckpoint(eager=True)
+    eo, deg, n_edges = copurchase_oriented_edges(spark, sf_dir)
     e1 = eo.select("src", F.col("dst").alias("u"), F.col("dd").alias("ud"))
     e2 = eo.select("src", F.col("dst").alias("v"), F.col("dd").alias("vd"))
     u_first = (F.col("ud") < F.col("vd")) | (
@@ -114,7 +152,7 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — the prior 3-way unionAll re-ran the wedge and closing joins per
     # branch (graph13's round-13 fix, applied here too).
     close = eo.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    if eo.count() <= 5_000_000:          # eo is checkpointed: count is free
+    if n_edges <= 5_000_000:
         close = F.broadcast(close)
     tri = w.join(close, ["u", "v"])
     tpn = (tri.select(F.explode(F.array("c", "u", "v")).alias("node"))

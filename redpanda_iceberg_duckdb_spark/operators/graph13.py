@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
-from ..tables import load_table
+from .graph12 import copurchase_oriented_edges
 
 _SUPPORT_ORACLE = """
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -63,32 +63,10 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (module docstring): (support, n_edges), support-0 edges
     included. Cites graph12.clustering_coefficient_parts for the shared
     orientation discipline."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("o"),
-                   F.col("l_partkey").alias("p")).distinct()
-    e = (op.alias("x").join(op.alias("y"), "o")
-         .filter(F.col("x.p") < F.col("y.p"))
-         .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-         .distinct())
-    deg = (e.select(F.col("a").alias("node"))
-           .unionAll(e.select(F.col("b").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-    da = F.broadcast(deg.select(F.col("node").alias("a"),
-                                F.col("d").alias("da")))
-    db = F.broadcast(deg.select(F.col("node").alias("b"),
-                                F.col("d").alias("db")))
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
-    # Eager localCheckpoint: eo feeds the wedge join twice, the closing
-    # lookup, and the final support join (graph12's cache discipline).
-    eo = (e.join(da, "a").join(db, "b")
-          .select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
-                  .alias("src"),
-                  F.when(a_first, F.col("b")).otherwise(F.col("a"))
-                  .alias("dst"),
-                  F.when(a_first, F.col("db")).otherwise(F.col("da"))
-                  .alias("dd"))
-          ).localCheckpoint(eager=True)
+    # Shared keyed-singleton edge cache (graph12.copurchase_oriented_edges):
+    # eo feeds the wedge join twice, the closing lookup, and the final
+    # support join — and is reused across the whole triangle family.
+    eo, _deg, n_edges = copurchase_oriented_edges(spark, sf_dir)
     e1 = eo.select("src", F.col("dst").alias("u"), F.col("dd").alias("ud"))
     e2 = eo.select("src", F.col("dst").alias("v"), F.col("dd").alias("vd"))
     u_first = (F.col("ud") < F.col("vd")) | (
@@ -100,7 +78,7 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it from shuffling buys 8.1 -> 6.5 s warm; past the gate the shuffle
     # join is the only shape that fits executors.
     close = eo.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    if eo.count() <= 5_000_000:          # eo is checkpointed: count is free
+    if n_edges <= 5_000_000:
         close = F.broadcast(close)
     tri = w.join(close, ["u", "v"])
     # ONE pass over the triangle stream: each triangle explodes into its 3

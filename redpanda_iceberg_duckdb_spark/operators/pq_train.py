@@ -170,13 +170,16 @@ def train_pq_stats(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
            data_fingerprint(sf_dir, "embeddings") or sf_dir)
     if key in _PQ_TRAIN_CACHE:
         return _PQ_TRAIN_CACHE[key]
-    base = (load_table(spark, sf_dir, "embeddings")
-            .select("vec_id",
-                    F.col("label").cast("int").alias("lbl0"),
-                    F.expr("transform(embedding, x -> cast(floor("
-                           "cast(x as double) * 1e4) as bigint))")
-                    .alias("q")))
-    if base.count() <= _DRIVER_TRAIN_BOUND:
+    raw = load_table(spark, sf_dir, "embeddings")
+    base = raw.select("vec_id",
+                      F.col("label").cast("int").alias("lbl0"),
+                      F.expr("transform(embedding, x -> cast(floor("
+                             "cast(x as double) * 1e4) as bigint))")
+                      .alias("q"))
+    # Size gate on the RAW table count (parquet metadata, no transform) —
+    # counting through `base` ran the full quantization scan once and then
+    # threw it away on the large-data path (round-13 advice).
+    if raw.count() <= _DRIVER_TRAIN_BOUND:
         import numpy as np
         pdf = base.select("lbl0", "q").toPandas()
         qs = (np.stack(pdf["q"].to_numpy()).astype(np.int64)
@@ -189,11 +192,7 @@ def train_pq_stats(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
             return res
     n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions",
                                         "32")) // 4)
-    emb = (load_table(spark, sf_dir, "embeddings")
-           .select("vec_id",
-                   F.col("label").cast("int").alias("lbl0"),
-                   F.expr("transform(embedding, x -> cast(floor("
-                          "cast(x as double) * 1e4) as bigint))").alias("q"))
+    emb = (base
            # few fat partitions: the loop runs ~30-90 rounds of one tiny
            # job each, so per-round task-scheduling overhead — not compute
            # — is the cost; at cluster scale partitions follow data size.

@@ -1,0 +1,50 @@
+"""Round-14 targeted tests: the shared co-purchase edge cache
+(graph12.copurchase_oriented_edges — the round-13 verdict's triangle-family
+fix), plus gates for operators added this round."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from redpanda_iceberg_duckdb_spark.registry import all_queries
+
+
+def test_copurchase_edge_cache_misses_on_data_rewrite(spark, tmp_path):
+    """Rewriting lineitem.parquet under an sf_dir within one application
+    (the bench triangle-scaling tmp-dir pattern) must invalidate the
+    keyed-singleton oriented-edge cache — the second run must enumerate
+    the NEW graph, not stale checkpoint blocks."""
+    d = str(tmp_path / "ds")
+    os.makedirs(d)
+    shutil.copy("/root/testdata/sf0.001/lineitem.parquet",
+                f"{d}/lineitem.parquet")
+    q = all_queries()["clustering_coefficient_parts"]
+    rows_small = [tuple(r) for r in q.fn(spark, d).collect()]
+
+    shutil.copy("/root/testdata/sf0.01/lineitem.parquet",
+                f"{d}/lineitem.parquet")
+    rows_big = [tuple(r) for r in q.fn(spark, d).collect()]
+    assert rows_big != rows_small, \
+        "co-purchase edge cache served stale data after an in-place rewrite"
+    rows_ref = [tuple(r) for r in
+                q.fn(spark, "/root/testdata/sf0.01").collect()]
+    assert rows_big == rows_ref
+
+
+def test_copurchase_cache_shared_across_triangle_family(spark):
+    """clustering_coefficient_parts and edge_triangle_support must draw
+    from the SAME cache entry: after either runs, the cache holds exactly
+    one entry for the dataset and the other query reuses it (identity of
+    the checkpointed frame), so the edge build is paid once per dataset."""
+    from redpanda_iceberg_duckdb_spark.operators.graph12 import (
+        _CO_EDGE_CACHE, copurchase_oriented_edges)
+
+    sf = "/root/testdata/sf0.001"
+    all_queries()["clustering_coefficient_parts"].fn(spark, sf).collect()
+    assert len(_CO_EDGE_CACHE) == 1
+    eo1, _, n1 = copurchase_oriented_edges(spark, sf)
+    all_queries()["edge_triangle_support"].fn(spark, sf).collect()
+    eo2, _, n2 = copurchase_oriented_edges(spark, sf)
+    assert eo1 is eo2 and n1 == n2
+    assert len(_CO_EDGE_CACHE) == 1
