@@ -38,54 +38,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # promote window evidence to green evidence at the start of the next round
 # with `--promote`.
 _VERIFY_FIRST = [
-    # HEAD: the round-12 pending queue — the only registered queries with
-    # zero driver evidence (round-12 verdict item 1). Green rows here make
-    # every query in the engine's history driver-verified.
-    "rich_club_coefficient", "circular_hour_stats", "hill_tail_index",
-    "yule_k_lexical_diversity", "funnel_stream_replay",
-    "markov_entropy_rate", "permutation_entropy_hourly",
-    # Round-12 verdict item 2: stream_state_bound_replay split into an
-    # oracled expected-state query (state_metrics.py derives held/evicted
-    # per batch from event timestamps; DuckDB recomputes the same bounds)
-    # + the engine-metric equality kept in test_stateful_streaming.py.
-    "stream_state_expected",
-    # Verdict item 3 fallout: pq_train.py Lloyd block-chaining changes the
-    # module fingerprint, so both trained-PQ queries re-verify.
-    "pq_trained_distortion", "ivf_pq_trained_recall",
-    # quantizer_train.py fingerprints mutual_nn_retrained via its import.
-    "mutual_nn_retrained",
-    # Verdict item 5: logistic regression to convergence (glm12.py).
-    "logistic_irls_converged", "logistic_first_newton_step",
-    # Verdict item 6: funnel-sink state accounting (oracled per item 2's
-    # pattern) + fingerprint fallout on the existing funnel replay row.
-    "funnel_state_expected",
-    # Verdict item 7: substring-dedup shingle keys hashed (xxhash64 both
-    # engines) — module fingerprint changes, all three rows re-verify.
-    "exact_substring_spans", "exact_substring_cutlist",
-    "cross_source_span_leakage",
-    # ADVICE fallout: graph12.py / infotheory12.py unpersist fixes change
-    # those modules' fingerprints (markov/permutation entropy are already
-    # at the head as pending-queue entries).
-    "clustering_coefficient_parts",
-    # Round-13 new queries, appended as registered (window has room):
-    "kneser_ney_perplexity_by_source", "mahalanobis_outliers_topk",
-    "holt_linear_hourly", "edge_triangle_support", "ivm_state_expected",
-    # ivm_stream.py fingerprint fallout (state-expected addition):
-    "ivm_stream_refresh_replay", "ivm_retraction_replay",
-    "sprt_state_expected", "sprt_stream_decision_replay",
-    "wasserstein_value_by_type_pair", "circular_emd_hours",
-    "multimodal_wav_stats", "cox_ph_converged",
-    "brier_decomposition_hourly", "shared_prefix_boilerplate",
-    "sparse_cosine_topk_pairs", "span_position_profile",
-    "qte_value_weekday_weekend", "dedup_savings_by_source",
-    # Spare window slots: re-verify the queries whose green evidence is
-    # OLDEST (r01) — fresh driver rows on decade-old evidence instead of
-    # letting registry order pick the filler.
-    "ann_ivf_topk", "asof_join_pandas", "asof_join_window",
-    "cdc_latest_state", "conversion_funnel", "cube_type_dow",
-    "customers_above_avg_balance", "deterministic_sample_stats",
-    "doc_fingerprint", "doc_length_histogram", "embedding_near_dup_pairs",
-    "events_hourly", "heavy_hitters_users",
+    # HEAD: the round-13 pending queue — the only registered queries with
+    # zero driver evidence (round-13 verdict item 1). Green rows here make
+    # every query in the engine's history driver-verified. Per verdict
+    # item 5, the window head is reserved for (new + fingerprint-changed)
+    # queries FIRST; oldest-evidence rotation only takes the leftover
+    # slots at round seal.
+    "content_novelty_curve", "logrank_signup_conversion",
+    "cramer_von_mises_value", "boosted_stumps_two_rounds",
+    "dtw_hour_profiles", "seasonality_strength_hourly",
+    "token_burstiness_topk", "negative_binomial_fit_by_type",
+    "weighted_jaccard_sources", "runs_test_hourly",
+    "hapax_share_by_source",
+    # Round-14 fingerprint fallout — advice fixes (cox13 half-away-from-
+    # zero snaps; pq_train raw-count gate + frame reuse; logrank imports
+    # cox13 and is already at the head):
+    "cox_ph_converged", "pq_trained_distortion", "ivf_pq_trained_recall",
+    # Verdict item 2: the shared co-purchase edge cache changes graph12 +
+    # graph13 fingerprints.
+    "clustering_coefficient_parts", "edge_triangle_support",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
@@ -94,16 +65,7 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = [
-    # Registered after the 50-slot window filled; local-replica green at
-    # sf0.001 + sf0.01, queued for the round-14 driver window.
-    "content_novelty_curve", "logrank_signup_conversion",
-    "cramer_von_mises_value", "boosted_stumps_two_rounds",
-    "dtw_hour_profiles", "seasonality_strength_hourly",
-    "token_burstiness_topk", "negative_binomial_fit_by_type",
-    "weighted_jaccard_sources", "runs_test_hourly",
-    "hapax_share_by_source",
-]
+_PENDING_NEXT_WINDOW: list[str] = []
 
 
 def _ordered_queries():
