@@ -57,6 +57,8 @@ _VERIFY_FIRST = [
     # Verdict item 2: the shared co-purchase edge cache changes graph12 +
     # graph13 fingerprints.
     "clustering_coefficient_parts", "edge_triangle_support",
+    # Round-14 new queries:
+    "wav_ingest_dead_letter_replay",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

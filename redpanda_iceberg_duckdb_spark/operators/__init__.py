@@ -178,4 +178,5 @@ from . import (  # noqa: F401
     burst13,         # token burstiness cf/df (template-spam signal)
     stats13b,        # NB overdispersion fit, weighted Jaccard, runs test
     hapax13,         # hapax share + TTR per source (lexical richness)
+    wav_ingest14,    # WAV dead-letter ingest replay (audio St5)
 )

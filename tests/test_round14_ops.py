@@ -1,11 +1,14 @@
 """Round-14 targeted tests: the shared co-purchase edge cache
 (graph12.copurchase_oriented_edges — the round-13 verdict's triangle-family
-fix), plus gates for operators added this round."""
+fix), the WAV ingest dead-letter micro-batch path, plus gates for
+operators added this round."""
 
 from __future__ import annotations
 
 import os
 import shutil
+
+from pyspark.sql import types as T
 
 from redpanda_iceberg_duckdb_spark.registry import all_queries
 
@@ -48,3 +51,44 @@ def test_copurchase_cache_shared_across_triangle_family(spark):
     eo2, _, n2 = copurchase_oriented_edges(spark, sf)
     assert eo1 is eo2 and n1 == n2
     assert len(_CO_EDGE_CACHE) == 1
+
+
+def test_wav_stream_dead_letters_malformed_payloads(spark, tmp_path):
+    """Malformed WAV containers routed through the STREAMING micro-batch
+    path must land in the dead-letter sink with the right reason codes
+    while intact payloads decode — the audio St5 contract end to end
+    (round-13 verdict item 6)."""
+    import struct
+
+    from redpanda_iceberg_duckdb_spark.operators.multimodal13 import (
+        wav_fixture)
+    from redpanda_iceberg_duckdb_spark.streaming.wav_ingest import (
+        validate_wav_stream)
+
+    ok = wav_fixture(b"hello world, a perfectly fine payload")
+    rows = [
+        (1, ok),
+        (2, b"JUNK" + ok[4:]),                           # not_riff
+        (3, ok[:16]),                                    # missing_chunk
+        (4, ok[:34] + struct.pack("<H", 2) + ok[36:]),   # stereo -> unsupported
+        (5, wav_fixture(b"another good one")),
+    ]
+    src = str(tmp_path / "in")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    good, dead = validate_wav_stream(stream)
+    assert good.isStreaming and dead.isStreaming
+    for sdf, name in ((good, "wav_good"), (dead, "wav_dead")):
+        q = (sdf.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    good_rows = {r.doc_id: r for r in spark.table("wav_good").collect()}
+    dead_rows = {r.doc_id: r.reason for r in spark.table("wav_dead").collect()}
+    assert set(good_rows) == {1, 5}
+    assert all(r.n_samples == 64 and r.peak_abs > 0
+               for r in good_rows.values())
+    assert dead_rows == {2: "not_riff", 3: "missing_chunk",
+                         4: "unsupported_format"}
