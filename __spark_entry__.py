@@ -59,6 +59,9 @@ _VERIFY_FIRST = [
     "clustering_coefficient_parts", "edge_triangle_support",
     # Round-14 new queries:
     "wav_ingest_dead_letter_replay",
+    # Full plan-doctor sweep fallout: UDTFs switched to Arrow-batched
+    # eval (useArrow=True) — udtf_ops fingerprint changes.
+    "chunk_documents_udtf", "sentence_chunks_udtf",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -33,7 +33,12 @@ ORDER BY doc_id, chunk_idx"""
 def _register_chunk_udtf(spark: SparkSession) -> None:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx: int, n_tokens: int, chunk_md5: string")
+    # useArrow: rows cross the Python boundary in Arrow batches instead of
+    # pickled one-at-a-time (plan shows the Arrow eval node, not
+    # BatchEvalPythonUDTF) — eval() itself stays a per-row generator, which
+    # is the UDTF contract; the transfer is what Arrow batches.
+    @udtf(returnType="chunk_idx: int, n_tokens: int, chunk_md5: string",
+          useArrow=True)
     class ChunkDoc:
         """Sliding-window chunker (size 16, stride 12) — identical math to
         chunk_documents_sliding's explode+slice, but expressed as a lazy
@@ -139,7 +144,8 @@ ORDER BY doc_id, sent_idx"""
 def _register_sentence_udtf(spark: SparkSession) -> None:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sent_idx: int, n_tokens: int, sent_md5: string")
+    @udtf(returnType="sent_idx: int, n_tokens: int, sent_md5: string",
+          useArrow=True)
     class SentenceSplit:
         """Single-pass sentence splitter: punctuation injection + FSM walk
         (buffer, quote parity, sentence counter) — one generator frame per

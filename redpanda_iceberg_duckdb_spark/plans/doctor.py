@@ -43,6 +43,29 @@ def _tree_depth(line: str) -> int:
     return m.start() if m else -1  # root nodes have no connector
 
 
+def _subtree_has_limit(plan: str, node_name: str, node_id: str) -> bool:
+    """True when tree node ``(node_id)`` (a Window/Exchange) has a
+    GlobalLimit or TakeOrderedAndProject DESCENDANT: the plan itself then
+    proves the single-partition input is k-row-bounded (the limit-then-
+    rank idiom, e.g. graphrank's top-20), so a global window over it is
+    not the one-core-sorts-the-corpus hazard."""
+    tree = plan.split("\n\n", 1)[0]
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if not re.search(rf"{node_name} \({node_id}\)", line):
+            continue
+        depth = _tree_depth(line)
+        for j in range(i + 1, len(lines)):
+            dj = _tree_depth(lines[j])
+            if dj != -1 and dj <= depth:   # left the subtree
+                break
+            if ("TakeOrderedAndProject" in lines[j]
+                    or "GlobalLimit" in lines[j]):
+                return True
+        return False
+    return False
+
+
 def _global_window_detail(plan: str) -> str | None:
     """Detect a Window with an EMPTY partition spec in FORMATTED explain
     output, two ways (the single-line ``Exchange SinglePartition`` form
@@ -52,17 +75,27 @@ def _global_window_detail(plan: str) -> str | None:
     1. an ``(n) Exchange`` whose details block says ``Arguments:
        SinglePartition`` feeding a Window/Sort chain in the tree — the
        dangerous repartition-to-one of distributed data;
-    2. a ``windowspecdefinition`` whose FIRST argument is an ordering
-       expression (``... ASC/DESC NULLS ...``): partition columns print
-       before order columns and never carry a sort direction, so a leading
-       direction means zero partition columns. This catches global windows
-       whose child is already single-partition (e.g. a grid exploded from
-       a 1-row aggregate — no Exchange node exists to match)."""
-    m = re.search(
-        r"windowspecdefinition\(\s*[^(),]*\s(?:ASC|DESC) NULLS", plan)
-    if m:
-        return ("Window with empty partition spec: "
-                + plan[m.start():m.start() + 60])
+    2. a ``(n) Window`` details block whose ``windowspecdefinition``'s
+       FIRST argument is an ordering expression (``... ASC/DESC NULLS
+       ...``): partition columns print before order columns and never
+       carry a sort direction, so a leading direction means zero
+       partition columns. This catches global windows whose child is
+       already single-partition (e.g. a grid exploded from a 1-row
+       aggregate — no Exchange node exists to match).
+
+    Either way, a window whose subtree carries a GlobalLimit /
+    TakeOrderedAndProject is exempt — the plan proves the input is
+    k-row-bounded (_subtree_has_limit), no allowance needed."""
+    spec_re = re.compile(
+        r"windowspecdefinition\(\s*[^(),]*\s(?:ASC|DESC) NULLS")
+    for block in re.split(r"\n\s*\n", plan):
+        mb = re.match(r"\((\d+)\) Window\b", block.lstrip())
+        if not mb:
+            continue
+        m = spec_re.search(block)
+        if m and not _subtree_has_limit(plan, "Window", mb.group(1)):
+            return ("Window with empty partition spec: "
+                    + block[m.start():m.start() + 60])
     single_ids = set()
     for block in re.split(r"\n\s*\n", plan):
         m = re.match(r"\((\d+)\) Exchange\b", block.lstrip())
@@ -88,6 +121,8 @@ def _global_window_detail(plan: str) -> str | None:
                 continue
             name = lines[j]
             if "Window" in name:
+                if _subtree_has_limit(plan, "Exchange", m.group(1)):
+                    break          # k-row-bounded below the exchange
                 return f"Window over SinglePartition exchange ({m.group(1)})"
             if re.search(r"\bSort\b|\bProject\b", name) and hops < 3:
                 depth, hops = dj, hops + 1
