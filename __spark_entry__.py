@@ -62,6 +62,8 @@ _VERIFY_FIRST = [
     # Full plan-doctor sweep fallout: UDTFs switched to Arrow-batched
     # eval (useArrow=True) — udtf_ops fingerprint changes.
     "chunk_documents_udtf", "sentence_chunks_udtf",
+    # Embedding-engineering batch (embed14.py):
+    "matryoshka_recall_curve", "mmd_linear_label_pairs", "cluster_medoids",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -179,4 +179,5 @@ from . import (  # noqa: F401
     stats13b,        # NB overdispersion fit, weighted Jaccard, runs test
     hapax13,         # hapax share + TTR per source (lexical richness)
     wav_ingest14,    # WAV dead-letter ingest replay (audio St5)
+    embed14,         # Matryoshka recall, linear MMD, exact medoids
 )
