@@ -64,6 +64,9 @@ _VERIFY_FIRST = [
     "chunk_documents_udtf", "sentence_chunks_udtf",
     # Embedding-engineering batch (embed14.py):
     "matryoshka_recall_curve", "mmd_linear_label_pairs", "cluster_medoids",
+    # Monitoring-statistics batch (stats14.py):
+    "ljung_box_hourly", "page_hinkley_hourly", "friedman_test_type_day",
+    "anderson_darling_value",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -180,4 +180,5 @@ from . import (  # noqa: F401
     hapax13,         # hapax share + TTR per source (lexical richness)
     wav_ingest14,    # WAV dead-letter ingest replay (audio St5)
     embed14,         # Matryoshka recall, linear MMD, exact medoids
+    stats14,         # Ljung-Box, Page-Hinkley, Friedman, Anderson-Darling
 )

@@ -49,6 +49,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "global-window": "lead window over the zero-filled hourly grid "
                          "(time-range-bounded; child is already a 1-row-"
                          "aggregate explode)"},
+    "page_hinkley_hourly": {
+        "global-window": "cumulative/running-min windows over the dense "
+                         "hourly grid (time-range-bounded)"},
+    "anderson_darling_value": {
+        "global-window": "ECDF cumulative over the distinct-cents value "
+                         "lattice (ks_two_sample's bounded domain)"},
 }
 
 _WINDOW = [n for n in (entry_mod._VERIFY_FIRST
