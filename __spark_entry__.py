@@ -67,6 +67,8 @@ _VERIFY_FIRST = [
     # Monitoring-statistics batch (stats14.py):
     "ljung_box_hourly", "page_hinkley_hourly", "friedman_test_type_day",
     "anderson_darling_value",
+    # Dependence + transform-selection batch (stats14b.py):
+    "kendall_tau_b_hourly", "boxcox_loglik_grid",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -181,4 +181,5 @@ from . import (  # noqa: F401
     wav_ingest14,    # WAV dead-letter ingest replay (audio St5)
     embed14,         # Matryoshka recall, linear MMD, exact medoids
     stats14,         # Ljung-Box, Page-Hinkley, Friedman, Anderson-Darling
+    stats14b,        # Kendall tau-b, Box-Cox profile likelihood grid
 )
