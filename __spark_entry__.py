@@ -69,6 +69,8 @@ _VERIFY_FIRST = [
     "anderson_darling_value",
     # Dependence + transform-selection batch (stats14b.py):
     "kendall_tau_b_hourly", "boxcox_loglik_grid",
+    # Robust location + third modality (robust14.py, multimodal14.py):
+    "huber_location_converged", "multimodal_frame_sample",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -182,4 +182,6 @@ from . import (  # noqa: F401
     embed14,         # Matryoshka recall, linear MMD, exact medoids
     stats14,         # Ljung-Box, Page-Hinkley, Friedman, Anderson-Darling
     stats14b,        # Kendall tau-b, Box-Cox profile likelihood grid
+    robust14,        # Huber location IRLS to convergence
+    multimodal14,    # frame-indexed container walk + frame sampling
 )

@@ -92,3 +92,32 @@ def test_wav_stream_dead_letters_malformed_payloads(spark, tmp_path):
                for r in good_rows.values())
     assert dead_rows == {2: "not_riff", 3: "missing_chunk",
                          4: "unsupported_format"}
+
+
+def test_frame_container_decoder_rejects_malformed():
+    """The FIDX walk must validate magic, table length, and frame bounds
+    — a decoder that trusts offsets is not a real container parser."""
+    import struct
+
+    import pytest
+
+    from redpanda_iceberg_duckdb_spark.operators.multimodal14 import (
+        decode_frames, frame_container)
+
+    ok = frame_container(b"x" * 60)
+    frames = decode_frames(ok)
+    assert [len(f) for f in frames] == [24, 24, 12]
+    assert b"".join(frames) == b"x" * 60
+
+    with pytest.raises(ValueError, match="not a FIDX"):
+        decode_frames(b"JUNK" + ok[4:])
+    with pytest.raises(ValueError, match="truncated frame table"):
+        decode_frames(ok[:10])
+    # Frame 0's size patched past the payload end -> bounds error.
+    bad = ok[:10] + struct.pack("<I", 10_000) + ok[14:]
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_frames(bad)
+    # Remainder-capped case: 8 frames, last takes the rest.
+    big = frame_container(b"y" * 300)
+    fr = decode_frames(big)
+    assert len(fr) == 8 and len(fr[-1]) == 300 - 7 * 24
