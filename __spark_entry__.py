@@ -71,6 +71,8 @@ _VERIFY_FIRST = [
     "kendall_tau_b_hourly", "boxcox_loglik_grid",
     # Robust location + third modality (robust14.py, multimodal14.py):
     "huber_location_converged", "multimodal_frame_sample",
+    # Dedup-eval overlap metric (rouge14.py):
+    "rouge2_candidate_pairs",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

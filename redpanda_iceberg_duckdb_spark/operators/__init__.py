@@ -184,4 +184,5 @@ from . import (  # noqa: F401
     stats14b,        # Kendall tau-b, Box-Cox profile likelihood grid
     robust14,        # Huber location IRLS to convergence
     multimodal14,    # frame-indexed container walk + frame sampling
+    rouge14,         # ROUGE-2 multiset overlap on LSH candidate pairs
 )
