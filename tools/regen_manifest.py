@@ -70,10 +70,25 @@ def main() -> int:
         greens = {n for n, v in rows.items()
                   if not v.get("err") and v.get("rows_match")
                   and v.get("schema_match") and v.get("hash_match")}
+        def _older(tag: str) -> bool:
+            # window-rMM refreshes only for MM <= NN: a window tag from a
+            # LATER round means the code changed after this CORRECTNESS
+            # file was recorded — its green row does not cover the current
+            # sha even though the sha comparison passes (both sides are
+            # the post-change sha). rNN refreshes if older than rnd.
+            if tag.startswith("window-r"):
+                suf = tag[len("window-r"):]
+                return suf.isdigit() and int(suf) <= int(rnd[1:])
+            return tag[1:].isdigit() and int(tag[1:]) < int(rnd[1:])
+
         n_prom = 0
         for n, e in manifest.items():
-            if (e.get("evidence", "").startswith("window-") and n in greens
-                    and shas.get(n) == e["sha"]):
+            # ANY unchanged-sha query with a green row this round gets the
+            # fresher evidence tag — not only window-* entries. (Rotation
+            # slots used to re-verify old-evidence queries without the
+            # manifest recording it; round-14 fix.)
+            if (n in greens and shas.get(n) == e["sha"]
+                    and _older(e.get("evidence", "window-"))):
                 e["evidence"] = rnd
                 n_prom += 1
         save_manifest(manifest)
