@@ -810,17 +810,32 @@ def triangle_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
     past the originals), so the co-purchase graph becomes two isomorphic
     components and the x2 run is exactly twice the x1 edge/wedge
     workload. Wedge volume is the superlinear term (O(m^1.5) worst
-    case); wall(x2)/wall(x1) staying near 2 on this graph shows the
-    degree-ordered orientation keeps the constant small at doubled m."""
+    case); cold(x2)/cold(x1) staying near 2 on this graph shows the
+    degree-ordered orientation keeps the constant small at doubled m.
+
+    Since round 14 the oriented edge table is a keyed-singleton
+    checkpoint shared across the triangle family, so the SCALING claim
+    is measured on COLD runs (edge cache cleared first — a warm re-run
+    reuses checkpoint blocks and shuffle outputs and times ~0.15 s at
+    any scale). The warm numbers are recorded too: triangles_x1 keeps
+    its historical meaning (what a second call costs in a live session),
+    *_cold carries the scaling evidence."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
+    from redpanda_iceberg_duckdb_spark.operators.graph12 import (
+        _CO_EDGE_CACHE)
+
     out: dict[str, float] = {}
     q = all_queries()["clustering_coefficient_parts"]
-    q.fn(spark, sf_dir).count()       # warm-up
+    q.fn(spark, sf_dir).count()       # JIT/codegen warm-up
     spark.catalog.clearCache()
+    _CO_EDGE_CACHE.clear()
+    t0 = time.perf_counter()
+    q.fn(spark, sf_dir).count()
+    out["triangles_x1_cold"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     q.fn(spark, sf_dir).count()
     out["triangles_x1"] = round(time.perf_counter() - t0, 3)
@@ -836,21 +851,20 @@ def triangle_scaling_demo(spark, sf_dir: str) -> dict[str, float]:
     try:
         (li.unionByName(copy.select(*li.columns))
          .write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet"))
-        # Warm-up on the doubled dataset too (x1 got one): since round 14
-        # the oriented edge table is a keyed-singleton checkpoint
-        # (graph12.copurchase_oriented_edges), so an un-warmed x2 would
-        # time edge-build-cold against x1's cache-warm wedge work and the
-        # ratio would stop measuring wedge scaling.
+        _CO_EDGE_CACHE.clear()
+        t0 = time.perf_counter()
         q.fn(spark, tmp).count()
-        spark.catalog.clearCache()
+        out["triangles_x2_cold"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         q.fn(spark, tmp).count()
         out["triangles_x2"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.catalog.clearCache()
-    print(f"# triangles x1 {out['triangles_x1']}s "
-          f"x2 {out['triangles_x2']}s", file=sys.stderr)
+    print(f"# triangles cold x1 {out['triangles_x1_cold']}s "
+          f"x2 {out['triangles_x2_cold']}s | warm x1 "
+          f"{out['triangles_x1']}s x2 {out['triangles_x2']}s",
+          file=sys.stderr)
     return out
 
 

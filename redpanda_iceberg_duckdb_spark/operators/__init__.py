@@ -185,4 +185,5 @@ from . import (  # noqa: F401
     robust14,        # Huber location IRLS to convergence
     multimodal14,    # frame-indexed container walk + frame sampling
     rouge14,         # ROUGE-2 multiset overlap on LSH candidate pairs
+    ot14,            # sliced-Wasserstein between label embedding slices
 )
