@@ -181,7 +181,16 @@ def main() -> None:
                  "dtw_hour_profiles", "seasonality_strength_hourly",
                  "token_burstiness_topk", "negative_binomial_fit_by_type",
                  "weighted_jaccard_sources", "runs_test_hourly",
-                 "hapax_share_by_source"]:
+                 "hapax_share_by_source",
+                 # round-14 batch
+                 "wav_ingest_dead_letter_replay", "matryoshka_recall_curve",
+                 "mmd_linear_label_pairs", "cluster_medoids",
+                 "ljung_box_hourly", "page_hinkley_hourly",
+                 "friedman_test_type_day", "anderson_darling_value",
+                 "kendall_tau_b_hourly", "boxcox_loglik_grid",
+                 "huber_location_converged", "multimodal_frame_sample",
+                 "rouge2_candidate_pairs", "sliced_wasserstein_labels",
+                 "chunk_documents_udtf", "sentence_chunks_udtf"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
