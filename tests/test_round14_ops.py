@@ -94,6 +94,54 @@ def test_wav_stream_dead_letters_malformed_payloads(spark, tmp_path):
                          4: "unsupported_format"}
 
 
+def test_python_datasource_trades_matches_sharded_generator(spark):
+    """The registered `format("trades")` Python DataSource must reproduce
+    sharded_trades() exactly (same per-shard seeding contract) and expose
+    its shards as real input partitions."""
+    from redpanda_iceberg_duckdb_spark.generator import sharded_trades
+    from redpanda_iceberg_duckdb_spark.sources.pydatasource import (
+        register_python_sources)
+
+    register_python_sources(spark)
+    got = (spark.read.format("trades")
+           .option("count", 12_000).option("seed", 42)
+           .option("rowsPerShard", 5_000).load())
+    assert got.rdd.getNumPartitions() == 3
+    want = sharded_trades(spark, 12_000, seed=42, rows_per_shard=5_000)
+    g = {r.trade_id: r for r in got.collect()}
+    w = {r.trade_id: r for r in want.collect()}
+    assert len(g) == 12_000 and set(g) == set(w)
+    k = min(g)
+    assert g[k] == w[k]
+    assert all(g[t].price == w[t].price and g[t].notes == w[t].notes
+               for t in list(g)[::500])
+
+
+def test_python_datasource_fidx_reads_containers(spark, tmp_path):
+    """format('fidx') walks real container files (one partition per file)
+    through the validating decoder; frames reassemble the original bytes."""
+    from redpanda_iceberg_duckdb_spark.operators.multimodal14 import (
+        frame_container)
+    from redpanda_iceberg_duckdb_spark.sources.pydatasource import (
+        register_python_sources)
+
+    register_python_sources(spark)
+    payloads = {7: b"alpha " * 10, 8: b"beta", 9: b"g" * 300}
+    for doc_id, data in payloads.items():
+        (tmp_path / f"{doc_id}.fidx").write_bytes(frame_container(data))
+    df = (spark.read.format("fidx")
+          .option("path", str(tmp_path)).load())
+    rows = df.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, bytes(r.frame)))
+    assert set(by_doc) == set(payloads)
+    for doc_id, frames in by_doc.items():
+        joined = b"".join(f for _, f in sorted(frames))
+        assert joined == payloads[doc_id]
+    assert max(i for i, _ in by_doc[9]) == 7     # remainder-capped 8 frames
+
+
 def test_frame_container_decoder_rejects_malformed():
     """The FIDX walk must validate magic, table length, and frame bounds
     — a decoder that trusts offsets is not a real container parser."""
