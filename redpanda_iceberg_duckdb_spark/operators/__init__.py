@@ -186,4 +186,5 @@ from . import (  # noqa: F401
     multimodal14,    # frame-indexed container walk + frame sampling
     rouge14,         # ROUGE-2 multiset overlap on LSH candidate pairs
     ot14,            # sliced-Wasserstein between label embedding slices
+    diversity14,     # self-BLEU-2 per source (pairwise-free clipping)
 )
