@@ -190,7 +190,8 @@ def main() -> None:
                  "kendall_tau_b_hourly", "boxcox_loglik_grid",
                  "huber_location_converged", "multimodal_frame_sample",
                  "rouge2_candidate_pairs", "sliced_wasserstein_labels",
-                 "chunk_documents_udtf", "sentence_chunks_udtf"]:
+                 "chunk_documents_udtf", "sentence_chunks_udtf",
+                 "self_bleu2_by_source"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):
