@@ -27,6 +27,8 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     InputPartition)
 
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
 from ..generator import BASE_TIME, TRADE_SCHEMA, generate_trade
 
 
@@ -55,8 +57,48 @@ class TradesReader(DataSourceReader):
                    r["side"], r["ts_event"], r["notes"])
 
 
+class TradesStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch replica of the reference producer's trade stream
+    (producer.py:67-78 emits rows continuously; here offsets are row
+    indices). Each micro-batch emits up to `rowsPerBatch` rows; the
+    source is exhausted at `count` (latestOffset stops advancing, so
+    `processAllAvailable()` terminates in tests). Rows are seeded
+    PER-ROW (Random(seed*1_000_003 + i)) so `readBetweenOffsets` —
+    Spark's replay-after-failure contract — regenerates any offset
+    range bit-identically without carrying RNG state between batches."""
+
+    def __init__(self, options: dict):
+        self.count = int(options.get("count", 20_000))
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        # A LIST, not a generator: Spark's stream-reader prefetch cache
+        # copy.copy()s the returned iterator for replay, which a generator
+        # cannot survive (and a micro-batch is rowsPerBatch-bounded anyway).
+        out = []
+        for i in range(start, end):
+            rng = random.Random(self.seed * 1_000_003 + i)
+            r = generate_trade(i, BASE_TIME, rng)
+            out.append((r["trade_id"], r["symbol"], r["price"], r["qty"],
+                        r["side"], r["ts_event"], r["notes"]))
+        return out
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.rows_per_batch, self.count)
+        return iter(self._rows(lo, hi)), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["i"], end["i"]))
+
+
 class TradesDataSource(DataSource):
-    """`spark.read.format("trades").option("count", N).load()`."""
+    """`spark.read.format("trades").option("count", N).load()` (batch) or
+    `spark.readStream.format("trades")...` (micro-batch stream)."""
 
     @classmethod
     def name(cls) -> str:
@@ -67,6 +109,10 @@ class TradesDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return TradesReader(self.options)
+
+    def simpleStreamReader(self, schema: T.StructType
+                           ) -> SimpleDataSourceStreamReader:
+        return TradesStreamReader(self.options)
 
 
 _FIDX_SCHEMA = T.StructType([

@@ -117,6 +117,38 @@ def test_python_datasource_trades_matches_sharded_generator(spark):
                for t in list(g)[::500])
 
 
+def test_python_datasource_trades_streaming(spark, tmp_path):
+    """readStream.format('trades') drains a bounded deterministic trade
+    stream through the St5 validator in micro-batches: all rows arrive
+    exactly once, across more than one batch, and the dead-letter side
+    stays empty (every generated row is schema-complete)."""
+    from redpanda_iceberg_duckdb_spark.sources.pydatasource import (
+        register_python_sources)
+    from redpanda_iceberg_duckdb_spark.streaming.ingest import (
+        validate_stream)
+
+    register_python_sources(spark)
+    stream = (spark.readStream.format("trades")
+              .option("count", 3_500).option("seed", 7)
+              .option("rowsPerBatch", 1_000).load())
+    assert stream.isStreaming
+    good, bad = validate_stream(stream, ["trade_id", "symbol", "price"])
+    q = (good.writeStream.format("memory").queryName("trades_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="1 seconds").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("trades_stream").collect()
+    assert len(rows) == 3_500
+    assert len({r.trade_id for r in rows}) == 3_500
+    prog = q.recentProgress
+    assert sum(p["numInputRows"] for p in prog) == 3_500
+    assert sum(1 for p in prog if p["numInputRows"] > 0) >= 4  # micro-batched
+
+
 def test_python_datasource_fidx_reads_containers(spark, tmp_path):
     """format('fidx') walks real container files (one partition per file)
     through the validating decoder; frames reassemble the original bytes."""
