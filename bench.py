@@ -191,7 +191,8 @@ def main() -> None:
                  "huber_location_converged", "multimodal_frame_sample",
                  "rouge2_candidate_pairs", "sliced_wasserstein_labels",
                  "chunk_documents_udtf", "sentence_chunks_udtf",
-                 "self_bleu2_by_source"]:
+                 "self_bleu2_by_source",
+                 "holt_winters_seasonal_hourly"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

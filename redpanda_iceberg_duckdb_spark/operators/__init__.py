@@ -187,4 +187,5 @@ from . import (  # noqa: F401
     rouge14,         # ROUGE-2 multiset overlap on LSH candidate pairs
     ot14,            # sliced-Wasserstein between label embedding slices
     diversity14,     # self-BLEU-2 per source (pairwise-free clipping)
+    timeseries14,    # Holt-Winters additive seasonal (shift-register CTE)
 )
