@@ -79,10 +79,12 @@ _VERIFY_FIRST = [
     "self_bleu2_by_source",
     # Seasonal forecasting state (timeseries14.py):
     "holt_winters_seasonal_hourly",
+    # Spark 4 VARIANT surface (variant14.py):
+    "variant_props_extract",
     # Spare window slots (new + changed all seated above, per r13 verdict
     # item 5): re-verify the 17 queries whose green evidence is OLDEST —
     # all still r01 after the r13 rotation covered the first 13; the
-    # remaining four r01 queries (token_count_regex,
+    # remaining five r01 queries (tfidf_top_terms, token_count_regex,
     # unpivot_lineitem_measures, window_rank_functions, zscore_outliers)
     # rotate in round 15.
     "interval_join_purchase_signup", "json_props_stats", "label_centroids",
@@ -90,7 +92,7 @@ _VERIFY_FIRST = [
     "percentiles_by_type", "pii_redaction_audit",
     "pivot_user_bucket_by_type", "quality_score", "retention_cohorts",
     "setop_engaged_users", "small_quantity_parts", "source_lang_profile",
-    "text_stats", "tfidf_top_terms",
+    "text_stats",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

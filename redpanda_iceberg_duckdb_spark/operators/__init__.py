@@ -188,4 +188,5 @@ from . import (  # noqa: F401
     ot14,            # sliced-Wasserstein between label embedding slices
     diversity14,     # self-BLEU-2 per source (pairwise-free clipping)
     timeseries14,    # Holt-Winters additive seasonal (shift-register CTE)
+    variant14,       # Spark 4 VARIANT parse-once typed extraction
 )
