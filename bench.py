@@ -192,7 +192,8 @@ def main() -> None:
                  "rouge2_candidate_pairs", "sliced_wasserstein_labels",
                  "chunk_documents_udtf", "sentence_chunks_udtf",
                  "self_bleu2_by_source",
-                 "holt_winters_seasonal_hourly", "variant_props_extract"]:
+                 "holt_winters_seasonal_hourly", "variant_props_extract",
+                 "luhn_checksum_audit"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -189,4 +189,5 @@ from . import (  # noqa: F401
     diversity14,     # self-BLEU-2 per source (pairwise-free clipping)
     timeseries14,    # Holt-Winters additive seasonal (shift-register CTE)
     variant14,       # Spark 4 VARIANT parse-once typed extraction
+    luhn14,          # Luhn mod-10 check-digit audit (PII validator)
 )
