@@ -83,17 +83,19 @@ _VERIFY_FIRST = [
     "variant_props_extract",
     # Luhn mod-10 PII validator (luhn14.py):
     "luhn_checksum_audit",
+    # Double-sweep BFS diameter bound (graph14.py):
+    "double_sweep_diameter",
     # Spare window slots (new + changed all seated above, per r13 verdict
     # item 5): re-verify the 17 queries whose green evidence is OLDEST —
     # all still r01 after the r13 rotation covered the first 13; the
-    # remaining six r01 queries (text_stats, tfidf_top_terms,
-    # token_count_regex, unpivot_lineitem_measures, window_rank_functions,
-    # zscore_outliers) rotate in round 15.
+    # remaining seven r01 queries (source_lang_profile, text_stats,
+    # tfidf_top_terms, token_count_regex, unpivot_lineitem_measures,
+    # window_rank_functions, zscore_outliers) rotate in round 15.
     "interval_join_purchase_signup", "json_props_stats", "label_centroids",
     "lang_id_heuristic", "orders_by_month", "parts_like_filter",
     "percentiles_by_type", "pii_redaction_audit",
     "pivot_user_bucket_by_type", "quality_score", "retention_cohorts",
-    "setop_engaged_users", "small_quantity_parts", "source_lang_profile",
+    "setop_engaged_users", "small_quantity_parts",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

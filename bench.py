@@ -193,7 +193,7 @@ def main() -> None:
                  "chunk_documents_udtf", "sentence_chunks_udtf",
                  "self_bleu2_by_source",
                  "holt_winters_seasonal_hourly", "variant_props_extract",
-                 "luhn_checksum_audit"]:
+                 "luhn_checksum_audit", "double_sweep_diameter"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

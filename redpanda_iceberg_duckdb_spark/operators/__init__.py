@@ -190,4 +190,5 @@ from . import (  # noqa: F401
     timeseries14,    # Holt-Winters additive seasonal (shift-register CTE)
     variant14,       # Spark 4 VARIANT parse-once typed extraction
     luhn14,          # Luhn mod-10 check-digit audit (PII validator)
+    graph14,         # double-sweep BFS diameter lower bound
 )
