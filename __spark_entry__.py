@@ -85,17 +85,22 @@ _VERIFY_FIRST = [
     "luhn_checksum_audit",
     # Double-sweep BFS diameter bound (graph14.py):
     "double_sweep_diameter",
+    # connected_components driver fast path (clusters.py) fingerprint
+    # fallout:
+    "dedup_clusters", "cluster_best_survivors", "leakage_safe_splits",
+    "er_fuzzy_clusters",
     # Spare window slots (new + changed all seated above, per r13 verdict
     # item 5): re-verify the 17 queries whose green evidence is OLDEST —
     # all still r01 after the r13 rotation covered the first 13; the
-    # remaining seven r01 queries (source_lang_profile, text_stats,
-    # tfidf_top_terms, token_count_regex, unpivot_lineitem_measures,
-    # window_rank_functions, zscore_outliers) rotate in round 15.
+    # remaining eleven r01 queries (quality_score, retention_cohorts,
+    # setop_engaged_users, small_quantity_parts, source_lang_profile,
+    # text_stats, tfidf_top_terms, token_count_regex,
+    # unpivot_lineitem_measures, window_rank_functions, zscore_outliers)
+    # rotate in round 15.
     "interval_join_purchase_signup", "json_props_stats", "label_centroids",
     "lang_id_heuristic", "orders_by_month", "parts_like_filter",
     "percentiles_by_type", "pii_redaction_audit",
-    "pivot_user_bucket_by_type", "quality_score", "retention_cohorts",
-    "setop_engaged_users", "small_quantity_parts",
+    "pivot_user_bucket_by_type",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

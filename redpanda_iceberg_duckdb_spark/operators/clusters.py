@@ -26,11 +26,44 @@ from .shingles import _TG_CTE_DUCK, _JACCARD_VERIFY_DUCK
 from .text import _QUALITY_EXPR_DUCK
 
 
+_DRIVER_CC_BOUND = 1 << 16
+
+
+def _driver_union_find(rows: list) -> list[tuple[int, int]]:
+    """(node, min-reachable-id) via path-compressed union-find — the exact
+    semantics of the distributed min-label loop, in O(E alpha)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:            # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root == min label
+    return sorted((n, find(n)) for n in parent)
+
+
 def connected_components(edges: DataFrame, *, src: str = "d1", dst: str = "d2",
                          max_rounds: int = 20,
-                         checkpoint_every: int = 5) -> DataFrame:
+                         checkpoint_every: int = 5,
+                         driver_bound: int = _DRIVER_CC_BOUND) -> DataFrame:
     """Min-label connected components over an undirected edge list.
     Returns (node, component) where component = min node id reachable.
+
+    Small-graph fast path (round 14, the pq_train discipline): when the
+    edge list fits ``driver_bound`` rows it is collected ONCE (bounded by
+    the gate) and resolved with driver-side union-find — the distributed
+    loop's per-round job floor (~0.3 s x rounds x stages on this box)
+    dwarfs the actual work on candidate graphs with a few hundred edges
+    (er_fuzzy_clusters measured 8.8 s -> sub-second). Past the gate the
+    distributed min-label loop below is unchanged; a property test
+    asserts both paths produce identical labels.
 
     Memory/lineage discipline for long loops: each round persists the new
     label table, materializes it via the convergence aggregate, then
@@ -43,6 +76,12 @@ def connected_components(edges: DataFrame, *, src: str = "d1", dst: str = "d2",
     # branches otherwise each re-execute the (possibly expensive: the whole
     # LSH pipeline) edge computation once
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    if e.count() <= driver_bound:
+        rows = [(r["a"], r["b"]) for r in e.collect()]   # gate-bounded
+        e.unpersist()
+        spark = edges.sparkSession
+        return spark.createDataFrame(_driver_union_find(rows),
+                                     "node long, comp long")
     und = (e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))))
     und = und.persist()  # reused every round
     nodes = und.select(F.col("a").alias("node")).distinct()

@@ -41,3 +41,10 @@ def test_components_match_union_find(spark, edges):
            for r in connected_components(df, max_rounds=50).collect()}
     want = _union_find(edges)
     assert got == want
+    # Since round 14 small graphs take the driver union-find fast path, so
+    # the assertion above alone would no longer exercise the distributed
+    # loop — force it (driver_bound=0) and assert BOTH paths agree.
+    dist = {r.node: r.comp
+            for r in connected_components(df, max_rounds=50,
+                                          driver_bound=0).collect()}
+    assert dist == want
