@@ -64,6 +64,7 @@ def main() -> None:
     extras.update(triangle_scaling_demo(spark, sf_dir))
     extras.update(hashing_vs_dictionary_demo(spark, sf_dir))
     extras.update(mutual_nn_scaling_demo(spark, sf_dir))
+    extras.update(cc_pathchoice_demo(spark, sf_dir))
     # Round-7 heavy operators tracked per round without inflating the
     # headline series (which older rounds are compared against).
     for name in ["shared_ngram_span_pairs", "semdedup_survivors",
@@ -935,6 +936,35 @@ def hashing_vs_dictionary_demo(spark, sf_dir: str) -> dict[str, float]:
     print(f"# featurize md5 {out['feature_hash_md5_path']}s xxhash "
           f"{out['feature_hash_xxhash_path']}s dictionary "
           f"{out['feature_dict_path']}s", file=sys.stderr)
+    return out
+
+
+def cc_pathchoice_demo(spark, sf_dir: str) -> dict[str, float]:
+    """Measure the round-14 connected_components path choice on the REAL
+    near-dup edge set: the gate-bounded driver union-find vs the
+    distributed min-label loop forced with driver_bound=0. The gap is the
+    per-round job floor the fast path removes on small candidate graphs;
+    the distributed number is what the same call costs when the gate
+    does not apply (the at-scale path)."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.clusters import (
+        connected_components)
+    from redpanda_iceberg_duckdb_spark.operators.dedup import (
+        minhash_lsh_pairs)
+
+    out: dict[str, float] = {}
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    pairs = pairs.localCheckpoint(eager=True)   # time CC, not the LSH build
+    for name, bound in (("cc_driver_path", None), ("cc_distributed_path", 0)):
+        t0 = time.perf_counter()
+        kw = {} if bound is None else {"driver_bound": bound}
+        n = connected_components(pairs, **kw).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    print(f"# cc driver {out['cc_driver_path']}s distributed "
+          f"{out['cc_distributed_path']}s ({n} labeled nodes)",
+          file=sys.stderr)
     return out
 
 
