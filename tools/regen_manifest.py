@@ -78,8 +78,18 @@ def main() -> int:
             # the post-change sha). rNN refreshes if older than rnd.
             if tag.startswith("window-r"):
                 suf = tag[len("window-r"):]
-                return suf.isdigit() and int(suf) <= int(rnd[1:])
-            return tag[1:].isdigit() and int(tag[1:]) < int(rnd[1:])
+                if not suf.isdigit():
+                    print(f"warning: unparseable evidence tag {tag!r} — "
+                          "treating as refreshable")
+                    return True
+                return int(suf) <= int(rnd[1:])
+            if not (tag.startswith("r") and tag[1:].isdigit()):
+                # Absent or malformed tags (the 'window-' fallback default)
+                # must be promotable, or the miss is silent forever.
+                print(f"warning: unparseable evidence tag {tag!r} — "
+                      "treating as refreshable")
+                return True
+            return int(tag[1:]) < int(rnd[1:])
 
         n_prom = 0
         for n, e in manifest.items():
