@@ -227,12 +227,20 @@ def main() -> None:
         f.write("\n")
     print(f"# extras written to {extras_path}: {json.dumps(extras)}",
           file=sys.stderr)
+    # Box-speed canary (round-14 verdict item 2): two rounds in a row the
+    # headline total needed manual box-drift arbitration (r13 triangles,
+    # r14's +20% phantom regression). ppjoin_exact_pairs is already timed
+    # warm-min in the extras loop above; surfacing it in the driver-parsed
+    # stdout line makes every cross-round BENCH_r{N} comparison
+    # ratio-correct without archaeology: compare
+    # total/canary ratios, not absolute seconds.
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "canary": {"ppjoin_exact_pairs": extras.get("ppjoin_exact_pairs")},
     }))
     spark.stop()
 

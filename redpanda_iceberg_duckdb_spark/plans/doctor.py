@@ -45,23 +45,34 @@ def _tree_depth(line: str) -> int:
 
 def _subtree_has_limit(plan: str, node_name: str, node_id: str) -> bool:
     """True when tree node ``(node_id)`` (a Window/Exchange) has a
-    GlobalLimit or TakeOrderedAndProject DESCENDANT: the plan itself then
-    proves the single-partition input is k-row-bounded (the limit-then-
-    rank idiom, e.g. graphrank's top-20), so a global window over it is
-    not the one-core-sorts-the-corpus hazard."""
+    GlobalLimit or TakeOrderedAndProject on its DIRECT child chain: the
+    plan itself then proves the single-partition input is k-row-bounded
+    (the limit-then-rank idiom, e.g. graphrank's top-20), so a global
+    window over it is not the one-core-sorts-the-corpus hazard.
+
+    The scan stops at the first multi-child node (a join/union branch
+    point, recognised by the ``:-`` non-last-child connector): a limit
+    inside ONE branch of a join bounds that branch only, not the joined
+    result, so it must not exempt the window (round-14 advice)."""
     tree = plan.split("\n\n", 1)[0]
     lines = tree.splitlines()
     for i, line in enumerate(lines):
         if not re.search(rf"{node_name} \({node_id}\)", line):
             continue
         depth = _tree_depth(line)
+        prev = depth
         for j in range(i + 1, len(lines)):
             dj = _tree_depth(lines[j])
-            if dj != -1 and dj <= depth:   # left the subtree
+            if dj == -1 or dj <= depth:    # left the subtree
                 break
+            if dj <= prev:                 # sibling — chain already ended
+                break
+            if lines[j][dj] == ":":        # first child of a multi-child
+                break                      # node: stop at the branch point
             if ("TakeOrderedAndProject" in lines[j]
                     or "GlobalLimit" in lines[j]):
                 return True
+            prev = dj
         return False
     return False
 

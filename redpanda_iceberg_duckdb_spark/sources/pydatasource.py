@@ -98,7 +98,16 @@ class TradesStreamReader(SimpleDataSourceStreamReader):
 
 class TradesDataSource(DataSource):
     """`spark.read.format("trades").option("count", N).load()` (batch) or
-    `spark.readStream.format("trades")...` (micro-batch stream)."""
+    `spark.readStream.format("trades")...` (micro-batch stream).
+
+    Seeding DIVERGES between the two paths by design: batch seeds one RNG
+    per shard and advances it across the shard's rows (bit-compatible
+    with generator.sharded_trades, whose parity fixture pins that
+    contract), while the stream seeds a fresh RNG per row so any offset
+    range replays bit-identically without carrying RNG state between
+    micro-batches. Identical (count, seed) options therefore produce
+    DIFFERENT row contents across read vs readStream; pick per path, not
+    across paths."""
 
     @classmethod
     def name(cls) -> str:
@@ -141,6 +150,11 @@ class FidxReader(DataSourceReader):
         import os
 
         from ..operators.multimodal14 import decode_frames
+
+        # An empty partitions() list makes Spark call read(None) once;
+        # an empty directory must yield an empty frame, not AttributeError.
+        if part is None or getattr(part, "value", None) is None:
+            return
 
         path = part.value
         doc_id = int(os.path.basename(path).split(".")[0])

@@ -80,9 +80,13 @@ def test_bench_emits_single_json_line(tmp_path):
     # stdout line must stay small.
     assert len(lines[0]) < 2000, f"bench stdout line too long: {len(lines[0])}"
     payload = json.loads(lines[0])
-    for key in ["metric", "value", "unit", "queries", "sf"]:
+    for key in ["metric", "value", "unit", "queries", "sf", "canary"]:
         assert key in payload
     assert "extras" not in payload
+    # Box-speed canary (r14 verdict item 2): the driver-parsed line must
+    # carry the warm-min ppjoin timing so cross-round comparisons are
+    # ratio-correct without re-running on the judge's box.
+    assert isinstance(payload["canary"]["ppjoin_exact_pairs"], (int, float))
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
     with open(extras_out) as f:
