@@ -38,69 +38,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # promote window evidence to green evidence at the start of the next round
 # with `--promote`.
 _VERIFY_FIRST = [
-    # HEAD: the round-13 pending queue — the only registered queries with
-    # zero driver evidence (round-13 verdict item 1). Green rows here make
-    # every query in the engine's history driver-verified. Per verdict
-    # item 5, the window head is reserved for (new + fingerprint-changed)
-    # queries FIRST; oldest-evidence rotation only takes the leftover
-    # slots at round seal.
-    "content_novelty_curve", "logrank_signup_conversion",
-    "cramer_von_mises_value", "boosted_stumps_two_rounds",
-    "dtw_hour_profiles", "seasonality_strength_hourly",
-    "token_burstiness_topk", "negative_binomial_fit_by_type",
-    "weighted_jaccard_sources", "runs_test_hourly",
-    "hapax_share_by_source",
-    # Round-14 fingerprint fallout — advice fixes (cox13 half-away-from-
-    # zero snaps; pq_train raw-count gate + frame reuse; logrank imports
-    # cox13 and is already at the head):
-    "cox_ph_converged", "pq_trained_distortion", "ivf_pq_trained_recall",
-    # Verdict item 2: the shared co-purchase edge cache changes graph12 +
-    # graph13 fingerprints.
-    "clustering_coefficient_parts", "edge_triangle_support",
-    # Round-14 new queries:
-    "wav_ingest_dead_letter_replay",
-    # Full plan-doctor sweep fallout: UDTFs switched to Arrow-batched
-    # eval (useArrow=True) — udtf_ops fingerprint changes.
-    "chunk_documents_udtf", "sentence_chunks_udtf",
-    # Embedding-engineering batch (embed14.py):
-    "matryoshka_recall_curve", "mmd_linear_label_pairs", "cluster_medoids",
-    # Monitoring-statistics batch (stats14.py):
-    "ljung_box_hourly", "page_hinkley_hourly", "friedman_test_type_day",
-    "anderson_darling_value",
-    # Dependence + transform-selection batch (stats14b.py):
-    "kendall_tau_b_hourly", "boxcox_loglik_grid",
-    # Robust location + third modality (robust14.py, multimodal14.py):
-    "huber_location_converged", "multimodal_frame_sample",
-    # Dedup-eval overlap metric (rouge14.py):
-    "rouge2_candidate_pairs",
-    # Full-distribution embedding drift (ot14.py):
-    "sliced_wasserstein_labels",
-    # Generation-diversity audit (diversity14.py):
-    "self_bleu2_by_source",
-    # Seasonal forecasting state (timeseries14.py):
-    "holt_winters_seasonal_hourly",
-    # Spark 4 VARIANT surface (variant14.py):
-    "variant_props_extract",
-    # Luhn mod-10 PII validator (luhn14.py):
-    "luhn_checksum_audit",
-    # Double-sweep BFS diameter bound (graph14.py):
-    "double_sweep_diameter",
-    # connected_components driver fast path (clusters.py) fingerprint
-    # fallout:
-    "dedup_clusters", "cluster_best_survivors", "leakage_safe_splits",
-    "er_fuzzy_clusters",
-    # Spare window slots (new + changed all seated above, per r13 verdict
-    # item 5): re-verify the 17 queries whose green evidence is OLDEST —
-    # all still r01 after the r13 rotation covered the first 13; the
-    # remaining eleven r01 queries (quality_score, retention_cohorts,
-    # setop_engaged_users, small_quantity_parts, source_lang_profile,
-    # text_stats, tfidf_top_terms, token_count_regex,
-    # unpivot_lineitem_measures, window_rank_functions, zscore_outliers)
-    # rotate in round 15.
-    "interval_join_purchase_signup", "json_props_stats", "label_centroids",
-    "lang_id_heuristic", "orders_by_month", "parts_like_filter",
-    "percentiles_by_type", "pii_redaction_audit",
-    "pivot_user_bucket_by_type",
+    # HEAD: round-15 new queries (the window head is reserved for new +
+    # fingerprint-changed queries first; oldest-evidence rotation takes
+    # the leftover slots).
+    "dedup_stream_tws_replay",
+    # Evidence-freshness rotation (r14 verdict item 1): the final 11
+    # r01-evidence queries — green rows here leave ZERO queries with
+    # pre-r05 evidence.
+    "quality_score", "retention_cohorts", "setop_engaged_users",
+    "small_quantity_parts", "source_lang_profile", "text_stats",
+    "tfidf_top_terms", "token_count_regex", "unpivot_lineitem_measures",
+    "window_rank_functions", "zscore_outliers",
+    # Spare slots: oldest remaining evidence (r05), alphabetical.
+    "ann_ivf_multiprobe", "approx_aggregates", "cosine_topk_bruteforce",
+    "customers_without_orders", "events_hourly_incremental",
+    "full_outer_daily_activity", "morton_zorder_stats",
+    "nation_order_rollup", "order_priority_semijoin",
+    "q3_verification_agg", "q4_reaggregation", "q5_topk",
+    "q6_summary_union", "range_join_error_proximity",
+    "sequence_packing_bins", "stratified_sample_by_source",
+    "top_customers_by_spend", "tpch_q10_returned_items",
+    "tpch_q13_order_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_predicate", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
+    "window_distribution_functions", "window_running_total",
+    "window_topk_per_user",
+    # r06 fill for the remaining slots.
+    "benford_price_digits", "chi2_priority_seasonality",
+    "chunk_dedup_groups", "chunk_documents_sliding",
+    "cluster_quality_silhouette", "corr_value_props_by_type",
+    "curation_pipeline_stats",
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

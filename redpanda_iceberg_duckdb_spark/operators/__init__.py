@@ -191,4 +191,6 @@ from . import (  # noqa: F401
     variant14,       # Spark 4 VARIANT parse-once typed extraction
     luhn14,          # Luhn mod-10 check-digit audit (PII validator)
     graph14,         # double-sweep BFS diameter lower bound
+    tws15,           # transformWithState dedup replay (state API v2)
+    sql15,           # Spark 4 SQL surfaces: pipe, collation, session_window
 )
