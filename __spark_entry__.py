@@ -42,6 +42,13 @@ _VERIFY_FIRST = [
     # fingerprint-changed queries first; oldest-evidence rotation takes
     # the leftover slots).
     "dedup_stream_tws_replay",
+    "pipe_syntax_orders", "collation_lcase_groups",
+    "session_window_builtin",
+    "welch_ttest_value", "granger_lag1_hourly", "pacf_durbin_levinson",
+    "hodges_lehmann_quantity_shift",
+    "katz_centrality_4hop", "linear_cka_dim_halves",
+    "sinkhorn_plan_labels", "krippendorff_alpha_labels",
+    "periodogram_hourly_power",
     # Evidence-freshness rotation (r14 verdict item 1): the final 11
     # r01-evidence queries — green rows here leave ZERO queries with
     # pre-r05 evidence.
@@ -62,14 +69,10 @@ _VERIFY_FIRST = [
     "tpch_q15_top_supplier", "tpch_q18_large_orders",
     "tpch_q19_disjunctive_predicate", "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
-    "window_distribution_functions", "window_running_total",
-    "window_topk_per_user",
-    # r06 fill for the remaining slots.
-    "benford_price_digits", "chi2_priority_seasonality",
-    "chunk_dedup_groups", "chunk_documents_sliding",
-    "cluster_quality_silhouette", "corr_value_props_by_type",
-    "curation_pipeline_stats",
+    # (remaining r05 entries — tpch_q6_forecast_revenue,
+    # tpch_q7_nation_volume, window_distribution_functions,
+    # window_running_total, window_topk_per_user — rotate next round;
+    # the round-15 operator additions took their slots.)
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

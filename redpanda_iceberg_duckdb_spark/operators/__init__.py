@@ -193,4 +193,10 @@ from . import (  # noqa: F401
     graph14,         # double-sweep BFS diameter lower bound
     tws15,           # transformWithState dedup replay (state API v2)
     sql15,           # Spark 4 SQL surfaces: pipe, collation, session_window
+    stats15,         # Welch t, Granger lag-1 F, PACF, Hodges-Lehmann
+    graph15,         # truncated Katz centrality (exact walk counts)
+    embed15,         # linear CKA between embedding dim-halves
+    sinkhorn15,      # entropic OT plan (shared generated iteration)
+    rater15,         # Krippendorff alpha (missing-rating agreement)
+    spectral15,      # DFT periodogram on the 1e6 trig lattice
 )

@@ -58,3 +58,240 @@ def test_fidx_empty_directory_reads_empty(spark, tmp_path):
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == [
         "doc_id", "frame_idx", "frame"]
+
+
+# ---------------------------------------------------------------------------
+# Independent re-implementations of the round-15 operators. Several of
+# the new queries share machine-generated SQL between the Spark side and
+# the DuckDB oracle (sinkhorn, PACF, periodogram, krippendorff), so the
+# oracle gate alone partially checks "same SQL, two engines". These
+# tests pin the SEMANTICS against from-scratch numpy/pure-python
+# implementations instead.
+
+def _q(name):
+    from redpanda_iceberg_duckdb_spark.registry import all_queries
+    return all_queries()[name]
+
+
+def test_krippendorff_alpha_matches_independent(spark, sf_smoke):
+    import collections
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/documents.parquet").to_pandas()
+
+    def la(n):
+        return 0 if n < 200 else (1 if n < 320 else 2)
+
+    o = collections.Counter()
+    n_units = 0
+    for r in t.itertuples():
+        cats = [la(r.n_chars)]
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        cats.append((la(r.n_chars) + 1) % 3 if h % 5 == 0
+                    else la(r.n_chars))
+        if r.doc_id % 7 != 0:
+            c40 = len(r.text[:int(math.floor(r.n_chars * 2.0 / 5))])
+            cats.append(0 if c40 < 80 else (1 if c40 < 128 else 2))
+        m = len(cats)
+        if m < 2:
+            continue
+        n_units += 1
+        for i, c in enumerate(cats):
+            for j, k in enumerate(cats):
+                if i != j:
+                    o[(c, k)] += 1.0 / (m - 1)
+    nt = sum(o.values())
+    do = sum(v for (c, k), v in o.items() if c != k)
+    nc = collections.Counter()
+    for (c, k), v in o.items():
+        nc[c] += v
+    de = sum(nc[c] * nc[k] for c in nc for k in nc if c != k) / (nt - 1)
+    alpha = 1 - do / de
+    row = _q("krippendorff_alpha_labels").fn(spark, sf_smoke).head()
+    assert row.n_units == n_units
+    assert row.n_pairable_x2 == round(2 * nt)
+    assert abs(row.alpha - alpha) < 2e-6
+
+
+def test_sinkhorn_matches_independent_numpy(spark, sf_smoke):
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/embeddings.parquet",
+                      columns=["vec_id", "label"]).to_pandas()
+    even, odd = t[t.vec_id % 2 == 0], t[t.vec_id % 2 == 1]
+    a = np.array([(even.label == i).sum() for i in range(10)],
+                 float) / len(even)
+    b = np.array([(odd.label == i).sum() for i in range(10)],
+                 float) / len(odd)
+    K = np.array([[round(1e6 * math.exp(-((i - j) ** 2) / 10.0))
+                   for j in range(10)] for i in range(10)], float)
+    v = np.ones(10)
+    for _ in range(10):
+        u = a / (K @ v)
+        v = b / (K.T @ u)
+    P = u[:, None] * K * v[None, :]
+    rows = _q("sinkhorn_plan_labels").fn(spark, sf_smoke).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert abs(r.p - P[r.i][r.j]) < 1e-7, (r.i, r.j)
+    # the plan's column marginals must reproduce b (last update was v)
+    assert np.allclose(P.sum(axis=0), b, atol=1e-9)
+
+
+def _hourly_series(sf_dir, event_types=None):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["ts", "event_type"])
+    if event_types:
+        import pyarrow.compute as pc
+        t = t.filter(pc.is_in(t.column("event_type"),
+                              value_set=__import__("pyarrow")
+                              .array(event_types)))
+    # parquet stores timestamp[us]: cast to int64 microseconds
+    hrs = [us // 3_600_000_000
+           for us in t.column("ts").cast("int64").to_pylist()]
+    lo, hi = min(hrs), max(hrs)
+    counts = {}
+    for h in hrs:
+        counts[h] = counts.get(h, 0) + 1
+    return [counts.get(h, 0) for h in range(lo, hi + 1)]
+
+
+def test_pacf_matches_independent_durbin_levinson(spark, sf_smoke):
+    c = _hourly_series(sf_smoke)
+    n, s = len(c), sum(c)
+    z = [n * x - s for x in c]
+    dvar = sum(v * v for v in z)
+    r = [sum(z[t] * z[t + k] for t in range(n - k)) / dvar
+         for k in range(1, 6)]
+    phi = {(1, 1): r[0]}
+    for k in range(2, 6):
+        num = r[k - 1] - sum(phi[(k - 1, j)] * r[k - 1 - j]
+                             for j in range(1, k))
+        den = 1 - sum(phi[(k - 1, j)] * r[j - 1] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1,
+                                                               k - j)]
+    rows = _q("pacf_durbin_levinson").fn(spark, sf_smoke).collect()
+    got = {r_.lag: r_.pacf for r_ in rows}
+    for k in range(1, 6):
+        assert abs(got[k] - phi[(k, k)]) < 2e-6, k
+
+
+def test_periodogram_matches_independent(spark, sf_smoke):
+    import math
+
+    c = _hourly_series(sf_smoke)
+    n = len(c)
+    rows = _q("periodogram_hourly_power").fn(spark, sf_smoke).collect()
+    assert [r.k for r in rows] == list(range(1, 13))
+    for r in rows:
+        sc = sum(c[t] * round(1e6 * math.cos(2 * math.pi * r.k * t / n))
+                 for t in range(n))
+        ss = sum(c[t] * round(1e6 * math.sin(2 * math.pi * r.k * t / n))
+                 for t in range(n))
+        # python round() is half-even vs SQL half-away: tolerate a few
+        # lattice-boundary flips (each shifts the sum by <= max count)
+        assert abs(r.sc - sc) <= 200 and abs(r.ss - ss) <= 200, r.k
+        assert abs(r.power - (sc * sc + ss * ss) / 1e12) < 1e-3, r.k
+
+
+def test_katz_matches_independent_matrix_power(spark, sf_smoke):
+    import numpy as np
+
+    from redpanda_iceberg_duckdb_spark.operators.graph10d import (
+        copurchase_edges)
+
+    e = [(r.src, r.dst)
+         for r in copurchase_edges(spark, sf_smoke).collect()]
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for s, d in e:
+        A[idx[s], idx[d]] = 1
+    w = np.ones(len(nodes), dtype=np.int64)
+    katz = np.zeros(len(nodes), dtype=np.int64)
+    scale = [1000, 100, 10, 1]
+    for k in range(4):
+        w = A.T @ w                      # walks of length k+1 ending at v
+        katz += scale[k] * w
+    expect = sorted(zip(-katz, nodes))[:20]
+    rows = _q("katz_centrality_4hop").fn(spark, sf_smoke).collect()
+    assert [(r.node, r.katz_e4) for r in rows] == [
+        (v, int(-neg)) for neg, v in expect]
+
+
+def test_welch_matches_independent(spark, sf_smoke):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/orders.parquet",
+                      columns=["o_totalprice", "o_orderdate"]).to_pandas()
+    wk = t.o_orderdate.dt.weekday >= 5
+    g1 = [round(v * 100) for v in t.o_totalprice[wk]]
+    g2 = [round(v * 100) for v in t.o_totalprice[~wk]]
+
+    def stats(g):
+        n = len(g)
+        m = sum(g) / n / 100.0
+        v = (sum(x * x for x in g) - sum(g) ** 2 / n) / (n - 1) / 1e4
+        return n, m, v
+
+    n1, m1, v1 = stats(g1)
+    n2, m2, v2 = stats(g2)
+    se = v1 / n1 + v2 / n2
+    t_stat = (m1 - m2) / se ** 0.5
+    df = se * se / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    row = _q("welch_ttest_value").fn(spark, sf_smoke).head()
+    assert (row.n_weekend, row.n_weekday) == (n1, n2)
+    assert abs(row.t_stat - t_stat) < 2e-6
+    assert abs(row.df - df) < 1e-3
+
+
+def test_hodges_lehmann_matches_independent(spark, sf_smoke):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/lineitem.parquet",
+                      columns=["l_quantity", "l_returnflag"]).to_pandas()
+    qa = [int(q) for q, f in zip(t.l_quantity, t.l_returnflag)
+          if f == "R"]
+    qb = [int(q) for q, f in zip(t.l_quantity, t.l_returnflag)
+          if f == "N"]
+    diffs = sorted(a - b for a in qa for b in qb)
+    tot = len(diffs)
+    d_lo = diffs[(tot + 1) // 2 - 1]
+    d_hi = diffs[tot // 2]
+    row = _q("hodges_lehmann_quantity_shift").fn(spark, sf_smoke).head()
+    assert (row.n_r, row.n_n) == (len(qa), len(qb))
+    assert (row.d_lo, row.d_hi) == (d_lo, d_hi)
+    assert row.hl_shift == round((d_lo + d_hi) / 2.0, 1)
+
+
+def test_linear_cka_matches_independent_numpy(spark, sf_smoke):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/embeddings.parquet",
+                      columns=["embedding"]).to_pandas()
+    q = np.floor(np.array(list(t.embedding), dtype=np.float64)
+                 * 10_000).astype(np.int64)
+    n = len(q)
+    qc = q - q.mean(axis=0)                       # float centering is fine
+    C = np.zeros((64, 64))
+    S = (q.T @ q).astype(np.float64)
+    m = q.sum(axis=0).astype(np.float64)
+    C = n * S - np.outer(m, m)                    # matches the query's C
+    hxy = (C[:32, 32:] ** 2).sum()
+    hxx = (C[:32, :32] ** 2).sum()
+    hyy = (C[32:, 32:] ** 2).sum()
+    cka = hxy / (hxx * hyy) ** 0.5
+    row = _q("linear_cka_dim_halves").fn(spark, sf_smoke).head()
+    assert row.n_rows == n
+    assert abs(row.cka - cka) < 2e-6
