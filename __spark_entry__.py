@@ -49,6 +49,9 @@ _VERIFY_FIRST = [
     "katz_centrality_4hop", "linear_cka_dim_halves",
     "sinkhorn_plan_labels", "krippendorff_alpha_labels",
     "periodogram_hourly_power",
+    "speculative_acceptance_rate", "beam_search_paths",
+    "stratified_att_purchase", "shortest_path_dag_sigma",
+    "fellegi_sunter_weights",
     # Evidence-freshness rotation (r14 verdict item 1): the final 11
     # r01-evidence queries — green rows here leave ZERO queries with
     # pre-r05 evidence.
@@ -66,13 +69,14 @@ _VERIFY_FIRST = [
     "sequence_packing_bins", "stratified_sample_by_source",
     "top_customers_by_spend", "tpch_q10_returned_items",
     "tpch_q13_order_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_predicate", "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-    # (remaining r05 entries — tpch_q6_forecast_revenue,
-    # tpch_q7_nation_volume, window_distribution_functions,
-    # window_running_total, window_topk_per_user — rotate next round;
-    # the round-15 operator additions took their slots.)
+    "tpch_q15_top_supplier",
+    # (remaining r05 entries — tpch_q18_large_orders,
+    # tpch_q19_disjunctive_predicate, tpch_q1_pricing_summary,
+    # tpch_q3_shipping_priority, tpch_q5_local_supplier_volume,
+    # tpch_q6_forecast_revenue, tpch_q7_nation_volume,
+    # window_distribution_functions, window_running_total,
+    # window_topk_per_user — rotate next round; the round-15 operator
+    # additions took their slots.)
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes

@@ -199,4 +199,8 @@ from . import (  # noqa: F401
     sinkhorn15,      # entropic OT plan (shared generated iteration)
     rater15,         # Krippendorff alpha (missing-rating agreement)
     spectral15,      # DFT periodogram on the 1e6 trig lattice
+    lm15,            # speculative acceptance + beam-search decode
+    causal15,        # stratified ATT on a pre-treatment covariate
+    graph15b,        # shortest-path DAG sigma counts (Brandes forward)
+    linkage15,       # Fellegi-Sunter match/unmatch field weights
 )

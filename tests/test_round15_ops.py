@@ -295,3 +295,137 @@ def test_linear_cka_matches_independent_numpy(spark, sf_smoke):
     row = _q("linear_cka_dim_halves").fn(spark, sf_smoke).head()
     assert row.n_rows == n
     assert abs(row.cka - cka) < 2e-6
+
+
+def test_speculative_acceptance_matches_independent(spark, sf_smoke):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/documents.parquet",
+                      columns=["source", "text"]).to_pandas()
+    tgt = collections.Counter()
+    per = collections.defaultdict(collections.Counter)
+    for r in t.itertuples():
+        for tok in r.text.split(" "):
+            tgt[tok] += 1
+            per[r.source][tok] += 1
+    n = sum(tgt.values())
+    rows = _q("speculative_acceptance_rate").fn(spark, sf_smoke).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        q = per[r.source]
+        m = sum(q.values())
+        acc = sum(min(tgt[tok] * m, c * n) for tok, c in q.items()) \
+            / (n * m)
+        assert r.n_shared_vocab == len(q)
+        assert abs(r.acceptance - acc) < 2e-6, r.source
+
+
+def test_beam_search_matches_independent(spark, sf_smoke):
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = (pq.read_table(f"{sf_smoke}/events.parquet",
+                       columns=["user_id", "ts", "event_type", "event_id"])
+         .to_pandas().sort_values(["user_id", "ts", "event_id"]))
+    trans = collections.Counter()
+    for _, grp in t.groupby("user_id"):
+        seq = list(grp.event_type)
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    tot = collections.Counter()
+    for (a, _), c in trans.items():
+        tot[a] += c
+    lp = {(a, b): round(1e6 * math.log(c / tot[a]))
+          for (a, b), c in trans.items()}
+    beam = [("view", "view", 0)]
+    for _ in range(4):
+        ext = [(p + ">" + b, b, sc + w)
+               for p, last, sc in beam
+               for (a, b), w in lp.items() if a == last]
+        ext.sort(key=lambda x: (-x[2], x[0]))
+        beam = ext[:3]
+    expect = sorted(((p, sc) for p, _, sc in beam),
+                    key=lambda x: (-x[1], x[0]))
+    rows = _q("beam_search_paths").fn(spark, sf_smoke).collect()
+    assert [(r.path, r.score_e6) for r in rows] == expect
+
+
+def test_sigma_matches_independent_bfs(spark, sf_smoke):
+    import collections
+
+    from redpanda_iceberg_duckdb_spark.operators.graph10d import (
+        copurchase_edges)
+
+    adj = collections.defaultdict(list)
+    for r in copurchase_edges(spark, sf_smoke).collect():
+        adj[r.src].append(r.dst)
+    s = min(adj)
+    sig = {s: 1}
+    level = {s: 0}
+    frontier = [s]
+    levels = {0: {s: 1}}
+    for k in range(1, 7):
+        nxt = collections.Counter()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in level:
+                    nxt[v] += sig[u]
+        if not nxt:
+            break
+        for v, c in nxt.items():
+            level[v] = k
+            sig[v] = c
+        levels[k] = dict(nxt)
+        frontier = list(nxt)
+    rows = _q("shortest_path_dag_sigma").fn(spark, sf_smoke).collect()
+    got = {r.level: (r.n_nodes, r.sigma_total, r.sigma_max,
+                     r.argmax_node) for r in rows}
+    assert set(got) == set(levels)
+    for k, nodes in levels.items():
+        mx = max(nodes.values())
+        arg = min(v for v, c in nodes.items() if c == mx)
+        assert got[k] == (len(nodes), sum(nodes.values()), mx, arg), k
+
+
+def test_stratified_att_matches_independent(spark, sf_smoke):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/events.parquet",
+                      columns=["user_id", "ts", "event_type"]).to_pandas()
+    us = t.ts.astype("int64")          # microseconds (timestamp[us])
+    lo = us.min()
+    day1 = us < lo + 86_400_000_000
+    users = collections.defaultdict(lambda: [0, 0, 0])  # d1, t, y
+    for uid, d1, etype in zip(t.user_id, day1, t.event_type):
+        rec = users[uid]
+        if d1:
+            rec[0] += 1
+            if etype == "error":
+                rec[1] = 1
+        elif etype == "purchase":
+            rec[2] += 1
+    strata = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for d1, tr, y in users.values():
+        st = min(3, d1)
+        rec = strata[st]
+        if tr:
+            rec[0] += 1
+            rec[2] += y
+        else:
+            rec[1] += 1
+            rec[3] += y
+    total_t = sum(v[0] for v in strata.values() if v[0] and v[1])
+    rows = _q("stratified_att_purchase").fn(spark, sf_smoke).collect()
+    assert {r.stratum for r in rows} == set(strata)
+    for r in rows:
+        n_t, n_c, sy_t, sy_c = strata[r.stratum]
+        assert (r.n_t, r.n_c) == (n_t, n_c)
+        if n_t and n_c:
+            contrib = (n_t / total_t) * (sy_t / n_t - sy_c / n_c)
+            assert abs(r.att_contrib - contrib) < 2e-6
