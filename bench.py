@@ -194,7 +194,18 @@ def main() -> None:
                  "chunk_documents_udtf", "sentence_chunks_udtf",
                  "self_bleu2_by_source",
                  "holt_winters_seasonal_hourly", "variant_props_extract",
-                 "luhn_checksum_audit", "double_sweep_diameter"]:
+                 "luhn_checksum_audit", "double_sweep_diameter",
+                 # round-15 batch
+                 "dedup_stream_tws_replay", "pipe_syntax_orders",
+                 "collation_lcase_groups", "session_window_builtin",
+                 "welch_ttest_value", "granger_lag1_hourly",
+                 "pacf_durbin_levinson", "hodges_lehmann_quantity_shift",
+                 "katz_centrality_4hop", "linear_cka_dim_halves",
+                 "sinkhorn_plan_labels", "krippendorff_alpha_labels",
+                 "periodogram_hourly_power", "speculative_acceptance_rate",
+                 "beam_search_paths", "stratified_att_purchase",
+                 "shortest_path_dag_sigma", "fellegi_sunter_weights",
+                 "unigram_viterbi_segmentation"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -203,4 +203,5 @@ from . import (  # noqa: F401
     causal15,        # stratified ATT on a pre-treatment covariate
     graph15b,        # shortest-path DAG sigma counts (Brandes forward)
     linkage15,       # Fellegi-Sunter match/unmatch field weights
+    segment15,       # unigram-LM Viterbi subword segmentation
 )

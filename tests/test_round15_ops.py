@@ -429,3 +429,61 @@ def test_stratified_att_matches_independent(spark, sf_smoke):
         if n_t and n_c:
             contrib = (n_t / total_t) * (sy_t / n_t - sy_c / n_c)
             assert abs(r.att_contrib - contrib) < 2e-6
+
+
+def test_viterbi_segmentation_matches_independent(spark, sf_smoke):
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/documents.parquet",
+                      columns=["source", "text"]).to_pandas()
+    tokens = []
+    for r in t.itertuples():
+        tokens.extend((r.source, w) for w in r.text.split(" "))
+    wc = collections.Counter(w for _, w in tokens if 1 <= len(w) <= 18)
+    sub = collections.Counter()
+    for w, c in wc.items():
+        for length in (1, 2, 3):
+            for p in range(len(w) - length + 1):
+                sub[(length, w[p:p + length])] += c
+    vocab = {pc: c for (ln, pc), c in sub.items() if ln == 1}
+    for ln, top in ((2, 50), (3, 30)):
+        cand = sorted(((c, pc) for (l2, pc), c in sub.items()
+                       if l2 == ln), key=lambda x: (-x[0], x[1]))[:top]
+        vocab.update({pc: c for c, pc in cand})
+    tot = sum(vocab.values())
+    enc = {pc: round(1e6 * math.log(tot / c)) * 64 + 1
+           for pc, c in vocab.items()}
+
+    def seg(w):
+        best = [None] * (len(w) + 1)
+        best[0] = 0
+        for p in range(1, len(w) + 1):
+            opts = [best[p - ln] + enc[w[p - ln:p]]
+                    for ln in (1, 2, 3)
+                    if p - ln >= 0 and best[p - ln] is not None
+                    and w[p - ln:p] in enc]
+            best[p] = min(opts) if opts else None
+        return best[len(w)]
+
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    cache = {w: seg(w) for w in wc}
+    for source, w in tokens:
+        e = cache.get(w)
+        if e is None:
+            continue
+        rec = agg[source]
+        rec[0] += 1
+        rec[1] += e % 64
+        rec[2] += e // 64
+    rows = _q("unigram_viterbi_segmentation").fn(spark,
+                                                 sf_smoke).collect()
+    assert {r.source for r in rows} == set(agg)
+    for r in rows:
+        n_tok, n_pieces, cost = agg[r.source]
+        assert (r.n_tokens, r.n_pieces) == (n_tok, n_pieces), r.source
+        assert abs(r.fertility - n_pieces / n_tok) < 2e-6
+        assert abs(r.mean_piece_cost_nats
+                   - cost / n_pieces / 1e6) < 2e-6
