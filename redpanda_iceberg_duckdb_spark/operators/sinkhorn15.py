@@ -55,14 +55,14 @@ def _iteration_sql() -> str:
             den = " + ".join(f"{_K[i][j]} * {prev_v[j]}"
                              for j in range(_L))
             u_terms.append(f"a{i} / ({den}) AS u{i}_{t}")
-        parts.append(f"itu{t} AS (SELECT *, {', '.join(u_terms)} "
-                     f"FROM {prev})")
+        parts.append(f"itu{t} AS MATERIALIZED (SELECT *, "
+                     f"{', '.join(u_terms)} FROM {prev})")
         v_terms = []
         for j in range(_L):
             den = " + ".join(f"{_K[i][j]} * u{i}_{t}" for i in range(_L))
             v_terms.append(f"b{j} / ({den}) AS v{j}_{t}")
-        parts.append(f"itv{t} AS (SELECT *, {', '.join(v_terms)} "
-                     f"FROM itu{t})")
+        parts.append(f"itv{t} AS MATERIALIZED (SELECT *, "
+                     f"{', '.join(v_terms)} FROM itu{t})")
         prev = f"itv{t}"
         prev_v = [f"v{j}_{t}" for j in range(_L)]
     return ",\n".join(parts)
@@ -110,11 +110,35 @@ SELECT i, j, p FROM ({_plan_sql()}) ORDER BY i, j"""
 def sinkhorn_plan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(i, j, p): the 10-round Sinkhorn transport plan between even-id
     and odd-id label masses under the inlined integer Gibbs kernel
-    (module docstring). Identical generated expression tree in both
-    engines — the iteration itself is the shared artifact."""
+    (module docstring). The per-round expressions are the same generated
+    text the oracle runs; Spark materializes the 1-row frame after each
+    round (localCheckpoint) because Catalyst's CollapseProject would
+    otherwise SUBSTITUTE every round into the next — a 10^k expression
+    tree that took minutes to analyze (DuckDB evaluates chained CTEs
+    row-wise and never textually expands them). 21 sub-second 1-row
+    jobs instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     emb.createOrReplaceTempView("sinkhorn15_emb")
-    return spark.sql(f"""
-        WITH mass AS (SELECT {_mass_cols()} FROM sinkhorn15_emb),
-        {_iteration_sql()}
-        SELECT i, j, p FROM ({_plan_sql()}) ORDER BY i, j""")
+    cur = (spark.sql(f"SELECT {_mass_cols()} FROM sinkhorn15_emb")
+           .localCheckpoint(eager=True))
+    prev_v = ["1.0"] * _L
+    for t in range(1, _ROUNDS + 1):
+        u_exprs = []
+        for i in range(_L):
+            den = " + ".join(f"{_K[i][j]} * {prev_v[j]}"
+                             for j in range(_L))
+            u_exprs.append(f"a{i} / ({den}) AS u{i}_{t}")
+        cur = cur.selectExpr("*", *u_exprs)
+        v_exprs = []
+        for j in range(_L):
+            den = " + ".join(f"{_K[i][j]} * u{i}_{t}" for i in range(_L))
+            v_exprs.append(f"b{j} / ({den}) AS v{j}_{t}")
+        cur = (cur.selectExpr("*", *v_exprs)
+               .localCheckpoint(eager=True))
+        prev_v = [f"v{j}_{t}" for j in range(_L)]
+    stack_args = ", ".join(
+        f"{i}, {j}, round(u{i}_{_ROUNDS} * {_K[i][j]} * v{j}_{_ROUNDS}, 8)"
+        for i in range(_L) for j in range(_L))
+    return (cur.selectExpr(f"stack({_L * _L}, {stack_args}) "
+                           "AS (i, j, p)")
+            .orderBy("i", "j"))
