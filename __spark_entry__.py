@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "unigram_viterbi_segmentation",
     "stratified_att_purchase", "shortest_path_dag_sigma",
     "fellegi_sunter_weights",
+    "wilson_ci_weekend_share", "eb_shrunken_user_rates",
     # Evidence-freshness rotation (r14 verdict item 1): the final 11
     # r01-evidence queries — green rows here leave ZERO queries with
     # pre-r05 evidence.
@@ -69,8 +70,8 @@ _VERIFY_FIRST = [
     "q6_summary_union", "range_join_error_proximity",
     "sequence_packing_bins", "stratified_sample_by_source",
     "top_customers_by_spend", "tpch_q10_returned_items",
-    "tpch_q13_order_distribution", "tpch_q14_promo_revenue",
-    # (remaining r05 entries — tpch_q15_top_supplier,
+    # (remaining r05 entries — tpch_q13_order_distribution,
+    # tpch_q14_promo_revenue, tpch_q15_top_supplier,
     # tpch_q18_large_orders,
     # tpch_q19_disjunctive_predicate, tpch_q1_pricing_summary,
     # tpch_q3_shipping_priority, tpch_q5_local_supplier_volume,

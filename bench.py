@@ -205,7 +205,8 @@ def main() -> None:
                  "periodogram_hourly_power", "speculative_acceptance_rate",
                  "beam_search_paths", "stratified_att_purchase",
                  "shortest_path_dag_sigma", "fellegi_sunter_weights",
-                 "unigram_viterbi_segmentation"]:
+                 "unigram_viterbi_segmentation",
+                 "wilson_ci_weekend_share", "eb_shrunken_user_rates"]:
         q = all_queries()[name]
         runs = []
         for _ in range(2):

@@ -204,4 +204,5 @@ from . import (  # noqa: F401
     graph15b,        # shortest-path DAG sigma counts (Brandes forward)
     linkage15,       # Fellegi-Sunter match/unmatch field weights
     segment15,       # unigram-LM Viterbi subword segmentation
+    stats15b,        # Wilson CI + empirical-Bayes rate shrinkage
 )

@@ -487,3 +487,59 @@ def test_viterbi_segmentation_matches_independent(spark, sf_smoke):
         assert abs(r.fertility - n_pieces / n_tok) < 2e-6
         assert abs(r.mean_piece_cost_nats
                    - cost / n_pieces / 1e6) < 2e-6
+
+
+def test_wilson_ci_matches_independent(spark, sf_smoke):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/events.parquet",
+                      columns=["ts", "event_type"]).to_pandas()
+    wk = t.ts.dt.weekday >= 5
+    agg = collections.Counter()
+    for et, w in zip(t.event_type, wk):
+        agg[(et, "n")] += 1
+        if w:
+            agg[(et, "k")] += 1
+    z = 1.959964
+    rows = _q("wilson_ci_weekend_share").fn(spark, sf_smoke).collect()
+    for r in rows:
+        n, k = agg[(r.event_type, "n")], agg[(r.event_type, "k")]
+        p = k / n
+        center = p + z * z / (2 * n)
+        half = z * ((p * (1 - p) + z * z / (4 * n)) / n) ** 0.5
+        denom = 1 + z * z / n
+        assert (r.n, r.k) == (n, k)
+        assert abs(r.ci_lo - (center - half) / denom) < 2e-6
+        assert abs(r.ci_hi - (center + half) / denom) < 2e-6
+
+
+def test_eb_shrinkage_matches_independent(spark, sf_smoke):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_smoke}/events.parquet",
+                      columns=["user_id", "event_type"]).to_pandas()
+    users = collections.defaultdict(lambda: [0, 0])
+    for uid, et in zip(t.user_id, t.event_type):
+        users[uid][0] += 1
+        if et == "purchase":
+            users[uid][1] += 1
+    rs = [round(1e9 * (k / n)) for n, k in users.values()]
+    nu = len(rs)
+    mu = sum(rs) / nu / 1e9
+    vr = (sum(r * r for r in rs) - sum(rs) ** 2 / nu) / (nu - 1) / 1e18
+    if vr > 0 and mu * (1 - mu) > vr:
+        scale = mu * (1 - mu) / vr - 1
+        a, b = mu * scale, (1 - mu) * scale
+    else:
+        a = b = 1.0
+    ranked = sorted(
+        ((round((k + a) / (n + a + b), 6), uid, n, k)
+         for uid, (n, k) in users.items()),
+        key=lambda x: (-x[0], x[1]))[:10]
+    rows = _q("eb_shrunken_user_rates").fn(spark, sf_smoke).collect()
+    assert [(r.user_id, r.n, r.k, r.eb_rate) for r in rows] == [
+        (uid, n, k, er) for er, uid, n, k in ranked]
