@@ -119,7 +119,35 @@ def unigram_viterbi_segmentation(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """(source, n_tokens, n_pieces, fertility, mean_piece_cost_nats):
     occurrence-weighted Viterbi subword stats under the corpus-derived
-    unigram piece model (module docstring)."""
+    unigram piece model (module docstring).
+
+    Constraint propagation is disabled WHILE this query's plans
+    optimize (and restored after): the DP recursion's per-level
+    filters/joins make Catalyst's constraint inference accumulate a
+    disjunction over all DP paths — a measured ~600 KB filter
+    expression pushed through the final join whose codegen OOMs a
+    small-driver session. Constraints survive localCheckpoint
+    (LogicalRDD preserves them), so the only sound cut is the
+    optimizer rule itself; every frame, including the 20-row result,
+    materializes eagerly inside the window."""
+    _PROP = "spark.sql.constraintPropagation.enabled"
+    prior = spark.conf.get(_PROP, None)
+    if prior != "false":
+        spark.conf.set(_PROP, "false")
+    try:
+        out = _viterbi_inner(spark, sf_dir).localCheckpoint(eager=True)
+        # re-assert the output order on the 20-row checkpointed frame
+        # (the post-restore Sort plan is constraint-free and trivial)
+        return out.orderBy("source")
+    finally:
+        if prior != "false":
+            if prior is None:
+                spark.conf.unset(_PROP)
+            else:
+                spark.conf.set(_PROP, prior)
+
+
+def _viterbi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
     wc = (tok.filter((F.length("w") >= 1) & (F.length("w") <= _MAXLEN))
@@ -179,11 +207,24 @@ def unigram_viterbi_segmentation(spark: SparkSession,
         levels[p] = (merged.groupBy("w")
                      .agg(F.min("enc").alias("enc"))
                      .localCheckpoint(eager=True))
+    # Union the levels WITH the position as a column and filter ONCE on
+    # length(w) = p: per-branch constant filters (length(w) = 1, = 2, …)
+    # would make constraint inference build a ~600 KB OR-chain that gets
+    # pushed through the final join and whose codegen OOMs a
+    # small-driver session (measured; survives localCheckpoint because
+    # LogicalRDD preserves constraints). A column comparison propagates
+    # as a single constraint.
     seg = None
     for p in range(1, _MAXLEN + 1):
-        part = levels[p].filter(F.length("w") == p)
+        part = levels[p].select("w", "enc", F.lit(p).alias("p"))
         seg = part if seg is None else seg.union(part)
-    return (tok.join(seg, "w")
+    seg = seg.filter(F.length("w") == F.col("p")).drop("p")
+    # seg is vocabulary-sized (distinct words) — broadcast it EXPLICITLY:
+    # the static planner estimates tok by its parquet scan bytes, which
+    # the explode invalidates, and under a small-driver session it would
+    # pick the exploded token side as the build side (OOM'd a 1g vanilla
+    # probe at sf0.001).
+    return (tok.join(F.broadcast(seg), "w")
             .groupBy("source")
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.sum(F.col("enc") % 64).cast("long").alias("n_pieces"),
