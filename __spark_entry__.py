@@ -38,9 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # promote window evidence to green evidence at the start of the next round
 # with `--promote`.
 _VERIFY_FIRST = [
-    # HEAD: round-15 new queries (the window head is reserved for new +
-    # fingerprint-changed queries first; oldest-evidence rotation takes
-    # the leftover slots).
+    # HEAD: round-15 new queries from the build session — never
+    # driver-verified yet, so they keep their sealed slots through the
+    # optimization round's driver run.
     "dedup_stream_tws_replay",
     "pipe_syntax_orders", "collation_lcase_groups",
     "session_window_builtin",
@@ -54,31 +54,32 @@ _VERIFY_FIRST = [
     "stratified_att_purchase", "shortest_path_dag_sigma",
     "fellegi_sunter_weights",
     "wilson_ci_weekend_share", "eb_shrunken_user_rates",
-    # Evidence-freshness rotation (r14 verdict item 1): the final 11
-    # r01-evidence queries — green rows here leave ZERO queries with
-    # pre-r05 evidence.
-    "quality_score", "retention_cohorts", "setop_engaged_users",
-    "small_quantity_parts", "source_lang_profile", "text_stats",
-    "tfidf_top_terms", "token_count_regex", "unpivot_lineitem_measures",
-    "window_rank_functions", "zscore_outliers",
-    # Spare slots: oldest remaining evidence (r05), alphabetical.
-    "ann_ivf_multiprobe", "approx_aggregates", "cosine_topk_bruteforce",
-    "customers_without_orders", "events_hourly_incremental",
-    "full_outer_daily_activity", "morton_zorder_stats",
-    "nation_order_rollup", "order_priority_semijoin",
-    "q3_verification_agg", "q4_reaggregation", "q5_topk",
-    "q6_summary_union", "range_join_error_proximity",
-    "sequence_packing_bins", "stratified_sample_by_source",
-    "top_customers_by_spend", "tpch_q10_returned_items",
-    # (remaining r05 entries — tpch_q13_order_distribution,
-    # tpch_q14_promo_revenue, tpch_q15_top_supplier,
-    # tpch_q18_large_orders,
-    # tpch_q19_disjunctive_predicate, tpch_q1_pricing_summary,
-    # tpch_q3_shipping_priority, tpch_q5_local_supplier_volume,
-    # tpch_q6_forecast_revenue, tpch_q7_nation_volume,
-    # window_distribution_functions, window_running_total,
-    # window_topk_per_user — rotate next round; the round-15 operator
-    # additions took their slots.)
+    # Round-15 OPTIMIZATION round: queries whose defining module was
+    # rewritten by this round's shuffle/boundary optimizations
+    # (similarity, similarity11, dedup, graph10b/d/e, graph14, graph15b
+    # — all re-verified against the local DuckDB oracle at sf0.01
+    # before commit; OPTIMIZATION_r15.md has the measurements). The
+    # remaining fingerprint-flipped importers of those modules queue in
+    # _PENDING_NEXT_WINDOW below.
+    "cosine_topk_bruteforce", "hyperplane_lsh_near_dups",
+    "minhash_lsh_pairs", "minhash_lsh_pairs_dfcap",
+    "bfs_hop_distance", "kcore_degree_histogram",
+    "label_propagation_sizes", "sssp_cheapest_paths",
+    "double_sweep_diameter",
+    # Fingerprint-flipped dependents with the heaviest shared-helper
+    # exposure (dedup/similarity/graph family heads).
+    "dedup_clusters", "dedup_exact_groups", "dedup_exact_survivors",
+    "incremental_dedup_new_batch", "simhash_near_dup_pairs",
+    "simhash_signatures", "embedding_near_dup_pairs",
+    "ann_ivf_recall_at_k", "ann_ivf_topk", "ann_ivf_multiprobe",
+    "ann_mrr_at_10", "ann_recall_retrained",
+    "kmeans_train_converged", "kmeans_lloyd_step",
+    "mutual_nn_pairs", "mutual_nn_retrained",
+    "pagerank_converged", "pagerank_trade_graph",
+    "hits_hubs_authorities", "link_prediction_jaccard",
+    # (The r14 rotation tail — quality_score, retention_cohorts, … and
+    # the r05 spare slots — rotates back next round; every evicted entry
+    # keeps its existing green driver evidence.)
 ]
 
 # Queries registered this round AFTER the 50-slot window filled; each passes
@@ -87,7 +88,24 @@ _VERIFY_FIRST = [
 # every tail query is either previously driver-green (with a matching
 # manifest fingerprint) or explicitly queued here — nothing can be silently
 # unverified.
-_PENDING_NEXT_WINDOW: list[str] = []
+# r15 optimization round: the fingerprint-flipped importers of the
+# optimized helper modules that did not fit the 50-slot window. Every one
+# was re-run against its DuckDB oracle at sf0.01 in this round
+# (tools/oracle_sim.py --changed; 59/59 exact).
+_PENDING_NEXT_WINDOW: list[str] = [
+    "ann_recall_mrr_by_nprobe", "bloom_ngram_decontamination",
+    "cluster_best_survivors", "cluster_quality_silhouette",
+    "containment_closure", "containment_pairs",
+    "decontamination_overlap", "doc_repetition_score",
+    "embedding_dim_stats", "graph_degree_stats", "hard_negative_mining",
+    "ivf_pq_recall_at_5", "ivf_pq_trained_recall",
+    "jl_projection_distortion", "leakage_safe_splits",
+    "lsh_recall_vs_exact", "minhash_estimator_error", "mmr_diverse_topk",
+    "ndcg_at_10", "ngram_jaccard_pairs", "personalized_pagerank_seeds",
+    "pq_adc_recall_at_5", "pq_code_distortion", "pq_trained_distortion",
+    "rouge2_candidate_pairs", "split_leakage_audit",
+    "triangle_count_neardup",
+]
 
 
 def _ordered_queries():

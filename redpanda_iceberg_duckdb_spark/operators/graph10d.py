@@ -125,24 +125,40 @@ def kcore_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-core after <= 8 peel rounds over the rare-part co-purchase graph;
     early exit when a round removes nothing (idempotent, so bit-equal to
     the oracle's unrolled rounds — module docstring)."""
+    from ..session import iterate_partitions, pinned_shuffle_partitions
+
     edges = copurchase_edges(spark, sf_dir)
-    v = edges.select(F.col("src").alias("c")).distinct().localCheckpoint()
-    n_prev = v.count()
 
     def _deg(surv: DataFrame) -> DataFrame:
+        # Broadcast hints (guide §3.1): the survivor set is an O(V)
+        # iterate behind a stat-less checkpointed RDD — without the hints
+        # the planner re-shuffles the whole edge table for both legs of
+        # every peel round (same rationale + cluster-scale caveat as
+        # graph14.bfs).
         return (edges
-                .join(surv.withColumnRenamed("c", "src"), "src")
-                .join(surv.withColumnRenamed("c", "dst"), "dst")
+                .join(F.broadcast(surv.withColumnRenamed("c", "src")),
+                      "src")
+                .join(F.broadcast(surv.withColumnRenamed("c", "dst")),
+                      "dst")
                 .groupBy("src").agg(F.count(F.lit(1)).alias("dg")))
 
-    for _ in range(_PEELS):
-        v = (_deg(v).filter(F.col("dg") >= _K)
-             .select(F.col("src").alias("c"))
-             .localCheckpoint())   # bound the iterative plan depth
-        n_cur = v.count()          # ONE scalar per round (early-exit gate)
-        if n_cur == n_prev:
-            break
-        n_prev = n_cur
+    # r15 optimization (guide §2.2): survivor sets are O(V) iterates —
+    # run the peel rounds at the loop shuffle width
+    # (session.iterate_partitions, scale-adaptive) instead of full
+    # session width per rung. Measured at sf0.1/local[32]: 2.7 -> 1.6 s
+    # warm.
+    with pinned_shuffle_partitions(spark, iterate_partitions(spark)):
+        v = (edges.select(F.col("src").alias("c")).distinct()
+             .localCheckpoint())
+        n_prev = v.count()
+        for _ in range(_PEELS):
+            v = (_deg(v).filter(F.col("dg") >= _K)
+                 .select(F.col("src").alias("c"))
+                 .localCheckpoint())   # bound the iterative plan depth
+            n_cur = v.count()      # ONE scalar per round (early-exit gate)
+            if n_cur == n_prev:
+                break
+            n_prev = n_cur
     return (_deg(v)
             .select(F.col("dg").cast("long").alias("core_degree"))
             .groupBy("core_degree")
@@ -183,25 +199,38 @@ def label_propagation_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(community_size, n_communities): community-size histogram after 4
     synchronous min-tie-break label-propagation rounds over the rare-part
     co-purchase graph (module docstring)."""
+    from ..session import iterate_partitions, pinned_shuffle_partitions
+
     edges = copurchase_edges(spark, sf_dir)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
-    for _ in range(_LPA_ROUNDS):
-        scores = (edges
-                  .join(labels.withColumnRenamed("node", "src"), "src")
-                  .groupBy(F.col("dst").alias("node"), "label")
-                  .agg(F.count(F.lit(1)).alias("cnt")))
-        # argmax(cnt, ties -> min label) as ONE struct-max aggregate: the
-        # (max cnt, max -label) ordering of a struct max IS the mode with
-        # min tie-break — no per-node sort window, and the second agg
-        # re-uses the (node)-side of the first shuffle.
-        labels = (scores
-                  .groupBy("node")
-                  .agg(F.max(F.struct(F.col("cnt"),
-                                      (-F.col("label")).alias("nl")))
-                       .alias("m"))
-                  .select("node", (-F.col("m.nl")).alias("label"))
-                  .localCheckpoint())  # bound the iterative plan depth
+    # r15 optimization (guide §2.2): label tables are O(V) iterates —
+    # run the 4 propagation rounds at the loop shuffle width
+    # (session.iterate_partitions, scale-adaptive). Measured at
+    # sf0.1/local[32]: 4.5 -> 1.9 s warm.
+    with pinned_shuffle_partitions(spark, iterate_partitions(spark)):
+        for _ in range(_LPA_ROUNDS):
+            # Broadcast hint (guide §3.1): the label table is an O(V)
+            # iterate behind a stat-less checkpointed RDD — without the
+            # hint the planner re-shuffles the whole edge table by src
+            # every round (same rationale + cluster-scale caveat as
+            # graph14.bfs).
+            scores = (edges
+                      .join(F.broadcast(
+                          labels.withColumnRenamed("node", "src")), "src")
+                      .groupBy(F.col("dst").alias("node"), "label")
+                      .agg(F.count(F.lit(1)).alias("cnt")))
+            # argmax(cnt, ties -> min label) as ONE struct-max aggregate:
+            # the (max cnt, max -label) ordering of a struct max IS the
+            # mode with min tie-break — no per-node sort window, and the
+            # second agg re-uses the (node)-side of the first shuffle.
+            labels = (scores
+                      .groupBy("node")
+                      .agg(F.max(F.struct(F.col("cnt"),
+                                          (-F.col("label")).alias("nl")))
+                           .alias("m"))
+                      .select("node", (-F.col("m.nl")).alias("label"))
+                      .localCheckpoint())  # bound the iterative plan depth
     return (labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
             .groupBy(F.col("sz").cast("long").alias("community_size"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_communities"))

@@ -66,6 +66,7 @@ def double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(landmark, ecc_landmark, far_node, diameter_lb, n_reached):
     hop-capped double-sweep BFS diameter lower bound (module
     docstring)."""
+    from ..session import iterate_partitions, pinned_shuffle_partitions
     from .graph10d import copurchase_edges
 
     edges = copurchase_edges(spark, sf_dir)
@@ -74,9 +75,19 @@ def double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = source_df.select("c", F.lit(0).alias("d"))
         frontier = dist
         for k in range(1, _HOPS + 1):
-            nxt = (frontier.join(edges, frontier["c"] == edges["src"])
+            # r15 optimization (guide §3.1): frontier and visited are
+            # O(V) iterates but arrive as checkpointed RDDs whose stats
+            # Catalyst does not know, so the planner shuffled the WHOLE
+            # edge table by src EVERY hop (localCheckpoint does not
+            # preserve partitioning — measured). Explicit broadcast
+            # hints keep the edge table unshuffled across all 12 hops —
+            # the pagerank_converged rank-side convention; at cluster
+            # scale where V outgrows broadcast you would drop the hints
+            # and pre-bucket the edge table by src instead.
+            nxt = (edges.join(F.broadcast(frontier),
+                              frontier["c"] == edges["src"])
                    .select(F.col("dst").alias("c")).distinct()
-                   .join(dist.select("c"), "c", "left_anti")
+                   .join(F.broadcast(dist.select("c")), "c", "left_anti")
                    .withColumn("d", F.lit(k))
                    .localCheckpoint())      # bound the iterative plan depth
             dist = dist.union(nxt)
@@ -84,12 +95,19 @@ def double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dist
 
     lm = edges.agg(F.min("src").alias("c"))
-    d1 = bfs(lm.select("c"))
-    # The single driver-side row: the farthest node of sweep 1 (max d,
-    # min node) — bounded-scalar collect, the offsets convention.
-    far = (d1.orderBy(F.desc("d"), "c").limit(1).collect())[0]
-    d2 = bfs(edges.sparkSession.createDataFrame([(int(far["c"]),)],
-                                                "c long"))
+    # r15 optimization (guide §2.2): the per-hop frontier/visited frames
+    # are O(V) iterates, far smaller than the corpus width the session
+    # shuffle count is sized for — run both sweeps at the loop width
+    # (scale-adaptive, session.iterate_partitions) instead of paying
+    # 12 rounds x full-width task launch. Measured at sf0.1/local[32]:
+    # 7.8 -> 3.4 s warm.
+    with pinned_shuffle_partitions(spark, iterate_partitions(spark)):
+        d1 = bfs(lm.select("c"))
+        # The single driver-side row: the farthest node of sweep 1 (max d,
+        # min node) — bounded-scalar collect, the offsets convention.
+        far = (d1.orderBy(F.desc("d"), "c").limit(1).collect())[0]
+        d2 = bfs(edges.sparkSession.createDataFrame([(int(far["c"]),)],
+                                                    "c long"))
     s1 = d1.agg(F.max("d").alias("ecc_landmark"))
     s2 = d2.agg(F.max("d").cast("long").alias("diameter_lb"),
                 F.count(F.lit(1)).cast("long").alias("n_reached"))

@@ -97,21 +97,33 @@ def shortest_path_dag_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(level, n_nodes, sigma_total, sigma_max, argmax_node): exact
     shortest-path counts per BFS level from the min-id landmark, 6-hop
     cap (module docstring)."""
+    from ..session import iterate_partitions, pinned_shuffle_partitions
+
     edges = copurchase_edges(spark, sf_dir)
     lm = edges.agg(F.min("src").alias("node")).select(
         "node", F.lit(1).cast("long").alias("sig"))
-    levels = [lm.localCheckpoint(eager=True)]
-    settled = levels[0].select("node")
-    for _ in range(1, _HOPS + 1):
-        prev = levels[-1].select(F.col("node").alias("src"), "sig")
-        nxt = (edges.join(prev, "src")
-               .join(settled, edges["dst"] == settled["node"],
-                     "left_anti")
-               .groupBy(F.col("dst").alias("node"))
-               .agg(F.sum("sig").cast("long").alias("sig"))
-               .localCheckpoint(eager=True))
-        levels.append(nxt)
-        settled = settled.union(nxt.select("node"))
+    # r15 optimization (guide §2.2): per-level frames are O(V) iterates;
+    # run the 6 frontier rounds at the loop shuffle width
+    # (session.iterate_partitions, scale-adaptive) instead of 7 rounds x
+    # full session width of task launches. Measured at sf0.1/local[32]:
+    # 2.4 -> 1.4 s warm.
+    with pinned_shuffle_partitions(spark, iterate_partitions(spark)):
+        levels = [lm.localCheckpoint(eager=True)]
+        settled = levels[0].select("node")
+        for _ in range(1, _HOPS + 1):
+            prev = levels[-1].select(F.col("node").alias("src"), "sig")
+            # Broadcast hints (guide §3.1): level/settled frames are O(V)
+            # iterates behind stat-less checkpointed RDDs — without the
+            # hints the planner re-shuffles the whole edge table by src
+            # every level (same rationale + caveat as graph14.bfs).
+            nxt = (edges.join(F.broadcast(prev), "src")
+                   .join(F.broadcast(settled),
+                         edges["dst"] == settled["node"], "left_anti")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum("sig").cast("long").alias("sig"))
+                   .localCheckpoint(eager=True))
+            levels.append(nxt)
+            settled = settled.union(nxt.select("node"))
     lev = None
     for k, lk in enumerate(levels):
         part = lk.select(F.lit(k).alias("level"), "node", "sig")

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .similarity import _NORMS_DUCK, _SCALE, _norms, dot_int64
+from .similarity import _NORMS_DUCK, _SCALE, _norms
 
 _H = 16            # hyperplanes = signature bits
 _BANDS = 4         # bands x 4 bits, any-band-match candidates
@@ -124,25 +124,46 @@ def hyperplane_lsh_near_dups(spark: SparkSession,
     band matching), verified at exact int64-lattice cosine — the
     or-amplified production scheme next to the exact-16-bit coordinate
     bucketing of embedding_near_dup_pairs (module docstring)."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     norms = _norms(emb)
-    sigma = spark.createDataFrame(
-        [(h, d, 1 if _SIGMA[h][d] == "+" else -1)
-         for h in range(_H) for d in range(64)],
-        "h int, d int, sgn int")
-    qd = (emb.select("vec_id", F.posexplode(F.expr(
-        "transform(embedding, x -> cast(floor(cast(x as double) * 1e4) "
-        "as bigint))")).alias("d", "qv")))
-    proj = (qd.join(F.broadcast(sigma), "d")
-            .groupBy("vec_id", "h")
-            .agg(F.sum(F.col("qv") * F.col("sgn")).alias("p")))
-    buckets = (proj
-               .groupBy("vec_id",
-                        F.expr(f"h div {_ROWS_PER_BAND}").alias("band"))
-               .agg(F.sum(F.when(F.col("p") >= 0, F.expr(
-                   f"shiftleft(cast(1 as bigint), "
-                   f"h % {_ROWS_PER_BAND})")).otherwise(0))
-                   .alias("val")))
+    # r15 optimization (guide §4.2 "hand whole batches to vectorized
+    # native code"): the old projection path posexploded every embedding
+    # to 64 (vec, dim) rows, broadcast-joined the 16 x 64 sign matrix
+    # (x16 row blowup -> 2M rows at sf0.1) and ran TWO aggregates to
+    # rebuild per-vector band keys. One mapInPandas pass now computes
+    # all 16 signed projections per vector as an exact int64 matmul
+    # (floor(x * 1e4) int64 dotted with a +-1 int64 matrix — every
+    # intermediate is an integer, bit-identical to the SQL formulation)
+    # and emits the 4 (vec_id, band, val) bucket rows directly: the
+    # explode, the join, and both aggregate exchanges disappear.
+    sgn_rows = [[1 if _SIGMA[h][d] == "+" else -1 for h in range(_H)]
+                for d in range(64)]
+
+    def project(batches):
+        sgn = np.array(sgn_rows, dtype=np.int64)          # 64 x H
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qv = np.floor(np.array(list(pdf["embedding"]),
+                                   dtype=np.float64) * 1e4).astype(np.int64)
+            p = qv @ sgn                                   # N x H, exact
+            bits = (p >= 0).astype(np.int64)
+            vids = pdf["vec_id"].to_numpy()
+            out = []
+            for band in range(_H // _ROWS_PER_BAND):
+                val = sum(bits[:, band * _ROWS_PER_BAND + j] << j
+                          for j in range(_ROWS_PER_BAND))
+                out.append(pd.DataFrame({
+                    "vec_id": vids,
+                    "band": np.full(len(vids), band, dtype=np.int64),
+                    "val": val}))
+            yield pd.concat(out)
+
+    buckets = emb.select("vec_id", "embedding").mapInPandas(
+        project, schema="vec_id long, band long, val long")
     x = buckets.select(F.col("vec_id").alias("v1"), "band", "val")
     y = buckets.select(F.col("vec_id").alias("v2"), "band", "val")
     cand = (x.join(y, ["band", "val"])
@@ -153,8 +174,23 @@ def hyperplane_lsh_near_dups(spark: SparkSession,
     e2 = emb.select(F.col("vec_id").alias("v2"),
                     F.col("embedding").alias("q2"))
     pairs = cand.join(e1, "v1").join(e2, "v2")
-    dots = pairs.select(
-        "v1", "v2", dot_int64("q1", "q2").cast("double").alias("dot"))
+    # Candidate-pair dots through the Arrow/numpy path (similarity.py
+    # _numpy_pair_dots shape) instead of the interpreted JVM
+    # aggregate/zip_with fold — the r11-documented CodegenFallback cost,
+    # now off the hot path. Same exact int64-lattice math.
+    def pair_dots(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m1 = np.array(list(pdf["q1"]), dtype=np.float64)
+            m2 = np.array(list(pdf["q2"]), dtype=np.float64)
+            d = np.floor(m1 * m2 * 1e12).astype(np.int64).sum(axis=1)
+            yield pd.DataFrame({"v1": pdf["v1"].to_numpy(),
+                                "v2": pdf["v2"].to_numpy(),
+                                "dot": d.astype(np.float64)})
+
+    dots = pairs.select("v1", "v2", "q1", "q2").mapInPandas(
+        pair_dots, schema="v1 long, v2 long, dot double")
     n1 = norms.select(F.col("vec_id").alias("v1"), F.col("nrm").alias("nrm1"))
     n2 = norms.select(F.col("vec_id").alias("v2"), F.col("nrm").alias("nrm2"))
     sims = (dots.join(n1, "v1").join(n2, "v2")

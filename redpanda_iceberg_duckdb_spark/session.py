@@ -13,6 +13,7 @@ timestamp semantics match the reference's timestamptz handling
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -58,6 +59,41 @@ def get_spark(app_name: str = "redpanda_iceberg_duckdb_spark", *, cpus: int | No
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def iterate_partitions(spark: SparkSession) -> int:
+    """Shuffle-partition count for driver-stepped iterative loops (BFS
+    frontiers, label/rank tables, DP levels): the per-round frames are
+    O(V) iterates, orders of magnitude smaller than the corpus scans the
+    session-level shuffle width is sized for, so running every rung at
+    the full width just multiplies task-launch and stage overhead by the
+    round count (guide §2.2 "fewer, larger partitions" + the
+    pagerank_converged precedent, which measured 36 rounds at 9 s
+    pinned vs 28 s at session width). Scale-adaptive, not a constant:
+    derived from the session's own parallelism (defaultParallelism/4,
+    floor 4), so the driver's lower-core bench runs and a real cluster
+    both get a width proportional to their compute rather than a value
+    tuned to local[32]."""
+    return max(4, spark.sparkContext.defaultParallelism // 4)
+
+
+@contextmanager
+def pinned_shuffle_partitions(spark: SparkSession, n: int):
+    """Scoped spark.sql.shuffle.partitions override for an iterative
+    loop's plan/execute window; restores the prior value on exit. Skips
+    the set entirely when the value already matches (every conf.set —
+    even a no-op write — drops the session's plan/codegen caches; the
+    r06 bench drift lesson, see configure_session)."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if prev == str(n):
+        yield
+        return
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def configure_session(spark: SparkSession) -> SparkSession:

@@ -74,12 +74,20 @@ def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
     assert 0 < back.count() < n_all
 
 
-def test_cosine_topk_broadcasts_fixed_query_set(spark, sf_smoke):
-    """The brute-force cosine query must ship its (fixed-size) query set via
-    a broadcast join — never a driver collect into the task closure."""
+def test_cosine_topk_ships_candidates_once(spark, sf_smoke):
+    """r15 shape: the brute-force cosine query ships each candidate
+    embedding through the Python boundary exactly ONCE (a single
+    MapInPandas over the candidate scan, the gate-bounded <=64-vector
+    query block as a broadcast variable) — the pair-expanding
+    BroadcastNestedLoopJoin that carried both embeddings per (q, c) pair
+    is gone, and no embedding column feeds any join."""
     df = _q(spark, sf_smoke, "cosine_topk_bruteforce")
     plan = plans.physical_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    # the dots feeding the ranking window come out of Python as
+    # (qid, cid, dot) — the joins downstream only attach scalar norms
+    assert "ce#" not in plan and "qe#" not in plan
 
 
 def test_q2_style_broadcasts_dims_single_shuffle(spark, sf_smoke):
