@@ -94,6 +94,7 @@ _VERIFY_FIRST = [
 # (tools/oracle_sim.py --changed; 59/59 exact).
 _PENDING_NEXT_WINDOW: list[str] = [
     "ann_recall_mrr_by_nprobe", "bloom_ngram_decontamination",
+    "bpe_encode_stats", "bpe_train_merges", "bpe_train_merges_wordcount",
     "cluster_best_survivors", "cluster_quality_silhouette",
     "containment_closure", "containment_pairs",
     "decontamination_overlap", "doc_repetition_score",

@@ -147,20 +147,29 @@ def _train_encoded(enc: DataFrame) -> list[tuple[int, str, str, int]]:
     """Merge-learning over an (enc, mult) frame (see _train)."""
     merges = []
     for t in range(1, _N_MERGES + 1):
-        # Spark's sequence(1, 0) counts DOWN (unlike DuckDB's empty
-        # generate_series), so single-token docs need the explicit guard.
         # The token array is materialized in its OWN select below the
         # explode: fused into one select, the analyzer parks the
         # projection above the Generate and split() re-evaluates once
         # per EXPLODED pair — O(len^2) splitting per row (the
         # quantizer_train PLAN TRAP, same fix).
+        # r15 optimization (guide §4.1 "prefer built-ins over lambda
+        # HOFs"): adjacent pairs come from
+        # arrays_zip(tk[0:n-1], tk[1:n]) instead of the
+        # transform(sequence(...), i -> struct(...)) lambda — Spark HOFs
+        # are CodegenFallback and evaluate the lambda per element
+        # interpreted (the r11 lesson), while slice+arrays_zip run on
+        # the whole array. A single-token doc yields slice(tk, 1, 0) =
+        # [] on both sides, so the old size(tk) < 2 guard is subsumed
+        # (Spark's sequence(1, 0)-counts-DOWN trap no longer applies).
+        # Identical (l, r, count) multiset verified against the HOF
+        # shape on the real corpus; measured 0.67 -> 0.38 s per pair
+        # pass at sf0.1 warm.
         pairs = (enc.select("mult", F.split("enc", " ").alias("tk"))
-                 .select("mult", F.explode(F.expr(
-                     "CASE WHEN size(tk) < 2 THEN array() "
-                     "ELSE transform(sequence(1, size(tk) - 1), "
-                     "i -> struct(tk[i - 1] AS l, tk[i] AS r)) END"))
-                     .alias("p"))
-            .select("mult", "p.l", "p.r")
+                 .select("mult", F.explode(F.arrays_zip(
+                     F.slice("tk", 1, F.size("tk") - 1),
+                     F.slice("tk", 2, F.size("tk") - 1))).alias("p"))
+            .select("mult", F.col("p.0").alias("l"),
+                    F.col("p.1").alias("r"))
             .groupBy("l", "r").agg(F.sum("mult").alias("c")))
         best_rows = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
         if not best_rows:      # corpus fully merged before _N_MERGES
