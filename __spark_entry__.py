@@ -93,8 +93,13 @@ _VERIFY_FIRST = [
 # was re-run against its DuckDB oracle at sf0.01 in this round
 # (tools/oracle_sim.py --changed; 59/59 exact).
 _PENDING_NEXT_WINDOW: list[str] = [
-    "ann_recall_mrr_by_nprobe", "bloom_ngram_decontamination",
+    "ann_recall_mrr_by_nprobe", "bh_fdr_discoveries",
+    "bipartite_supplier_projection", "bloom_ngram_decontamination",
     "bpe_encode_stats", "bpe_train_merges", "bpe_train_merges_wordcount",
+    "dsir_importance_topk", "edge_triangle_support",
+    "rocchio_feedback_topk", "tokenizer_fertility_by_lang",
+    # (unigram_viterbi_segmentation also changed this round; it already
+    # holds a _VERIFY_FIRST slot from the build session.)
     "cluster_best_survivors", "cluster_quality_silhouette",
     "containment_closure", "containment_pairs",
     "decontamination_overlap", "doc_repetition_score",

@@ -71,14 +71,25 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("w") != ""))
     tk = toks.select("doc_id", "lang",
                      F.expr(md5_mod_spark("w", _B)).alias("b"))
+    # r15 optimization (guide §2.3 "aggregate before you shuffle" /
+    # §1.2 "don't compute things you throw away"): ct/cr/nt/nr are all
+    # exact integer marginals of per_doc (count(*) over tk == sum(c)
+    # over per_doc), so deriving them from the ONE (doc, bucket)
+    # aggregate replaces four extra full evaluations of the token
+    # stream — each a documents scan + split/explode + per-token md5 —
+    # with bucket-bounded re-aggregates of the checkpointed per_doc.
+    # 5 token passes -> 1; bit-identical sums (integer counts).
     per_doc = (tk.groupBy("doc_id", "lang", "b")
-               .agg(F.count(F.lit(1)).alias("c")))
-    ct = (tk.filter(F.col("lang") == _TARGET)
-          .groupBy("b").agg(F.count(F.lit(1)).alias("tc")))
-    cr = tk.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    nt = tk.filter(F.col("lang") == _TARGET).agg(
-        F.count(F.lit(1)).alias("nt"))
-    nr = tk.agg(F.count(F.lit(1)).alias("nr"))
+               .agg(F.count(F.lit(1)).alias("c"))
+               # eager: branches of ONE action would otherwise race-compute
+               # the un-materialized checkpoint concurrently (r12 lesson)
+               .localCheckpoint(eager=True))
+    ct = (per_doc.filter(F.col("lang") == _TARGET)
+          .groupBy("b").agg(F.sum("c").alias("tc")))
+    cr = per_doc.groupBy("b").agg(F.sum("c").alias("rc"))
+    nt = per_doc.filter(F.col("lang") == _TARGET).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("nt"))   # empty -> 0, as count(*)
+    nr = per_doc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nr"))
     lr = (cr.join(ct, "b", "left")
           .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
           .select("b",

@@ -51,12 +51,24 @@ def bipartite_supplier_projection(spark: SparkSession,
     suppliers) dropped before pairing (module docstring)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r15 optimization (guide §2.4): e feeds the degree aggregate AND both
+    # sides of the pairing self-join — four evaluations of the
+    # orders ⋈ lineitem join + global distinct without materialization.
+    # localCheckpoint the (c, s) edge table (order-of-customers
+    # cardinality, far below the fact tables) so the fact join and the
+    # distinct exchange run ONCE; the self-join then reads cached blocks.
     e = (o.join(li, o.o_orderkey == li.l_orderkey)
          .select(F.col("o_custkey").alias("c"),
                  F.col("l_suppkey").alias("s"))
-         .distinct())
+         .distinct()
+         # eager: deg + both self-join sides otherwise race-compute it
+         .localCheckpoint(eager=True))
     deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("dg"))
-    kept = e.join(deg.filter(F.col("dg") <= _CAP).select("c"), "c")
+    # Broadcast of the kept-customer keys is O(customers); at cluster
+    # scale where that outgrows broadcast, drop the hint and let the
+    # semi-join share the pairing join's hash partitioning on c.
+    kept = e.join(F.broadcast(deg.filter(F.col("dg") <= _CAP)
+                              .select("c")), "c")
     a = kept.select("c", F.col("s").alias("s1"))
     b = kept.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
     pairs = (a.join(b, (F.col("c") == F.col("c2"))

@@ -91,8 +91,19 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("u").alias("src"), F.col("v").alias("dst"))))
         .alias("e")).select("e.src", "e.dst")
     ts = te.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("nt"))
-    es = (eo.select("src", "dst").join(ts, ["src", "dst"], "left_outer")
-          .select(F.coalesce("nt", F.lit(0)).cast("long").alias("support")))
-    return (es.groupBy("support")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    # r15 optimization (guide §2.4 "remove shuffles outright"): every
+    # (src, dst) in ts IS an oriented edge of eo by construction (all
+    # three triangle edges come from eo: the two wedge arms and the
+    # closing edge the join just looked up), so the old
+    # eo LEFT JOIN ts existed only to re-attach the support-0 edges —
+    # a full shuffle of the 1.2M-row edge list plus a second edge-keyed
+    # aggregate, paid to learn ONE number. The histogram over ts plus
+    # the support-0 count n_edges - |ts| (n_edges is already a driver
+    # scalar from the shared edge cache) is identical. The collect is
+    # histogram-bounded: one row per distinct support value.
+    hist = (ts.groupBy("nt").agg(F.count(F.lit(1)).alias("ne"))).collect()
+    n_nz = sum(int(r["ne"]) for r in hist)
+    rows = sorted([(int(r["nt"]), int(r["ne"])) for r in hist]
+                  + ([(0, n_edges - n_nz)] if n_edges > n_nz else []))
+    return (spark.createDataFrame(rows, "support long, n_edges long")
             .orderBy("support"))

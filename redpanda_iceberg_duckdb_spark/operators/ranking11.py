@@ -110,8 +110,17 @@ def rocchio_feedback_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     half weight, re-rank (module docstring)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r15 optimization (guide §2.3/§2.4): tf feeds BOTH scoring passes,
+    # the df table, and the expansion-term mining — plus dl re-exploded
+    # the corpus again. localCheckpoint tf once (distinct (doc, token)
+    # cardinality) and derive dl as its exact integer marginal
+    # (sum tf == count of tokens per doc): ~6 token-stream evaluations
+    # -> 1 explode + cheap re-aggregates of the checkpointed frame.
+    tf = (toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+          # eager: see dsir note — concurrent branches of one action
+          # race-compute a lazy checkpoint (r12 lesson)
+          .localCheckpoint(eager=True))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum("dl").cast("bigint").alias("sum_dl"))
     dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

@@ -150,8 +150,14 @@ def unigram_viterbi_segmentation(spark: SparkSession,
 def _viterbi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    # r15 optimization (guide §2.4): wc feeds the three substring-count
+    # branches below AND DP levels 1-3 (via levels[0]) — six evaluations
+    # of the corpus token scan + word-count shuffle without
+    # materialization. One localCheckpoint of the vocabulary-sized
+    # (w, cnt) frame collapses them to a single pass.
     wc = (tok.filter((F.length("w") >= 1) & (F.length("w") <= _MAXLEN))
-          .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+          .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+          .localCheckpoint(eager=True))
     # substring counts, occurrence-weighted, inside word boundaries
     pos = (wc.select("w", "cnt",
                      F.explode(F.sequence(
@@ -165,6 +171,9 @@ def _viterbi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = part.groupBy("l", "piece").agg(F.sum("cnt").cast("long")
                                               .alias("cnt"))
         sub = part if sub is None else sub.union(part)
+    # sub is read by the three per-length vocab branches; checkpoint the
+    # piece-count table (vocab-sized) so the 3-branch union runs once.
+    sub = sub.localCheckpoint(eager=True)
     v1 = sub.filter(F.col("l") == 1).select("piece", "cnt")
     v2 = (sub.filter(F.col("l") == 2)
           .orderBy(F.col("cnt").desc(), "piece").limit(_TOP2)

@@ -130,8 +130,16 @@ def bh_fdr_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (v.groupBy("t", "cell")
              .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("c")))
     pairs = spark.createDataFrame(_PAIRS, "pid string, ta string, tb string")
-    j = cells.join(F.broadcast(pairs),
-                   (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")))
+    # r15 optimization (guide §2.4): j feeds both the observed-statistic
+    # aggregate and the 100-replicate permutation expansion — two full
+    # evaluations of the events scan + per-event md5 cell hash without
+    # materialization. localCheckpoint the (pair, type, cell) block
+    # digest table ((types x cells)-bounded) so the corpus pass runs once.
+    j = (cells.join(F.broadcast(pairs),
+                    (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")))
+         # eager: obs and perm branches of one action would race-compute
+         # a lazy checkpoint (r12 lesson)
+         .localCheckpoint(eager=True))
 
     def _sides(df: DataFrame, flag) -> list:
         return [
