@@ -543,3 +543,42 @@ def test_eb_shrinkage_matches_independent(spark, sf_smoke):
     rows = _q("eb_shrunken_user_rates").fn(spark, sf_smoke).collect()
     assert [(r.user_id, r.n, r.k, r.eb_rate) for r in rows] == [
         (uid, n, k, er) for er, uid, n, k in ranked]
+
+
+def test_edge_triangle_histogram_matches_leftjoin_shape(spark, sf_smoke):
+    """r15 optimization pin: the support histogram is now reconstructed
+    from the triangle-edge aggregate plus n_edges - |nonzero| (the old
+    eo LEFT JOIN ts shape removed). Recompute the histogram through the
+    original left-join algebra on the same shared edge cache and assert
+    row-for-row equality — guards the support-0 arithmetic."""
+    from pyspark.sql import functions as F
+
+    from redpanda_iceberg_duckdb_spark.operators.graph12 import (
+        copurchase_oriented_edges)
+
+    new = [(r.support, r.n_edges)
+           for r in _q("edge_triangle_support").fn(spark, sf_smoke)
+           .collect()]
+    eo, _deg, n_edges = copurchase_oriented_edges(spark, sf_smoke)
+    e1 = eo.select("src", F.col("dst").alias("u"), F.col("dd").alias("ud"))
+    e2 = eo.select("src", F.col("dst").alias("v"), F.col("dd").alias("vd"))
+    u_first = (F.col("ud") < F.col("vd")) | (
+        (F.col("ud") == F.col("vd")) & (F.col("u") < F.col("v")))
+    w = (e1.join(e2, "src").filter(u_first)
+         .select(F.col("src").alias("c"), "u", "v"))
+    tri = w.join(eo.select(F.col("src").alias("u"),
+                           F.col("dst").alias("v")), ["u", "v"])
+    te = tri.select(F.explode(F.array(
+        F.struct(F.col("c").alias("src"), F.col("u").alias("dst")),
+        F.struct(F.col("c").alias("src"), F.col("v").alias("dst")),
+        F.struct(F.col("u").alias("src"), F.col("v").alias("dst"))))
+        .alias("e")).select("e.src", "e.dst")
+    ts = te.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("nt"))
+    old = [(r.support, r.n_edges) for r in
+           (eo.select("src", "dst").join(ts, ["src", "dst"], "left_outer")
+            .select(F.coalesce("nt", F.lit(0)).cast("long")
+                    .alias("support"))
+            .groupBy("support")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            .orderBy("support")).collect()]
+    assert new == old and sum(ne for _s, ne in new) == n_edges
