@@ -22,6 +22,13 @@ ALLOW: dict[str, dict[str, str]] = {
     # 1x1 scalar combines compile to a cartesian of single-row frames.
     "funnel_view_click_purchase": {
         "cartesian": "final 1x1x1 combine of per-step scalar aggregates"},
+    # Migrated from ALLOW_FULL when the query entered the r15 pending
+    # window (the r15 checkpoint rewrite did not add this window — the
+    # BH rank was always a global row_number over the m=10 p-value rows).
+    "bh_fdr_discoveries": {
+        "global-window": "offsets window over the per-partition/bucket "
+                         "count table (m=10 hypothesis rows, the "
+                         "stable_row_ids_two_phase pattern)"},
     # Curve-/histogram-sized frames: the window input is a groupBy
     # reduction bounded by distinct durations / scores / segments, the
     # accepted offsets pattern (scale8.stable_row_ids_two_phase).
