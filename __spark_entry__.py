@@ -111,6 +111,17 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "pq_adc_recall_at_5", "pq_code_distortion", "pq_trained_distortion",
     "rouge2_candidate_pairs", "split_leakage_audit",
     "triangle_count_neardup",
+    # r15 optimization session 4 (multi-branch checkpoint + shared edge
+    # cache + per-cell Arrow dots batch): every one re-run oracle-exact
+    # at BOTH sf0.01 and sf0.001 this session (oracle_sim --changed,
+    # 14/14 + 14/14). mutual_nn_pairs/mutual_nn_retrained flipped too but
+    # already hold slots above / in the window.
+    "brown_forsythe_variance", "circular_emd_hours",
+    "cochran_armitage_trend", "cox_ph_converged",
+    "cramer_von_mises_value", "logrank_signup_conversion",
+    "mann_kendall_trend", "mcnemar_purchase_halves",
+    "rich_club_coefficient", "spearman_value_hour",
+    "theilsen_hourly_trend", "wasserstein_value_by_type_pair",
 ]
 
 

@@ -158,6 +158,11 @@ def cox_ph_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("pu").isNotNull(), 1).otherwise(0).alias("ev"),
                 (F.expr(f"(su div {_HOUR_US}) % 24") >= 12).cast("int")
                 .alias("x")))
+    # Checkpointed: both actions (the subject count and the risk-curve
+    # collect) read durs, and without it each action re-runs the whole
+    # 3-branch events DAG (r10 multi-branch lesson). O(users) rows,
+    # distributed.
+    durs = durs.localCheckpoint(eager=True)
     n_subjects = durs.count()
     at_t = durs.groupBy("t").agg(
         F.sum(1 - F.col("x")).alias("a0"), F.sum("x").alias("a1"),

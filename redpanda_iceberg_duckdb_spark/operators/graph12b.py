@@ -10,9 +10,14 @@ Exactness: phi(k) = 2 * E_k / (N_k * (N_k - 1)) where E_k (club-internal
 edge count) and N_k (club size) are exact integers; one float division
 per k, rounded once.
 
-Scale stance: degrees come from one groupBy over the edge list; the club
-membership test is a BROADCAST join of the O(V) degree table onto both
-edge endpoints (the assortativity plan); all thresholds are evaluated in
+Scale stance: edges and degrees come from the SHARED checkpointed
+co-purchase edge cache (graph12.copurchase_oriented_edges — the same
+graph, built once per dataset and reused by the triangle/clustering
+family), so this query never re-runs the per-order self-join; the club
+membership test is ONE broadcast join of the O(V) degree table onto the
+src endpoint — the cache orients every edge from the lower (degree, id)
+endpoint, so deg(src) IS min(deg_a, deg_b) and the both-endpoints test
+``min > k`` needs only the src side; all thresholds are evaluated in
 ONE pass via a conditional-sum aggregate per k (no per-k subgraph scan).
 """
 
@@ -21,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
-from ..tables import load_table
+from .graph12 import copurchase_oriented_edges
 
 _KS = (4, 8, 16, 32, 64)
 
@@ -57,25 +62,18 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """phi(k) for k in {_KS} over the part co-purchase graph — club size,
     club-internal edge count, and density per threshold, all thresholds
     from ONE conditional-aggregate pass over the degree-annotated edge
-    list (module docstring)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("o"),
-                   F.col("l_partkey").alias("p")).distinct()
-    e = (op.alias("x").join(op.alias("y"), "o")
-         .filter(F.col("x.p") < F.col("y.p"))
-         .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-         .distinct())
-    deg = (e.select(F.col("a").alias("node"))
-           .unionAll(e.select(F.col("b").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-    da = F.broadcast(deg.select(F.col("node").alias("a"),
-                                F.col("d").alias("dda")))
-    db = F.broadcast(deg.select(F.col("node").alias("b"),
-                                F.col("d").alias("ddb")))
-    ed = e.join(da, "a").join(db, "b")
-    # one pass over edges for every threshold's internal-edge count
+    list (module docstring). Edges/degrees come from the shared
+    checkpointed cache: zero per-call self-join, and deg(src) is the
+    edge's MIN endpoint degree by the cache's (degree, id) orientation,
+    so the club test needs one broadcast join instead of two."""
+    eo, deg, _ = copurchase_oriented_edges(spark, sf_dir)
+    ds = F.broadcast(deg.select(F.col("node").alias("src"),
+                                F.col("d").alias("sd")))
+    ed = eo.join(ds, "src")
+    # one pass over edges for every threshold's internal-edge count:
+    # both endpoints' degrees > k  <=>  min(deg) = deg(src) > k
     edge_aggs = ed.agg(*[
-        F.sum(F.when((F.col("dda") > k) & (F.col("ddb") > k), 1)
+        F.sum(F.when(F.col("sd") > k, 1)
               .otherwise(0)).cast("long").alias(f"e{k}") for k in _KS])
     size_aggs = deg.agg(*[
         F.sum(F.when(F.col("d") > k, 1).otherwise(0)).cast("long")

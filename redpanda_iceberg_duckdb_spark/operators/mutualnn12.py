@@ -19,12 +19,66 @@ so float noise cannot reorder.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .similarity import _DOT_DUCK, _NORMS_DUCK, _numpy_pair_dots, _norms, \
-    _sims_from_dots
+from .similarity import _DOT_DUCK, _NORMS_DUCK, _norms, _sims_from_dots
+
+# Rows of the q-side block materialized per numpy step inside a cell —
+# bounds the in-flight (block x |cell|) dot matrix regardless of cell
+# size; a no-op at fixture cells (~200 vectors).
+_QBLOCK = 4096
+
+
+def _cell_pair_dots(emb: DataFrame, cell_col: str) -> DataFrame:
+    """All in-cell (qid, cid, dot) rows on the scaled-int64 dot lattice
+    via ONE applyInPandas pass per cell.
+
+    Replaces the join-then-mapInPandas shape (build (qid, cid, qe, ce)
+    pair rows, ship BOTH 64-dim embeddings per pair through Arrow): here
+    each embedding crosses the Python boundary once per CELL instead of
+    once per PAIR — a ~2x|cell| cut in Arrow bytes (guide §4, the
+    cosine_topk batch-3 rewrite applied to the symmetric case).
+
+    Exactness: per dimension d the accumulator adds
+    floor(q_d * c_d * 1e12) as int64 — the identical IEEE product,
+    identical floor, and an exact integer sum over d, bit-identical to
+    both the SQL formulation and _numpy_pair_dots. Work and memory stay
+    cell-bounded (the trade the module docstring documents); the q-side
+    is blocked so the in-flight matrix never exceeds _QBLOCK x |cell|.
+    """
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                 "cid": pd.Series([], dtype="int64"),
+                                 "dot": pd.Series([], dtype="float64")})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        out = []
+        for lo in range(0, m, _QBLOCK):
+            qb = mat[lo:lo + _QBLOCK]
+            acc = np.zeros((len(qb), m), dtype=np.int64)
+            for d in range(mat.shape[1]):
+                acc += np.floor(
+                    np.multiply.outer(qb[:, d], mat[:, d]) * 1e12
+                ).astype(np.int64)
+            qid = np.repeat(ids[lo:lo + _QBLOCK], m)
+            cid = np.tile(ids, len(qb))
+            keep = qid != cid
+            out.append(pd.DataFrame({
+                "qid": qid[keep], "cid": cid[keep],
+                "dot": acc.reshape(-1)[keep].astype(np.float64)}))
+        return pd.concat(out, ignore_index=True)
+
+    return (emb.select("vec_id", cell_col, "embedding")
+            .groupBy(cell_col)
+            .applyInPandas(per_cell, schema="qid long, cid long, dot double"))
 
 _MNN_ORACLE = f"""
 WITH pairs AS (SELECT a.vec_id qid, b.vec_id cid, a.embedding qe, b.embedding ce
@@ -55,20 +109,14 @@ ORDER BY vec_a"""
 )
 def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal top-1 cosine neighbor pairs, candidates bounded to the
-    query's IVF label cell (module docstring). Dots run numpy-batched in
-    mapInPandas on the exact int lattice; top-1 is a per-query window on
-    rounded similarity; mutuality is one self-join of the O(N) top-1
-    table."""
+    query's IVF label cell (module docstring). In-cell dots run in ONE
+    per-cell applyInPandas pass on the exact int lattice (each embedding
+    crosses Arrow once per cell, not once per pair); top-1 is a per-query
+    window on rounded similarity; mutuality is one self-join of the O(N)
+    top-1 table."""
     emb = load_table(spark, sf_dir, "embeddings")
     norms = _norms(emb)
-    q = emb.select(F.col("vec_id").alias("qid"), F.col("label").alias("ql"),
-                   F.col("embedding").alias("qe"))
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("label").alias("cl"),
-                   F.col("embedding").alias("ce"))
-    pairs = (q.join(c, (F.col("ql") == F.col("cl"))
-                    & (F.col("qid") != F.col("cid")))
-             .select("qid", "cid", "qe", "ce"))
-    sims = _sims_from_dots(_numpy_pair_dots(pairs), norms)
+    sims = _sims_from_dots(_cell_pair_dots(emb, "label"), norms)
     t1 = (sims.withColumn(
         "rn", F.row_number().over(
             W.partitionBy("qid").orderBy(F.col("sim").desc(), "cid")))
@@ -128,15 +176,11 @@ def mutual_nn_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin, _ = train_assignments(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").join(
         fin.select("vec_id", F.col("lbl").alias("cell")), "vec_id")
-    norms = _norms(emb)
-    q = emb.select(F.col("vec_id").alias("qid"), F.col("cell").alias("ql"),
-                   F.col("embedding").alias("qe"))
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("cell").alias("cl"),
-                   F.col("embedding").alias("ce"))
-    pairs = (q.join(c, (F.col("ql") == F.col("cl"))
-                    & (F.col("qid") != F.col("cid")))
-             .select("qid", "cid", "qe", "ce"))
-    sims = _sims_from_dots(_numpy_pair_dots(pairs), norms)
+    # Norms from the base table: a vector's norm is independent of its
+    # cell, and _sims_from_dots joins norms by qid/cid anyway — this
+    # branch skips a second evaluation of the assignment join.
+    norms = _norms(load_table(spark, sf_dir, "embeddings"))
+    sims = _sims_from_dots(_cell_pair_dots(emb, "cell"), norms)
     t1 = (sims.withColumn(
         "rn", F.row_number().over(
             W.partitionBy("qid").orderBy(F.col("sim").desc(), "cid")))

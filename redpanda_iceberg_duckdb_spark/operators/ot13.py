@@ -74,8 +74,13 @@ def wasserstein_value_by_type_pair(spark: SparkSession,
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(F.col("event_type").alias("et"),
                     F.round(F.col("value") * 100).cast("long").alias("x"))
+    # Checkpointed: both the per-type totals (n) and the merged-support
+    # build (m) read this frame, and without the checkpoint each branch
+    # re-runs the events scan + (et, cents) aggregate (r10 multi-branch
+    # lesson). The frame is bounded by types x the cents lattice, never
+    # by the row count.
     c = pts.groupBy("et", "x").agg(F.count(F.lit(1)).cast("long")
-                                   .alias("cnt"))
+                                   .alias("cnt")).localCheckpoint(eager=True)
     n = c.groupBy("et").agg(F.sum("cnt").alias("n"))
     pr = (n.alias("a").join(n.alias("b"),
                             F.col("a.et") < F.col("b.et"))

@@ -105,16 +105,27 @@ def theilsen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the full pairwise construction, so a green row
     proves the hourly reduction, the pair join, and the deterministic
     median selection agree exactly."""
+    # Checkpointed: both pair-join sides read this frame, and without the
+    # checkpoint each side re-runs the events scan + hourly aggregate
+    # (r10 multi-branch lesson). The frame is series x <=_MAX_POINTS rows
+    # — thin_series bounds it before pairing.
     hourly = thin_series(
         load_table(spark, sf_dir, "events")
         .groupBy("event_type",
                  F.expr("unix_micros(ts) div 3600000000").alias("h"))
         .agg(F.count(F.lit(1)).alias("c")),
-        "event_type", "h")   # mirrored in the oracle; no-op at fixture L
+        "event_type", "h"    # mirrored in the oracle; no-op at fixture L
+        ).localCheckpoint(eager=True)
     a = hourly.select("event_type", F.col("h").alias("h1"),
                       F.col("c").alias("c1"))
-    b = hourly.select(F.col("event_type").alias("et2"),
-                      F.col("h").alias("h2"), F.col("c").alias("c2"))
+    # Broadcast the build side: the checkpointed frame is stat-less, so
+    # without the hint Catalyst shuffles BOTH sides of the self-join.
+    # At a series count where hourly outgrows broadcast, drop the hint
+    # and pre-partition by series key instead (the pair join is already
+    # an equi-join on the series column).
+    b = F.broadcast(hourly.select(F.col("event_type").alias("et2"),
+                                  F.col("h").alias("h2"),
+                                  F.col("c").alias("c2")))
     slopes = (a.join(b, (a.event_type == F.col("et2"))
                      & (F.col("h2") > F.col("h1")))
               .select("event_type",

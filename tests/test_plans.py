@@ -659,7 +659,13 @@ def test_round12_batch3_plan_gates(spark, sf_smoke):
 
     p = plans.physical_plan(qs["mutual_nn_pairs"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in p, p[:1200]
-    assert "MapInPandas" in p, "dots must run in the Arrow batch path"
+    # r15: dots run per-cell in applyInPandas — each embedding crosses
+    # Arrow once per cell; the pair-expanding label self-join that
+    # shipped (qe, ce) per pair is gone, so no qe/ce columns anywhere.
+    assert "FlatMapGroupsInPandas" in p, \
+        "in-cell dots must run in the grouped Arrow path"
+    assert "ce#" not in p and "qe#" not in p, \
+        "no join may ship embedding payloads (pair-expanded Arrow shape)"
 
     p = plans.physical_plan(qs["er_fuzzy_clusters"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in p, p[:1200]

@@ -66,7 +66,8 @@ def main() -> None:
     # would run the whole loop once more for a final-frame plan that says
     # nothing about the loop structure. Skip those.
     eager_loop = {"dedup_stream_tws_replay", "unigram_viterbi_segmentation",
-                  "pagerank_converged", "kmeans_train_converged"}
+                  "pagerank_converged", "kmeans_train_converged",
+                  "cox_ph_converged"}
 
     timings = {}
     for name in names:
