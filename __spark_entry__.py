@@ -122,6 +122,15 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "mann_kendall_trend", "mcnemar_purchase_halves",
     "rich_club_coefficient", "spearman_value_hour",
     "theilsen_hourly_trend", "wasserstein_value_by_type_pair",
+    # r15 optimization session 4, batch 8 (scan-multiplicity collapse):
+    # re-run oracle-exact at BOTH sf0.01 and sf0.001 this session
+    # (oracle_sim --changed, 10/10 + 10/10). pacf_durbin_levinson,
+    # granger_lag1_hourly, hodges_lehmann_quantity_shift and
+    # welch_ttest_value flipped too but already hold slots above / in
+    # the window.
+    "rolling_origin_cv_folds", "sorted_neighborhood_pairs",
+    "sparse_cosine_topk_pairs", "stream_state_expected",
+    "token_kl_by_source_pair", "woe_iv_hour_bins",
 ]
 
 

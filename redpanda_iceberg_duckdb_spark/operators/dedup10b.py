@@ -96,9 +96,17 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = (totals
             .withColumn("off", F.coalesce(F.sum("cnt").over(wo), F.lit(0)))
             .select("b", "off"))
+    # Checkpointed: ranked feeds the band-join left side, the probe side
+    # AND the shingle build, and without the checkpoint each branch
+    # re-ran the scan + two-phase global rank (16 documents scans in one
+    # plan, r15 scan audit; 1 after). The shingle table is NOT
+    # checkpointed: materializing it measured ~3x worse than the 3x
+    # explode recompute over this checkpoint (row-format reads of the
+    # corpus-sized frame, the r12 gotcha).
     ranked = (local.join(F.broadcast(offs), "b")
               .select("doc_id", "t",
-                      (F.col("lrn") + F.col("off")).alias("rank")))
+                      (F.col("lrn") + F.col("off")).alias("rank"))
+              ).localCheckpoint(eager=True)
     # Banded w-window join: left block q pairs with probe blocks {q, q+1}.
     left = ranked.select(F.col("doc_id").alias("i"),
                          F.col("rank").alias("ra"),

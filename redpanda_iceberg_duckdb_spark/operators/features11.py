@@ -71,9 +71,14 @@ def rolling_origin_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     and stratified_kfold_assignment's random folds)."""
     e = load_table(spark, sf_dir, "events")
     d0 = e.agg(F.min(F.expr(_EPOCH_DAY_SPARK)).alias("d0"))
+    # Checkpointed: all 2*_FOLDS union branches below filter/aggregate
+    # this frame, and each branch re-ran the events scan (+ the d0
+    # bounds scan) without it — 16 scans of events in one plan (r15
+    # scan audit). Narrow (user_id, day) columns, materialized once.
     days = (e.select("user_id", F.expr(_EPOCH_DAY_SPARK).alias("dd"))
             .crossJoin(F.broadcast(d0))
-            .select("user_id", (F.col("dd") - F.col("d0")).alias("d")))
+            .select("user_id", (F.col("dd") - F.col("d0")).alias("d"))
+            ).localCheckpoint(eager=True)
     outs = []
     for f in range(1, _FOLDS + 1):
         for split, cond in (("train", F.col("d") < 7 * f),

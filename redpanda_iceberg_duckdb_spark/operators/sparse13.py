@@ -68,8 +68,14 @@ def sparse_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring)."""
     d = load_table(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # Checkpointed: tf feeds the doc count, the df cap AND the weight
+    # build, and w feeds the norms plus both sides of the inverted-index
+    # self-join — without the two checkpoints each branch re-ran the
+    # scan + tokenize + aggregate (12 documents scans in one plan, r15
+    # scan audit). Tokenize once, weight once.
     tf = tk.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"))
+        F.count(F.lit(1)).cast("long").alias("tf")
+        ).localCheckpoint(eager=True)
     nn = tf.agg(F.count_distinct("doc_id").alias("n"))
     df = (tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
           .filter(F.col("df") <= _DF_CAP))
@@ -77,7 +83,8 @@ def sparse_cosine_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "tok",
                  (F.col("tf")
                   * F.round(F.log(F.col("n").cast("double") / F.col("df"))
-                            * 1e6).cast("long")).alias("w")))
+                            * 1e6).cast("long")).alias("w"))
+         ).localCheckpoint(eager=True)
     nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     dots = (w.alias("a").join(w.alias("b"),
                               (F.col("a.tok") == F.col("b.tok"))

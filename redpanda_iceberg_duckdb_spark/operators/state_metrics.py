@@ -181,10 +181,18 @@ def stream_state_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.least(F.expr(f"((us - lo) * {_N_CHUNKS}) "
                                  "div (hi - lo + 1)"),
                           F.lit(_N_CHUNKS - 1)).cast("int").alias("chunk")))
+    # Checkpointed (4-row frame): the cumulative-max grid, the timestamp
+    # cuts and the final accounting all branch from cm, and every
+    # re-reference re-ran the events scan + bucketed aggregate
+    # underneath — 20 scans of events in this one plan before the
+    # checkpoint (r15 scan audit), 5 after. Checkpointing the larger
+    # per-event frames instead measured strictly worse (job floors +
+    # row-format reads, the r12 gotcha).
     cm = ev.groupBy("chunk").agg(
         F.max("us").alias("mx"),
         F.count(F.lit(1)).cast("long").alias("n_in"),
-        F.count_distinct("event_id").cast("long").alias("n_up"))
+        F.count_distinct("event_id").cast("long").alias("n_up")
+        ).localCheckpoint(eager=True)
     # Cumulative max over the 4-row chunk grid via a tiny self-join (no
     # global window — keeps the plan-doctor sweep clean by construction).
     cmax = (cm.alias("a")

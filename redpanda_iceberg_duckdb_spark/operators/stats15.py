@@ -315,9 +315,15 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates; the recursion itself is pure +-*/ and unrolls to an
     identical expression tree in both engines)."""
     e = load_table(spark, sf_dir, "events")
+    # Checkpointed: h is referenced by BOTH the spine bounds and the
+    # dense left join, and the downstream autocorrelation build
+    # multiplies those references (dt x3 via probe/pair/denominator) —
+    # together with the stack() pivot below this takes the plan from 60
+    # events scans (r15 scan audit) to ONE. Hours-cardinality frame.
     h = (e.select(F.floor(F.unix_timestamp("ts") / 3600).cast("long")
                   .alias("hr"))
-         .groupBy("hr").agg(F.count(F.lit(1)).alias("c")))
+         .groupBy("hr").agg(F.count(F.lit(1)).alias("c"))
+         ).localCheckpoint(eager=True)
     spine = (h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
              .select(F.explode(F.sequence("lo", "hi")).alias("hr")))
     d = (spine.join(h, "hr", "left")
@@ -341,15 +347,19 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / F.max(F.col("dvar").cast("double"))).alias(f"r{k}")
                 for k in range(1, _PACF_LAGS + 1)]))
     r.createOrReplaceTempView("pacf15_r")
+    # stack() instead of the oracle's 5-way UNION over p5: each UNION
+    # branch re-referenced the 1-row recursion frame and Catalyst
+    # re-evaluated the WHOLE upstream build per branch (x5 — the larger
+    # half of this plan's 60x events re-scan, r15 scan audit); stack
+    # pivots the same five (lag, pacf) rows out of ONE p5 evaluation.
+    # Identical values and types; the oracle keeps its UNION (DuckDB
+    # CTEs are shared, so only the Spark side paid the multiplier).
     out = spark.sql(f"""
         WITH r AS (SELECT * FROM pacf15_r),
         {_DL_SQL.lstrip()}
         SELECT lag, round(pacf, 6) AS pacf FROM (
-          SELECT 1 AS lag, f11 AS pacf FROM p5
-          UNION ALL SELECT 2, f22 FROM p5
-          UNION ALL SELECT 3, f33 FROM p5
-          UNION ALL SELECT 4, f44 FROM p5
-          UNION ALL SELECT 5, f55 FROM p5)
+          SELECT stack(5, 1, f11, 2, f22, 3, f33, 4, f44, 5, f55)
+                 AS (lag, pacf) FROM p5)
         ORDER BY lag""")
     return out
 

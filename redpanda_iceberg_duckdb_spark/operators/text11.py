@@ -73,7 +73,13 @@ def token_kl_by_source_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    # Checkpointed: cnt feeds the vocabulary, the per-source totals AND
+    # the smoothed-grid join (and lp is read by both KL sides) — without
+    # it each branch re-ran the scan + tokenize + aggregate (10
+    # documents scans in one plan, r15 scan audit). (source, token)
+    # counts: vocabulary-bounded, tokenized once.
+    cnt = (toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+           ).localCheckpoint(eager=True)
     vocab = cnt.select("tok").distinct()
     src = cnt.groupBy("source").agg(F.sum("n").alias("ns"))
     vv = vocab.agg(F.count(F.lit(1)).alias("v"))
