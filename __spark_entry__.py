@@ -131,6 +131,12 @@ _PENDING_NEXT_WINDOW: list[str] = [
     "rolling_origin_cv_folds", "sorted_neighborhood_pairs",
     "sparse_cosine_topk_pairs", "stream_state_expected",
     "token_kl_by_source_pair", "woe_iv_hour_bins",
+    # r15 optimization session 5, batch 9 (shared broadcast-query-block
+    # helper for the nine exact-reference ANN sites): all 26 flipped
+    # queries re-run oracle-exact at BOTH sf0.01 and sf0.001 this
+    # session (oracle_sim --changed, 26/26 + 26/26). The rest of the
+    # flip set already holds slots above / in the window.
+    "cluster_medoids", "matryoshka_recall_curve", "mmd_linear_label_pairs",
 ]
 
 

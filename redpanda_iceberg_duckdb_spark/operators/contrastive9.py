@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .similarity import (_NORMS_DUCK, _SCALE, _norms, _numpy_pair_dots,
+from .similarity import (_NORMS_DUCK, _SCALE, _bcast_query_dots, _norms,
                          _sims_from_dots)
 
 
@@ -73,9 +73,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.select(F.col("vec_id").alias("cid"),
                       F.col("label").alias("clabel"),
                       F.col("embedding").alias("ce"))
-    pairs = cand.join(F.broadcast(q), F.col("cid") != F.col("qid"))
-    sims = (_sims_from_dots(
-        _numpy_pair_dots(pairs.select("qid", "cid", "qe", "ce")), norms)
+    sims = (_sims_from_dots(_bcast_query_dots(q, cand), norms)
         .join(F.broadcast(q.select("qid", "qlabel")), "qid")
         .join(cand.select("cid", "clabel"), "cid"))
     w = W.partitionBy("qid").orderBy(F.desc("sim"), "cid")

@@ -46,7 +46,8 @@ _QMOD = 50          # query subset: vec_id % _QMOD == 0
 
 def _prefix_dots(pairs: DataFrame) -> DataFrame:
     """(qid, cid, d, dot): scaled-int prefix dots at every cut, one numpy
-    pass (similarity._numpy_pair_dots generalized to prefix sums)."""
+    pass (the similarity.py int64 pair-dot lattice generalized to
+    prefix sums)."""
 
     def compute(batches):
         for pdf in batches:

@@ -47,7 +47,7 @@ def _cell_pair_dots(emb: DataFrame, cell_col: str) -> DataFrame:
     Exactness: per dimension d the accumulator adds
     floor(q_d * c_d * 1e12) as int64 — the identical IEEE product,
     identical floor, and an exact integer sum over d, bit-identical to
-    both the SQL formulation and _numpy_pair_dots. Work and memory stay
+    both the SQL formulation and _bcast_query_dots. Work and memory stay
     cell-bounded (the trade the module docstring documents); the q-side
     is blocked so the in-flight matrix never exceeds _QBLOCK x |cell|.
     """

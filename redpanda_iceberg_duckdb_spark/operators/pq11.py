@@ -248,7 +248,7 @@ def pq_adc_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable sum — never the raw embeddings. ADC sums are exact
     integers (floor(d_int * 1e6 / n^2) per cell, the pq11 lattice), so
     rankings are deterministic cross-engine."""
-    from .similarity import (_norms, _numpy_pair_dots, _ranked_topk,
+    from .similarity import (_bcast_query_dots, _norms, _ranked_topk,
                              _sims_from_dots)
     dec = "decimal(38,0)"
     emb = load_table(spark, sf_dir, "embeddings")
@@ -285,9 +285,8 @@ def pq_adc_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("qid", F.col("embedding").alias("qe")))
     cand = emb.select(F.col("vec_id").alias("cid"),
                       F.col("embedding").alias("ce"))
-    pairs_x = cand.join(F.broadcast(q), F.col("cid") != F.col("qid"))
     exact5 = (_ranked_topk(
-        _sims_from_dots(_numpy_pair_dots(pairs_x), norms), _K)
+        _sims_from_dots(_bcast_query_dots(q, cand), norms), _K)
         .select("qid", "cid"))
     hits = (adc5.join(exact5, ["qid", "cid"])
             .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
@@ -396,7 +395,7 @@ def ivf_pq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bytes per vector); the per-query lookup table is codes x subspaces
     fixed-point integers, broadcast; exact ground truth is the fixed 1%
     probe set against numpy-batched dots (the existing harness)."""
-    from .similarity import (_norms, _numpy_pair_dots, _ranked_topk,
+    from .similarity import (_bcast_query_dots, _norms, _ranked_topk,
                              _sims_from_dots)
     dec = "decimal(38,0)"
     emb = load_table(spark, sf_dir, "embeddings")
@@ -435,9 +434,8 @@ def ivf_pq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("qid", F.col("embedding").alias("qe")))
     candx = emb.select(F.col("vec_id").alias("cid"),
                        F.col("embedding").alias("ce"))
-    pairs_x = candx.join(F.broadcast(q), F.col("cid") != F.col("qid"))
     exact5 = (_ranked_topk(
-        _sims_from_dots(_numpy_pair_dots(pairs_x), norms), _K)
+        _sims_from_dots(_bcast_query_dots(q, candx), norms), _K)
         .select("qid", "cid"))
     hits = (adc5.join(exact5, ["qid", "cid"])
             .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))

@@ -553,7 +553,7 @@ def ivf_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the recall side of the trained-vs-untrained delta whose geometric
     side is pq_trained_distortion. Same evaluation contract, codebooks
     swapped; bench extras publishes both recalls side by side."""
-    from .similarity import (_norms, _numpy_pair_dots, _ranked_topk,
+    from .similarity import (_bcast_query_dots, _norms, _ranked_topk,
                              _sims_from_dots)
     dec = "decimal(38,0)"
     stats, _ = train_pq_stats(spark, sf_dir)
@@ -593,9 +593,8 @@ def ivf_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("qid", F.col("embedding").alias("qe")))
     candx = emb.select(F.col("vec_id").alias("cid"),
                        F.col("embedding").alias("ce"))
-    pairs_x = candx.join(F.broadcast(q), F.col("cid") != F.col("qid"))
     exact5 = (_ranked_topk(
-        _sims_from_dots(_numpy_pair_dots(pairs_x), norms), _K)
+        _sims_from_dots(_bcast_query_dots(q, candx), norms), _K)
         .select("qid", "cid"))
     hits = (adc5.join(exact5, ["qid", "cid"])
             .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..registry import register
 from ..dataset_cache import data_fingerprint
 from ..tables import load_table
-from .similarity import (_NORMS_DUCK, _SCALE, _norms, _numpy_pair_dots,
+from .similarity import (_NORMS_DUCK, _SCALE, _bcast_query_dots, _norms,
                          _ranked_topk, _sims_from_dots, dot_int64)
 
 _MAX_ROUNDS = 100
@@ -402,9 +402,8 @@ def ann_recall_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("embedding").alias("qe")))
     cand = emb.select(F.col("vec_id").alias("cid"),
                       F.col("embedding").alias("ce"))
-    pairs_x = cand.join(F.broadcast(q), F.col("cid") != F.col("qid"))
     exact5 = (_ranked_topk(
-        _sims_from_dots(_numpy_pair_dots(pairs_x), norms), 5)
+        _sims_from_dots(_bcast_query_dots(q, cand), norms), 5)
         .select("qid", "cid"))
     cand_cell = (emb.join(fin, "vec_id")
                  .select(F.col("vec_id").alias("cid"), "lbl",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .similarity import (_NORMS_DUCK, _SCALE, _norms, _numpy_pair_dots,
+from .similarity import (_NORMS_DUCK, _SCALE, _bcast_query_dots, _norms,
                          _ranked_topk, _sims_from_dots, dot_int64)
 
 _NPROBES = (1, 2, 4)
@@ -123,9 +123,7 @@ def ann_recall_mrr_by_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.select(F.col("vec_id").alias("cid"),
                       F.col("embedding").alias("ce"))
     exact1 = (_ranked_topk(
-        _sims_from_dots(_numpy_pair_dots(
-            cand.join(F.broadcast(q), F.col("cid") != F.col("qid"))),
-            norms), 1)
+        _sims_from_dots(_bcast_query_dots(q, cand), norms), 1)
         .select("qid", F.col("cid").alias("tcid")))
 
     # Probe ranking: exact scaled-integer centroid distances (the

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .similarity import (_NORMS_DUCK, _SCALE, _norms, _numpy_pair_dots,
+from .similarity import (_NORMS_DUCK, _SCALE, _bcast_query_dots, _norms,
                          _ranked_topk, _sims_from_dots, dot_int64)
 
 # Fixed-point discount weights: w_i = round(1e6 / log2(i+1)), i = 1..10.
@@ -124,10 +124,8 @@ def ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("embedding").alias("qe")))
     cand = emb.select(F.col("vec_id").alias("cid"),
                       F.col("embedding").alias("ce"))
-    pairs_x = cand.join(F.broadcast(q.select("qid", "qe")),
-                        F.col("cid") != F.col("qid"))
     exact10 = _ranked_topk(
-        _sims_from_dots(_numpy_pair_dots(pairs_x), norms), 10)
+        _sims_from_dots(_bcast_query_dots(q, cand), norms), 10)
     grades = exact10.select(
         "qid", "cid",
         F.when(F.col("rank") == 1, 3)

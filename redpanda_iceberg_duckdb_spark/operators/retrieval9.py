@@ -24,9 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .similarity import (_DOT_DUCK, _NORMS_DUCK, _SCALE, _norms,
-                         _numpy_pair_dots, _ranked_topk, _sims_from_dots,
-                         dot_int64)
+from .similarity import (_DOT_DUCK, _NORMS_DUCK, _SCALE, _bcast_query_dots,
+                         _norms, _ranked_topk, _sims_from_dots, dot_int64)
 
 _RR_LCM = 2520          # lcm(1..10): 2520/rank is an exact integer
 _MMR_QID = 0
@@ -101,10 +100,8 @@ def ann_mrr_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("embedding").alias("qe")))
     cand = emb.select(F.col("vec_id").alias("cid"),
                       F.col("embedding").alias("ce"))
-    pairs_x = cand.join(F.broadcast(q.select("qid", "qe")),
-                        F.col("cid") != F.col("qid"))
     exact1 = (_ranked_topk(
-        _sims_from_dots(_numpy_pair_dots(pairs_x), norms), 1)
+        _sims_from_dots(_bcast_query_dots(q, cand), norms), 1)
         .select("qid", F.col("cid").alias("tcid")))
     cand_cell = emb.select(F.col("vec_id").alias("cid"), "label",
                            F.col("embedding").alias("ce"))

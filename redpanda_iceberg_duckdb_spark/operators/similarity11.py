@@ -174,8 +174,8 @@ def hyperplane_lsh_near_dups(spark: SparkSession,
     e2 = emb.select(F.col("vec_id").alias("v2"),
                     F.col("embedding").alias("q2"))
     pairs = cand.join(e1, "v1").join(e2, "v2")
-    # Candidate-pair dots through the Arrow/numpy path (similarity.py
-    # _numpy_pair_dots shape) instead of the interpreted JVM
+    # Candidate-pair dots through the Arrow/numpy path (the similarity.py
+    # int64-lattice shape) instead of the interpreted JVM
     # aggregate/zip_with fold — the r11-documented CodegenFallback cost,
     # now off the hot path. Same exact int64-lattice math.
     def pair_dots(batches):

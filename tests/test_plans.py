@@ -90,6 +90,32 @@ def test_cosine_topk_ships_candidates_once(spark, sf_smoke):
     assert "ce#" not in plan and "qe#" not in plan
 
 
+def test_exact_reference_family_ships_candidates_once(spark, sf_smoke):
+    """r15 batch-9 shape: every exact-cosine ground-truth side (the
+    recall/MRR/NDCG references and hard-negative mining) uses the shared
+    _bcast_query_dots helper — the gate-bounded query block rides a
+    broadcast variable into ONE MapInPandas over the candidate scan, so
+    the pair-expanding BroadcastNestedLoopJoin (both embeddings shipped
+    through Arrow per (q, c) pair) is gone from the exact side. The IVF/
+    ADC comparison sides keep their equi-joins (BroadcastHashJoin).
+    The two trained variants (ivf_pq_trained_recall, ann_recall_retrained)
+    share the identical helper call and are left unbuilt here — their
+    plan construction runs a full training loop."""
+    for name in ("ann_ivf_recall_at_k", "ann_mrr_at_10", "ndcg_at_10",
+                 "hard_negative_mining", "pq_adc_recall_at_5",
+                 "ivf_pq_recall_at_5"):
+        plan = plans.physical_plan(_q(spark, sf_smoke, name))
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:1200])
+        assert "MapInPandas" in plan, name
+    # ann_recall_mrr_by_nprobe legitimately keeps 3 nested loops (two
+    # bounded scalar crosses + the cell_rn <= np probe-level expansion);
+    # the 4th — the exact side's NOT(cid=qid) pair expansion — is gone.
+    plan = plans.physical_plan(
+        _q(spark, sf_smoke, "ann_recall_mrr_by_nprobe"))
+    assert plan.count(") BroadcastNestedLoopJoin") == 3, plan[:1200]
+    assert "MapInPandas" in plan
+
+
 def test_q2_style_broadcasts_dims_single_shuffle(spark, sf_smoke):
     df = _q(spark, sf_smoke, "tpch_q2_min_cost_supplier")
     plan = plans.physical_plan(df)
