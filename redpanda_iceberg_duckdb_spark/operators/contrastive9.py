@@ -76,13 +76,24 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = (_sims_from_dots(_bcast_query_dots(q, cand), norms)
         .join(F.broadcast(q.select("qid", "qlabel")), "qid")
         .join(cand.select("cid", "clabel"), "cid"))
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), "cid")
-    neg = (sims.filter(F.col("clabel") != F.col("qlabel"))
+    # One window over (qid, is_pos) picks the hardest negative AND the
+    # nearest positive in a single corpus pass — rn=1 inside each
+    # is_pos partition is exactly the per-branch rn=1 the old two-branch
+    # form computed, but the |Q| x N sims frame is now evaluated once
+    # instead of once per branch (the plan carried 2 MapInPandas
+    # before). The survivors frame is <=2|Q| rows by construction, so
+    # the eager checkpoint before the self-join is a bounded
+    # materialisation (r10 multi-branch lesson).
+    w = W.partitionBy("qid", "is_pos").orderBy(F.desc("sim"), "cid")
+    top = (sims.withColumn(
+               "is_pos", F.col("clabel") == F.col("qlabel"))
            .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+           .select("qid", "is_pos", "cid", "sim")
+           .localCheckpoint(eager=True))
+    neg = (top.filter(~F.col("is_pos"))
            .select("qid", F.col("cid").alias("hn_cid"),
                    F.col("sim").alias("hn_sim")))
-    pos = (sims.filter(F.col("clabel") == F.col("qlabel"))
-           .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    pos = (top.filter(F.col("is_pos"))
            .select("qid", F.col("cid").alias("np_cid"),
                    F.col("sim").alias("np_sim")))
     return (neg.join(pos, "qid")

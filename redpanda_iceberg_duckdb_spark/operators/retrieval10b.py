@@ -126,10 +126,15 @@ def ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("embedding").alias("ce"))
     exact10 = _ranked_topk(
         _sims_from_dots(_bcast_query_dots(q, cand), norms), 10)
+    # grades feeds BOTH the ideal (idcg) and realised (dcg) branches; it
+    # is <=|Q| x 10 rows by construction, so one eager checkpoint stops
+    # the whole exact-dot corpus pass from re-running per branch
+    # (r10 multi-branch lesson; the plan carried 2 MapInPandas before).
     grades = exact10.select(
         "qid", "cid",
         F.when(F.col("rank") == 1, 3)
-        .when(F.col("rank") <= 5, 2).otherwise(1).alias("rel"))
+        .when(F.col("rank") <= 5, 2).otherwise(1).alias("rel")
+    ).localCheckpoint(eager=True)
     wi_ideal = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
     ideal = (grades
              .withColumn("irank", F.row_number().over(wi_ideal))

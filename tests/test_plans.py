@@ -101,12 +101,21 @@ def test_exact_reference_family_ships_candidates_once(spark, sf_smoke):
     The two trained variants (ivf_pq_trained_recall, ann_recall_retrained)
     share the identical helper call and are left unbuilt here — their
     plan construction runs a full training loop."""
-    for name in ("ann_ivf_recall_at_k", "ann_mrr_at_10", "ndcg_at_10",
-                 "hard_negative_mining", "pq_adc_recall_at_5",
-                 "ivf_pq_recall_at_5"):
+    for name in ("ann_ivf_recall_at_k", "ann_mrr_at_10",
+                 "pq_adc_recall_at_5", "ivf_pq_recall_at_5"):
         plan = plans.physical_plan(_q(spark, sf_smoke, name))
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:1200])
         assert "MapInPandas" in plan, name
+    # ndcg_at_10 / hard_negative_mining additionally eager-checkpoint the
+    # bounded survivors of the exact side (batch 10), so the MapInPandas
+    # pass runs once at build time and the visible plan reads the
+    # checkpointed RDD instead of re-running the corpus subtree per
+    # branch (it carried 2 MapInPandas before).
+    for name in ("ndcg_at_10", "hard_negative_mining"):
+        plan = plans.physical_plan(_q(spark, sf_smoke, name))
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:1200])
+        assert "MapInPandas" not in plan, name
+        assert "Scan ExistingRDD" in plan, name
     # ann_recall_mrr_by_nprobe legitimately keeps 3 nested loops (two
     # bounded scalar crosses + the cell_rn <= np probe-level expansion);
     # the 4th — the exact side's NOT(cid=qid) pair expansion — is gone.
