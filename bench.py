@@ -3,11 +3,17 @@
 wall-clock seconds. Timing includes plan + execution + result fetch
 (count of the final DataFrame), excluding JVM startup.
 
-Methodology: each query runs twice and reports the faster run —
-steady-state throughput (first execution pays one-time whole-stage-codegen
-compilation of that query's generated code, which on a real cluster is
-amortized across repeated/parameterized runs). Cold times are printed to
-stderr alongside.
+Methodology: each headline query runs three times and reports the fastest
+run (extras run twice) — steady-state throughput (first execution pays
+one-time whole-stage-codegen compilation of that query's generated code,
+which on a real cluster is amortized across repeated/parameterized runs).
+Cold times and every repeat are printed to stderr alongside. The headline
+repeat count went 2 -> 3 in round 16 (r15 verdict item 5): at sf0.1 every
+headline query sits at the per-job scheduling floor and min-of-2 produced
+two consecutive rounds of phantom regressions; the timed action and the
+warm-min semantics are unchanged. A box-speed canary (ppjoin_exact_pairs)
+is additionally timed immediately before the headline loop and published
+as "canary_pre" next to the extras-time "canary".
 """
 
 from __future__ import annotations
@@ -32,16 +38,41 @@ def main() -> None:
     # Warm the JVM + file listing once with the cheapest action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Box-speed canary BEFORE the headline loop (r15 verdict item 9: the
+    # extras-time canary lands minutes after the headline loop, so headline
+    # adjudication needed an 8-core cross-check two rounds running). Same
+    # query, same warm-min-of-2 discipline as its extras entry; the extras
+    # loop still times it independently for the historical "canary" key.
+    canary_q = all_queries()["ppjoin_exact_pairs"]
+    pre_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        canary_q.fn(spark, sf_dir).count()
+        pre_runs.append(time.perf_counter() - t0)
+    canary_pre = round(min(pre_runs), 3)
+    print(f"# canary_pre ppjoin_exact_pairs: warm {canary_pre:.3f}s "
+          f"cold {max(pre_runs):.3f}s", file=sys.stderr)
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in names:
         q = all_queries()[name]
         runs = []
-        for _ in range(2):
+        # r16: min-of-3 (was min-of-2). At sf0.1 every headline query sits
+        # at the per-job fixed-cost floor (PERF_r15 scaling block: 8 cores
+        # ~= 32 cores), so a single slow repeat dominated by scheduler
+        # noise produced two rounds of phantom headline "regressions"
+        # (r14, r15 — both re-adjudicated flat). One extra repetition per
+        # query (~+15 s bench wall) kills most of that variance; the timed
+        # action and the warm-min semantics are unchanged (r15 verdict
+        # item 5). All repeats go to stderr so re-run variance is visible.
+        for _ in range(3):
             t0 = time.perf_counter()
             n = q.fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         print(f"# {name}: warm {min(runs):.3f}s cold {max(runs):.3f}s "
+              f"runs {[round(r, 3) for r in runs]} "
               f"({n} rows)", file=sys.stderr)
         # Queries that persist intermediates (LSH signature tables, KMV
         # sketches) would otherwise leak cached partitions into every later
@@ -253,6 +284,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "canary": {"ppjoin_exact_pairs": extras.get("ppjoin_exact_pairs")},
+        # r16 (verdict item 9): the same canary timed immediately BEFORE
+        # the headline loop — headline totals are comparable cross-round
+        # via total/canary_pre without waiting for the extras-time value.
+        "canary_pre": {"ppjoin_exact_pairs": canary_pre},
     }))
     spark.stop()
 

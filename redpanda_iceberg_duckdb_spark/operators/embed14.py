@@ -44,29 +44,55 @@ _CUTS = (8, 16, 32, 64)
 _QMOD = 50          # query subset: vec_id % _QMOD == 0
 
 
-def _prefix_dots(pairs: DataFrame) -> DataFrame:
-    """(qid, cid, d, dot): scaled-int prefix dots at every cut, one numpy
-    pass (the similarity.py int64 pair-dot lattice generalized to
-    prefix sums)."""
+def _bcast_prefix_dots(q: DataFrame, cand: DataFrame) -> DataFrame:
+    """(qid, cid, d, dot): scaled-int prefix dots at every cut — the
+    prefix-sum generalization of similarity._bcast_query_dots (r16,
+    verdict item 3: this was the one surviving pair-expanding shape after
+    the r15 batch-9 conversion, because it needs per-prefix dots).
+
+    The query block is collected once (same bounded-block convention —
+    the old shape BROADCAST the identical block into a
+    BroadcastNestedLoopJoin, so the driver/executor footprint is
+    unchanged) and rides a cached broadcast variable into ONE mapInPandas
+    over the candidate scan: each candidate embedding crosses the Python
+    boundary exactly once instead of |Q| times, and the pair join leaves
+    the plan. Per batch and query j: el = floor(cm * qm[j] * 1e12) int64,
+    prefix-summed along dims — elementwise IEEE multiply is commutative,
+    so el (and hence every cut's cumsum) is bit-identical to the retired
+    pair form's floor(qe * ce * 1e12). Self-pairs are masked per query
+    slice before materializing (one |batch|-row frame per (query, cut) —
+    the _bcast_query_dots memory discipline). Build-time side effect:
+    the q.collect() job runs at DataFrame-construction time (see
+    similarity._bcast_query_dots docstring)."""
+    from .similarity import _query_block_broadcast
+
+    spark = cand.sparkSession
+    qrows = q.select("qid", "qe").collect()
+    qids = [int(r["qid"]) for r in qrows]
+    qvecs = [list(r["qe"]) for r in qrows]
+    bc = _query_block_broadcast(spark, qids, qvecs)
 
     def compute(batches):
+        qid_arr = np.array(bc.value[0], dtype=np.int64)
+        qm = np.array(bc.value[1], dtype=np.float64)
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or len(qid_arr) == 0:
                 continue
-            qm = np.array(list(pdf["qe"]), dtype=np.float64)
             cm = np.array(list(pdf["ce"]), dtype=np.float64)
-            el = np.floor(qm * cm * 1e12).astype(np.int64)
-            cums = el.cumsum(axis=1)
-            frames = []
-            for d in _CUTS:
-                frames.append(pd.DataFrame({
-                    "qid": pdf["qid"].to_numpy(),
-                    "cid": pdf["cid"].to_numpy(),
-                    "d": np.full(len(pdf), d, dtype=np.int32),
-                    "dot": cums[:, d - 1].astype(np.float64)}))
-            yield pd.concat(frames)
+            cids = pdf["cid"].to_numpy()
+            for j in range(len(qid_arr)):
+                el = np.floor(cm * qm[j] * 1e12).astype(np.int64)
+                cums = el.cumsum(axis=1)
+                mask = cids != qid_arr[j]
+                n = int(mask.sum())
+                for d in _CUTS:
+                    yield pd.DataFrame({
+                        "qid": np.full(n, qid_arr[j], dtype=np.int64),
+                        "cid": cids[mask],
+                        "d": np.full(n, d, dtype=np.int32),
+                        "dot": cums[mask, d - 1].astype(np.float64)})
 
-    return pairs.select("qid", "cid", "qe", "ce").mapInPandas(
+    return cand.select("cid", "ce").mapInPandas(
         compute, schema="qid long, cid long, d int, dot double")
 
 
@@ -152,9 +178,11 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
     c = emb.select(F.col("vec_id").alias("cid"),
                    F.col("embedding").alias("ce"))
-    pairs = (c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
-             .select("qid", "cid", "qe", "ce"))
-    dots = _prefix_dots(pairs)
+    # r16 (verdict item 3): the pair-expanding BroadcastNestedLoopJoin
+    # (both embeddings shipped through Arrow per (q, c) pair) is gone —
+    # the query block rides a broadcast variable into one mapInPandas
+    # over the candidate scan (_bcast_prefix_dots docstring).
+    dots = _bcast_prefix_dots(q, c)
     norms = _prefix_norms(emb)
     qn = F.broadcast(norms.select(F.col("vec_id").alias("qid"),
                                   F.col("d"), F.col("nrm").alias("qn"))

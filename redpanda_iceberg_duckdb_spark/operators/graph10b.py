@@ -84,9 +84,21 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same edge spec as graph10d.copurchase_edges (pop cap _POP_CAP):
     # memoized per (application, dataset) since k-core and LPA iterate
     # over the identical graph — the ~6 s build is paid once per dataset.
-    from .graph10d import copurchase_edges
-    edges = copurchase_edges(spark, sf_dir)
+    from ..dataset_cache import data_fingerprint
     from ..session import iterate_partitions, pinned_shuffle_partitions
+    from .graph10d import copurchase_edges, copurchase_vertex_count
+    from .graph_iterate import iterate_join_strategy
+
+    # r16 (verdict item 2): the r15 broadcast hints on the O(V)
+    # frontier/visited iterates are gated on the measured vertex count;
+    # above the gate the edge table is hash-partitioned by src once
+    # (pay-once layout, guide §2.4) and the per-hop joins shuffle only
+    # the iterate side — the fallback the r15 comments promised.
+    edges, hint = iterate_join_strategy(
+        spark, copurchase_edges(spark, sf_dir), "src",
+        copurchase_vertex_count(spark, sf_dir),
+        ("copurchase", data_fingerprint(sf_dir, "orders", "lineitem")
+         or sf_dir))
 
     nodes = baskets.select("c").distinct()
     lm = edges.agg(F.min("src").alias("lmc"))
@@ -100,15 +112,10 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache): 2.9 -> 1.4 s.
     with pinned_shuffle_partitions(spark, iterate_partitions(spark)):
         for k in range(1, _HOPS + 1):
-            # Broadcast hints (guide §3.1): frontier/visited are O(V)
-            # iterates behind stat-less checkpointed RDDs — without the
-            # hints the planner re-shuffles the whole edge table by src
-            # every hop (same rationale + cluster-scale caveat as
-            # graph14.bfs).
-            nxt = (edges.join(F.broadcast(frontier),
+            nxt = (edges.join(hint(frontier),
                               frontier["c"] == edges["src"])
                    .select(F.col("dst").alias("c")).distinct()
-                   .join(F.broadcast(dist.select("c")), "c", "left_anti")
+                   .join(hint(dist.select("c")), "c", "left_anti")
                    .withColumn("d", F.lit(k)))
             nxt = nxt.localCheckpoint()  # bound the iterative plan depth
             dist = dist.union(nxt)

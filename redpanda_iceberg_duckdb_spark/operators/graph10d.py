@@ -63,6 +63,18 @@ e AS (
   JOIN baskets b ON b.p = a.p AND b.c <> a.c)"""
 
 
+def copurchase_vertex_count(spark: SparkSession, sf_dir: str) -> int:
+    """Vertex count of the co-purchase graph — the iterate-row bound the
+    r16 broadcast gate checks (graph_iterate module docstring). One count
+    job per (application, dataset), shared by the five loop queries that
+    iterate over this graph."""
+    from .graph_iterate import vertex_count
+    return vertex_count(
+        spark, copurchase_edges(spark, sf_dir), "src",
+        ("copurchase",
+         data_fingerprint(sf_dir, "orders", "lineitem") or sf_dir))
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (src, dst) rare-part co-purchase edges, checkpointed and
     memoized per (application, dataset) — shared by BFS / k-core / LPA."""
@@ -126,19 +138,26 @@ def kcore_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     early exit when a round removes nothing (idempotent, so bit-equal to
     the oracle's unrolled rounds — module docstring)."""
     from ..session import iterate_partitions, pinned_shuffle_partitions
+    from .graph_iterate import iterate_join_strategy
 
-    edges = copurchase_edges(spark, sf_dir)
+    # r16 (verdict item 2): the r15 broadcast hints on the O(V) survivor
+    # iterate are now gated on the measured vertex count — under the gate
+    # the per-round joins stay BroadcastHashJoin (edge table never moves);
+    # above it (the 100 TB regime, where an O(V) broadcast is an executor
+    # OOM) the edge table is hash-partitioned by src once and persisted
+    # and the src leg shuffles only the iterate; the dst leg is then a
+    # plain shuffle join — the honest cost past the gate.
+    edges, hint = iterate_join_strategy(
+        spark, copurchase_edges(spark, sf_dir), "src",
+        copurchase_vertex_count(spark, sf_dir),
+        ("copurchase", data_fingerprint(sf_dir, "orders", "lineitem")
+         or sf_dir))
 
     def _deg(surv: DataFrame) -> DataFrame:
-        # Broadcast hints (guide §3.1): the survivor set is an O(V)
-        # iterate behind a stat-less checkpointed RDD — without the hints
-        # the planner re-shuffles the whole edge table for both legs of
-        # every peel round (same rationale + cluster-scale caveat as
-        # graph14.bfs).
         return (edges
-                .join(F.broadcast(surv.withColumnRenamed("c", "src")),
+                .join(hint(surv.withColumnRenamed("c", "src")),
                       "src")
-                .join(F.broadcast(surv.withColumnRenamed("c", "dst")),
+                .join(hint(surv.withColumnRenamed("c", "dst")),
                       "dst")
                 .groupBy("src").agg(F.count(F.lit(1)).alias("dg")))
 
@@ -200,8 +219,16 @@ def label_propagation_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous min-tie-break label-propagation rounds over the rare-part
     co-purchase graph (module docstring)."""
     from ..session import iterate_partitions, pinned_shuffle_partitions
+    from .graph_iterate import iterate_join_strategy
 
-    edges = copurchase_edges(spark, sf_dir)
+    # r16 (verdict item 2): broadcast hint gated on vertex count; above
+    # the gate the edge table is pre-partitioned by src once (pay-once
+    # layout) and only the O(V) label iterate shuffles per round.
+    edges, hint = iterate_join_strategy(
+        spark, copurchase_edges(spark, sf_dir), "src",
+        copurchase_vertex_count(spark, sf_dir),
+        ("copurchase", data_fingerprint(sf_dir, "orders", "lineitem")
+         or sf_dir))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     # r15 optimization (guide §2.2): label tables are O(V) iterates —
@@ -210,13 +237,8 @@ def label_propagation_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1/local[32]: 4.5 -> 1.9 s warm.
     with pinned_shuffle_partitions(spark, iterate_partitions(spark)):
         for _ in range(_LPA_ROUNDS):
-            # Broadcast hint (guide §3.1): the label table is an O(V)
-            # iterate behind a stat-less checkpointed RDD — without the
-            # hint the planner re-shuffles the whole edge table by src
-            # every round (same rationale + cluster-scale caveat as
-            # graph14.bfs).
             scores = (edges
-                      .join(F.broadcast(
+                      .join(hint(
                           labels.withColumnRenamed("node", "src")), "src")
                       .groupBy(F.col("dst").alias("node"), "label")
                       .agg(F.count(F.lit(1)).alias("cnt")))

@@ -90,7 +90,19 @@ def sssp_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
          .unionAll(ew.select((F.col("s") * 2 + 1).alias("src"),
                              (F.col("c") * 2).alias("dst"), "w"))
          .localCheckpoint(eager=False))  # 6 reuses: cut the lineage once
+    from ..dataset_cache import data_fingerprint
     from ..session import iterate_partitions, pinned_shuffle_partitions
+    from .graph_iterate import iterate_join_strategy, vertex_count
+
+    # r16 (verdict item 2): the r15 broadcast hint on the O(V) distance
+    # iterate is gated on the measured trade-graph vertex count (memoized
+    # per dataset — one count job shared by repeated calls); above the
+    # gate the weighted edge table is hash-partitioned by src once and
+    # each relaxation round shuffles only the iterate.
+    fp = ("trade_sssp",
+          data_fingerprint(sf_dir, "orders", "lineitem") or sf_dir)
+    e, hint = iterate_join_strategy(
+        spark, e, "src", vertex_count(spark, e, "src", fp), fp)
 
     lm = e.agg(F.min("src").alias("n"))
     d = (e.join(F.broadcast(lm), e["src"] == F.col("n"))
@@ -103,12 +115,7 @@ def sssp_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warm.
     with pinned_shuffle_partitions(spark, iterate_partitions(spark)):
         for _ in range(_ROUNDS):
-            # Broadcast hint (guide §3.1): the distance table is an O(V)
-            # iterate behind a stat-less checkpointed RDD — without the
-            # hint the planner re-shuffles the whole weighted edge table
-            # by src every round (same rationale + cluster-scale caveat
-            # as graph14.bfs).
-            relaxed = (e.join(F.broadcast(d), d["node"] == e["src"])
+            relaxed = (e.join(hint(d), d["node"] == e["src"])
                        .select(F.col("dst").alias("node"),
                                (F.col("dist") + F.col("w")).alias("dist")))
             d = (relaxed.unionByName(d)

@@ -66,28 +66,32 @@ def double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(landmark, ecc_landmark, far_node, diameter_lb, n_reached):
     hop-capped double-sweep BFS diameter lower bound (module
     docstring)."""
+    from ..dataset_cache import data_fingerprint
     from ..session import iterate_partitions, pinned_shuffle_partitions
-    from .graph10d import copurchase_edges
+    from .graph10d import copurchase_edges, copurchase_vertex_count
+    from .graph_iterate import iterate_join_strategy
 
-    edges = copurchase_edges(spark, sf_dir)
+    # r16 (verdict item 2): the r15 broadcast hints (frontier/visited are
+    # O(V) iterates behind stat-less checkpointed RDDs — without a hint
+    # the planner re-shuffled the WHOLE edge table by src every hop) are
+    # now gated on the measured vertex count; above the gate the edge
+    # table is hash-partitioned by src once (pay-once layout, guide §2.4
+    # — the pre-bucketing fallback r15 only promised in this comment) and
+    # each hop shuffles only the iterate side.
+    edges, hint = iterate_join_strategy(
+        spark, copurchase_edges(spark, sf_dir), "src",
+        copurchase_vertex_count(spark, sf_dir),
+        ("copurchase", data_fingerprint(sf_dir, "orders", "lineitem")
+         or sf_dir))
 
     def bfs(source_df: DataFrame) -> DataFrame:
         dist = source_df.select("c", F.lit(0).alias("d"))
         frontier = dist
         for k in range(1, _HOPS + 1):
-            # r15 optimization (guide §3.1): frontier and visited are
-            # O(V) iterates but arrive as checkpointed RDDs whose stats
-            # Catalyst does not know, so the planner shuffled the WHOLE
-            # edge table by src EVERY hop (localCheckpoint does not
-            # preserve partitioning — measured). Explicit broadcast
-            # hints keep the edge table unshuffled across all 12 hops —
-            # the pagerank_converged rank-side convention; at cluster
-            # scale where V outgrows broadcast you would drop the hints
-            # and pre-bucket the edge table by src instead.
-            nxt = (edges.join(F.broadcast(frontier),
+            nxt = (edges.join(hint(frontier),
                               frontier["c"] == edges["src"])
                    .select(F.col("dst").alias("c")).distinct()
-                   .join(F.broadcast(dist.select("c")), "c", "left_anti")
+                   .join(hint(dist.select("c")), "c", "left_anti")
                    .withColumn("d", F.lit(k))
                    .localCheckpoint())      # bound the iterative plan depth
             dist = dist.union(nxt)

@@ -97,9 +97,20 @@ def shortest_path_dag_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(level, n_nodes, sigma_total, sigma_max, argmax_node): exact
     shortest-path counts per BFS level from the min-id landmark, 6-hop
     cap (module docstring)."""
+    from ..dataset_cache import data_fingerprint
     from ..session import iterate_partitions, pinned_shuffle_partitions
+    from .graph10d import copurchase_vertex_count
+    from .graph_iterate import iterate_join_strategy
 
-    edges = copurchase_edges(spark, sf_dir)
+    # r16 (verdict item 2): level/settled broadcast hints gated on the
+    # measured vertex count; above the gate the edge table is
+    # hash-partitioned by src once and only the O(V) iterate shuffles
+    # per level (graph_iterate module docstring).
+    edges, hint = iterate_join_strategy(
+        spark, copurchase_edges(spark, sf_dir), "src",
+        copurchase_vertex_count(spark, sf_dir),
+        ("copurchase", data_fingerprint(sf_dir, "orders", "lineitem")
+         or sf_dir))
     lm = edges.agg(F.min("src").alias("node")).select(
         "node", F.lit(1).cast("long").alias("sig"))
     # r15 optimization (guide §2.2): per-level frames are O(V) iterates;
@@ -112,12 +123,8 @@ def shortest_path_dag_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         settled = levels[0].select("node")
         for _ in range(1, _HOPS + 1):
             prev = levels[-1].select(F.col("node").alias("src"), "sig")
-            # Broadcast hints (guide §3.1): level/settled frames are O(V)
-            # iterates behind stat-less checkpointed RDDs — without the
-            # hints the planner re-shuffles the whole edge table by src
-            # every level (same rationale + caveat as graph14.bfs).
-            nxt = (edges.join(F.broadcast(prev), "src")
-                   .join(F.broadcast(settled),
+            nxt = (edges.join(hint(prev), "src")
+                   .join(hint(settled),
                          edges["dst"] == settled["node"], "left_anti")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum("sig").cast("long").alias("sig"))

@@ -20,6 +20,7 @@ def test_extended_oracle_smoke(spark, sf_smoke, name):
     run_compare(spark, all_queries()[name], sf_smoke)
 
 
+@pytest.mark.oracle_sf2
 @pytest.mark.parametrize("name", EXTENDED)
 def test_extended_oracle_sf001(spark, sf_correct, name):
     run_compare(spark, all_queries()[name], sf_correct)

@@ -121,7 +121,15 @@ def test_exact_reference_family_ships_candidates_once(spark, sf_smoke):
     # the 4th — the exact side's NOT(cid=qid) pair expansion — is gone.
     plan = plans.physical_plan(
         _q(spark, sf_smoke, "ann_recall_mrr_by_nprobe"))
-    assert plan.count(") BroadcastNestedLoopJoin") == 3, plan[:1200]
+    # Count detail-section node headers "(N) BroadcastNestedLoopJoin"
+    # (ADVICE r15: the old ") "-anchored substring count silently depended
+    # on plan-string punctuation — a formatting change would make it 0 and
+    # fail confusingly; a bare substring count would be ~2x, since the
+    # formatted explain lists each node in both tree and details).
+    import re
+    n_bnlj = len(re.findall(r"(?m)^\(\d+\)\s+BroadcastNestedLoopJoin\b",
+                            plan))
+    assert n_bnlj == 3, (n_bnlj, plan[:1200])
     assert "MapInPandas" in plan
 
 

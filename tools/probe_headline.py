@@ -1,14 +1,14 @@
-"""Round-15 optimization probe: time headline (+ selected heavy extras)
-queries with bench.py's exact methodology (2 runs, warm min, count()
-action) and capture .explain('formatted') plans to plans/r15/.
+"""Optimization probe: time headline (+ selected heavy extras) queries
+with bench.py's exact methodology (2 runs, warm min, count() action) and
+capture .explain('formatted') plans to plans/<round>/.
 
 Usage:
     python tools/probe_headline.py [--plans-suffix before|after] \
-        [--only q1,q2,...] [--extras] [--sf-dir DIR]
+        [--only q1,q2,...] [--extras] [--sf-dir DIR] [--plans-round r16]
 
 Runs on an otherwise-idle box (verify skill: never time against a
 concurrent Spark session). Writes per-query seconds to stdout and the
-plan files to plans/r15/<name>_<suffix>.txt.
+plan files to plans/<round>/<name>_<suffix>.txt.
 """
 
 from __future__ import annotations
@@ -44,6 +44,8 @@ def main() -> None:
                     help="also run the HEAVY_EXTRAS list")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--plans-round", default="r16",
+                    help="plans/<round>/ subdir for --plans-suffix files")
     args = ap.parse_args()
 
     spark = get_spark("probe_headline")
@@ -58,7 +60,7 @@ def main() -> None:
         names = [n.strip() for n in args.only.split(",")]
 
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+        os.path.abspath(__file__))), "plans", args.plans_round)
     if args.plans_suffix:
         os.makedirs(plans_dir, exist_ok=True)
 
