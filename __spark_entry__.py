@@ -137,6 +137,14 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # session (oracle_sim --changed, 26/26 + 26/26). The rest of the
     # flip set already holds slots above / in the window.
     "cluster_medoids", "matryoshka_recall_curve", "mmd_linear_label_pairs",
+    # r16 optimization: apply_delta's internal delta-sized d_pl frame is
+    # now eagerly checkpointed (3 branches stopped re-running its scan +
+    # shuffle per batch) — the three ivm queries re-run oracle-exact at
+    # BOTH sf0.01 and sf0.001 this round (oracle_sim --changed, 4/4 +
+    # 4/4; dedup_stream_tws_replay flipped in the same batch and already
+    # heads _VERIFY_FIRST).
+    "ivm_stream_refresh_replay", "ivm_retraction_replay",
+    "ivm_state_expected",
 ]
 
 

@@ -43,6 +43,8 @@ operator.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
@@ -55,7 +57,22 @@ _D_MS = 3_600_000             # 1-hour watermark delay, in ms
 
 def _write_chunked_events(spark: SparkSession, sf_dir: str, tmp: str) -> None:
     """Write the 4 event-time-quartile files (integer-div bucketing —
-    two scalar aggregates plus a map-side expression, no global sort)."""
+    two scalar aggregates plus a map-side expression, no global sort).
+
+    r16 (guide §1.2): ONE partitioned write job instead of 4 filtered
+    re-scans of events (one write job each) — at 100 TB that is 4 corpus
+    scans -> 1. repartition("chunk") gives each chunk exactly one owning
+    task, so each pchunk dir holds one file; the chunk value is
+    duplicated into the data column because the streaming reader lists
+    files recursively with an explicit schema (no partition inference).
+    Replay order must be chunk 0..3: the file-stream source takes files
+    oldest-first (modification time, path as tiebreak); a single
+    parallel write leaves near-tied mtimes, so pin strictly increasing
+    ones explicitly — the paths (pchunk=0 < pchunk=1 < ...) agree under
+    either ordering."""
+    import glob
+    import time as _t
+
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id",
                                                    "ts")
     lo, hi = e.agg(F.min(F.unix_micros("ts")),
@@ -67,9 +84,13 @@ def _write_chunked_events(spark: SparkSession, sf_dir: str, tmp: str) -> None:
                 F.least(F.expr(f"((unix_micros(ts) - lo) * {_N_CHUNKS}) "
                                "div (hi - lo + 1)"),
                         F.lit(_N_CHUNKS - 1)).cast("int").alias("chunk")))
+    (chunked.withColumn("pchunk", F.col("chunk"))
+     .repartition(_N_CHUNKS, "chunk")
+     .write.mode("overwrite").partitionBy("pchunk").parquet(tmp))
+    now = _t.time()
     for i in range(_N_CHUNKS):
-        (chunked.filter(F.col("chunk") == i).coalesce(1)
-         .write.parquet(f"{tmp}/c{i}"))
+        for f in glob.glob(os.path.join(tmp, f"pchunk={i}", "*.parquet")):
+            os.utime(f, (now + i, now + i))
 
 
 def chunked_tws_replay(spark: SparkSession, sf_dir: str, *,
