@@ -79,26 +79,39 @@ def main() -> None:
         # query's storage memory over the sequential run.
         spark.catalog.clearCache()
 
-    extras = skew_join_demo(spark, sf_dir)
-    extras.update(bucketed_join_demo(spark, sf_dir))
-    extras.update(ivm_scaling_demo(spark, sf_dir))
-    extras.update(eval_tier_scaling_demo(spark, sf_dir))
-    extras.update(lsh_scaling_demo(spark, sf_dir))
-    extras.update(fdr_scaling_demo(spark, sf_dir))
-    extras.update(lsh_dfcap_skew_demo(spark, sf_dir))
-    extras.update(pagerank_scaling_demo(spark, sf_dir))
-    extras.update(pagerank_hot_vertex_demo(spark, sf_dir))
-    extras.update(graph_trio_scaling_demo(spark, sf_dir))
-    extras.update(bpe_wordcount_demo(spark, sf_dir))
-    extras.update(pq_trained_demo(spark, sf_dir))
-    extras.update(substring_scaling_demo(spark, sf_dir))
-    extras.update(triangle_scaling_demo(spark, sf_dir))
-    extras.update(hashing_vs_dictionary_demo(spark, sf_dir))
-    extras.update(mutual_nn_scaling_demo(spark, sf_dir))
-    extras.update(cc_pathchoice_demo(spark, sf_dir))
+    # r16, test-only fast path: the driver-contract test validates the
+    # stdout line shape by RUNNING bench.py in a subprocess; the full
+    # demo + extras sweep (~300 queries) made that one test ~10 min of
+    # the default suite (the suite-overflow problem VERIFY_r15 flagged).
+    # With this env set, demos and extras are skipped except the canary
+    # (so every stdout key keeps its real type). The DRIVER NEVER SETS
+    # THIS — its invocation runs the identical full path as every prior
+    # round; headline timing above is untouched either way.
+    headline_only = os.environ.get(
+        "SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1"
+    extras: dict[str, float] = {}
+    if not headline_only:
+        extras.update(skew_join_demo(spark, sf_dir))
+        extras.update(bucketed_join_demo(spark, sf_dir))
+        extras.update(ivm_scaling_demo(spark, sf_dir))
+        extras.update(eval_tier_scaling_demo(spark, sf_dir))
+        extras.update(lsh_scaling_demo(spark, sf_dir))
+        extras.update(fdr_scaling_demo(spark, sf_dir))
+        extras.update(lsh_dfcap_skew_demo(spark, sf_dir))
+        extras.update(pagerank_scaling_demo(spark, sf_dir))
+        extras.update(pagerank_hot_vertex_demo(spark, sf_dir))
+        extras.update(graph_trio_scaling_demo(spark, sf_dir))
+        extras.update(bpe_wordcount_demo(spark, sf_dir))
+        extras.update(pq_trained_demo(spark, sf_dir))
+        extras.update(substring_scaling_demo(spark, sf_dir))
+        extras.update(triangle_scaling_demo(spark, sf_dir))
+        extras.update(hashing_vs_dictionary_demo(spark, sf_dir))
+        extras.update(mutual_nn_scaling_demo(spark, sf_dir))
+        extras.update(cc_pathchoice_demo(spark, sf_dir))
     # Round-7 heavy operators tracked per round without inflating the
     # headline series (which older rounds are compared against).
-    for name in ["shared_ngram_span_pairs", "semdedup_survivors",
+    for name in ["ppjoin_exact_pairs"] if headline_only else [
+                 "shared_ngram_span_pairs", "semdedup_survivors",
                  "winnow_fingerprints", "simhash_near_dup_pairs",
                  "ann_ivf_recall_at_k", "dedup_clusters",
                  # exact-vs-approx similarity-join trade (same corpus):

@@ -8,6 +8,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 import __spark_entry__ as entry_mod
 
 
@@ -68,7 +70,12 @@ def test_bench_emits_single_json_line(tmp_path):
     env.update({"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
                 "SPARK_GRAFT_CPUS": "8",
                 # never clobber the committed sf0.1 BENCH_EXTRAS.json
-                "SPARK_GRAFT_EXTRAS_OUT": extras_out})
+                "SPARK_GRAFT_EXTRAS_OUT": extras_out,
+                # r16: stdout-contract check only — skip the ~300-query
+                # extras sweep that made this one test ~10 min of the
+                # default suite (the driver never sets this; its bench
+                # run is the unchanged full path)
+                "SPARK_GRAFT_BENCH_HEADLINE_ONLY": "1"})
     res = subprocess.run(
         [sys.executable, "bench.py"],
         env=env, capture_output=True, text=True, cwd="/root/repo", timeout=1800)
@@ -225,13 +232,19 @@ def test_configure_session_is_set_free_when_configured(spark):
     assert calls == [], calls
 
 
+@pytest.mark.oracle_sf2
 def test_no_hugeint_oracle_outputs(spark, sf_smoke):
     """The driver's value hash is TYPE-sensitive: DuckDB widens sum(BIGINT)
     to HUGEINT, which hash-mismatches Spark's bigint even when every value
     is identical (the round-2 sequence_packing_bins red row). Enforce the
     cast discipline registry-wide at the schema level — no oracle may emit
     HUGEINT/INT128, and integer/double/string class mismatches vs the Spark
-    schema are errors too."""
+    schema are errors too.
+
+    Second-tier marker (r16 item 1): this is a ~3 min registry-wide
+    static guard against NEW oracle SQL — build-round code, not anything
+    the default verify window needs to re-prove; it runs with the
+    oracle_sf2 tier."""
     import duckdb
 
     from tests.oracle_harness import duckdb_conn
