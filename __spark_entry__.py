@@ -145,6 +145,14 @@ _PENDING_NEXT_WINDOW: list[str] = [
     # heads _VERIFY_FIRST).
     "ivm_stream_refresh_replay", "ivm_retraction_replay",
     "ivm_state_expected",
+    # r16 scan-audit collapse batch (items 7): the dense-hourly /
+    # two-histogram / ratings-CTE multi-branch recomputes checkpointed
+    # once (timeseries10, stats14, stats15, rater15) — all 11 flipped
+    # queries re-run oracle-exact at BOTH sf0.01 and sf0.001 this round
+    # (oracle_sim --changed, 11/11 + 11/11; the other 7 already hold
+    # slots above / in the window).
+    "acf_hourly_lags", "anderson_darling_value", "crosscorr_lead_lag",
+    "friedman_test_type_day", "ljung_box_hourly", "page_hinkley_hourly",
 ]
 
 

@@ -105,7 +105,17 @@ def krippendorff_alpha_labels(spark: SparkSession,
     one final double division."""
     d = load_table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("kripp15_docs")
-    return spark.sql(
+    # r16 scan-audit collapse (guide §2.4 / r10 multi-branch lesson):
+    # Spark inlines CTEs, so mu/muc/cells re-derived the ratings CTE —
+    # and with it the documents scan INCLUDING the fat text column (the
+    # c40 substr) — 21 times in one plan. Materialize the narrow
+    # (doc_id, rater, cat) ratings frame once (3 rows per doc, no text)
+    # and run the tail over the checkpointed RDD: 21 text-bearing corpus
+    # scans -> 1.
+    r = spark.sql(
         "WITH "
         + _RATINGS_TMPL.format(DOCS="kripp15_docs", MD5=_MD5_SPARK).strip()
-        + "," + _ALPHA_TAIL)
+        + " SELECT * FROM r").localCheckpoint(eager=True)
+    r.createOrReplaceTempView("kripp15_r")
+    return spark.sql(
+        "WITH r AS (SELECT * FROM kripp15_r)," + _ALPHA_TAIL)

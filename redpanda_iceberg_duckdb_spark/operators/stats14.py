@@ -65,7 +65,12 @@ def ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the 1e-9 lattice before the integer sum (module docstring); the
     autocorrelation numerators/denominator are the exact N-scaled bigint
     moments of acf_hourly_lags."""
-    d = _dense_hourly(spark, sf_dir, F.lit(True))
+    # r16 scan-audit collapse (guide §2.4 / r10 multi-branch lesson): the
+    # dense hourly frame fed every downstream branch separately — one
+    # eager checkpoint of the O(hours) frame makes the rest parquet-free
+    # (the acf_hourly_lags fix, same family: 14x/8x events scans -> 2).
+    d = _dense_hourly(spark, sf_dir, F.lit(True)).localCheckpoint(
+        eager=True)
     t = d.agg(F.count(F.lit(1)).cast("long").alias("n"),
               F.sum("c").cast("long").alias("s"))
     z = (d.crossJoin(F.broadcast(t))
@@ -128,7 +133,12 @@ def page_hinkley_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Returns the sup, its first hour, and the unscaled value.
     The cumulative windows run over the hour grid (time-range-bounded,
     the runs_test allowance class)."""
-    d = _dense_hourly(spark, sf_dir, F.lit(True))
+    # r16 scan-audit collapse (guide §2.4 / r10 multi-branch lesson): the
+    # dense hourly frame fed every downstream branch separately — one
+    # eager checkpoint of the O(hours) frame makes the rest parquet-free
+    # (the acf_hourly_lags fix, same family: 14x/8x events scans -> 2).
+    d = _dense_hourly(spark, sf_dir, F.lit(True)).localCheckpoint(
+        eager=True)
     t = d.agg(F.count(F.lit(1)).cast("long").alias("n"),
               F.sum("c").cast("long").alias("s"))
     z = (d.crossJoin(F.broadcast(t))

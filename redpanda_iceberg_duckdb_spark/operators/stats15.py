@@ -404,10 +404,18 @@ def hodges_lehmann_quantity_shift(spark: SparkSession,
           .filter(F.col("l_returnflag").isin("R", "N"))
           .select(F.col("l_quantity").cast("long").alias("qv"),
                   F.col("l_returnflag").alias("fl")))
-    ha = (li.filter(F.col("fl") == "R").groupBy("qv")
-          .agg(F.count(F.lit(1)).cast("long").alias("ca")))
-    hb = (li.filter(F.col("fl") == "N").groupBy("qv")
-          .agg(F.count(F.lit(1)).cast("long").alias("cb")))
+    # r16 scan-audit collapse (guide §2.4 / r10 multi-branch lesson): the
+    # two histograms fed diff, the rank cumulation's self-join, and the
+    # n_r/n_n scalars — 14 lineitem scans in one plan. ONE scan builds
+    # the (flag, quantity) histogram (<= 2 x 50 rows), eagerly
+    # checkpointed; every branch reads the RDD (14 scans -> 1).
+    h2 = (li.groupBy("fl", "qv")
+          .agg(F.count(F.lit(1)).cast("long").alias("c"))
+          .localCheckpoint(eager=True))
+    ha = (h2.filter(F.col("fl") == "R")
+          .select("qv", F.col("c").alias("ca")))
+    hb = (h2.filter(F.col("fl") == "N")
+          .select("qv", F.col("c").alias("cb")))
     diff = (ha.crossJoin(hb.select(F.col("qv").alias("qb"), "cb"))
             .groupBy((F.col("qv") - F.col("qb")).alias("dv"))
             .agg(F.sum(F.col("ca") * F.col("cb")).alias("wt")))

@@ -76,7 +76,13 @@ def acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lag, n_pairs, acf): autocorrelation of the dense hourly event-count
     series at lags 1..8, exact N-scaled integer moments (module
     docstring)."""
-    d = _dense_hourly(spark, sf_dir, F.lit(True))
+    # r16 scan-audit collapse (guide §2.4 / r10 multi-branch lesson): the
+    # dense hourly frame feeds t, the variance aggregate, AND both sides
+    # of every lagged pair join — the plan re-ran the events scan 12x.
+    # One eager checkpoint of the O(hours) frame; every branch reads the
+    # RDD (12 scans -> 2, the spine's min/max pass and the count pass).
+    d = _dense_hourly(spark, sf_dir, F.lit(True)).localCheckpoint(
+        eager=True)
     t = d.agg(F.count(F.lit(1)).cast("long").alias("n"),
               F.sum("c").cast("long").alias("s"))
     dt = d.crossJoin(F.broadcast(t)) \
@@ -152,10 +158,19 @@ def crosscorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared dense spine, exact integer moments (module docstring)."""
     ev = load_table(spark, sf_dir, "events")
     hr = F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
-    hx = (ev.filter(F.col("event_type") == _X).select(hr)
-          .groupBy("hr").agg(F.count(F.lit(1)).alias("c")))
-    hy = (ev.filter(F.col("event_type") == _Y).select(hr)
-          .groupBy("hr").agg(F.count(F.lit(1)).alias("c")))
+    # r16 scan-audit collapse (guide §2.4 / r10 multi-branch lesson): hx
+    # and hy feed bounds, the dense series, the scaled moments, the
+    # variance aggregates and every lagged pair join — the plan re-ran
+    # the events scan 40x (each branch re-derived its own copy). ONE
+    # events scan now builds the (event_type, hr) count frame — bounded
+    # by 2 x hours — eagerly checkpointed; hx/hy are filters of the RDD,
+    # so every downstream branch is parquet-free (40 scans -> 1).
+    h2 = (ev.filter(F.col("event_type").isin(_X, _Y))
+          .select(F.col("event_type").alias("et"), hr)
+          .groupBy("et", "hr").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=True))
+    hx = h2.filter(F.col("et") == _X).select("hr", "c")
+    hy = h2.filter(F.col("et") == _Y).select("hr", "c")
     bounds = (hx.select("hr").union(hy.select("hr"))
               .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi")))
     spine = bounds.select(
